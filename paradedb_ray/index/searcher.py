@@ -1,0 +1,733 @@
+"""Query evaluation over segments with tantivy-parity BM25 scoring.
+
+Scoring model (pinned by `pg_search/tests/pg_regress/expected/topk_scores.out`
+golden floats, replicated in tests/test_bm25_golden.py):
+
+* ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` computed in f32 over
+  *searcher-global* N/df (across all segments/partitions),
+* ``weight = idf * boost * (1 + k1)``; per-fieldnorm-id norm cache
+  ``cache[id] = k1 * (1 - b + b * decoded_norm(id) / avg_fieldnorm)``,
+* ``score(doc) = weight * tf / (tf + cache[fieldnorm_id(doc)])``,
+* k1=1.2, b=0.75; avg_fieldnorm = exact total tokens / total docs (f32),
+* dl is the byte-quantized fieldnorm; all arithmetic in float32,
+* range / exists / regex / fuzzy / term-set queries are constant-score 1.0
+  (visible in the golden scores: the ``rating > 2`` must-clause adds exactly
+  1.0), boolean must/should sum their matching clause scores, and
+  disjunction_max takes max + tie_breaker * rest.
+
+Hits are (sorted local doc ids, f32 scores).  ``GlobalStats`` carries the
+cross-partition statistics exchange the sharded engine needs (SURVEY §5
+"BM25 parity requirements").
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from paradedb_ray.fieldnorm import FIELD_NORMS_TABLE
+from paradedb_ray.index.segment import Segment, TextFieldIndex
+from paradedb_ray.query import ast
+from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD, JSON
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+_ONE = np.float32(1.0)
+_HALF = np.float32(0.5)
+
+_F32 = np.float32
+
+
+def idf_f32(doc_freq: int, num_docs: int) -> np.float32:
+    """tantivy ``bm25::idf`` in f32 (ln computed exactly, then rounded)."""
+    x = (_F32(num_docs - doc_freq) + _HALF) / (_F32(doc_freq) + _HALF)
+    return _F32(np.log(np.float64(_ONE + x)))
+
+
+def bm25_norm_cache(avg_fieldnorm: np.float32) -> np.ndarray:
+    """cache[id] = k1 * (1 - b + b * decoded_norm(id) / avg), f32[256]."""
+    decoded = FIELD_NORMS_TABLE.astype(np.float32)
+    return (K1 * (_ONE - B + B * decoded / _F32(avg_fieldnorm))).astype(np.float32)
+
+
+@dataclass
+class Hits:
+    ids: np.ndarray  # int64, sorted ascending
+    scores: np.ndarray  # float32, aligned
+
+    @staticmethod
+    def empty() -> "Hits":
+        return Hits(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+
+    @staticmethod
+    def const(ids: np.ndarray, score: float = 1.0) -> "Hits":
+        return Hits(ids.astype(np.int64),
+                    np.full(len(ids), score, dtype=np.float32))
+
+    def __len__(self):
+        return len(self.ids)
+
+
+def _mask_to_hits(mask: np.ndarray, score: float = 1.0) -> Hits:
+    return Hits.const(np.flatnonzero(mask), score)
+
+
+def _sum_into(base: Hits, other: Hits) -> None:
+    """Add other's scores to base where ids overlap (base ids superset-agnostic)."""
+    idx = np.searchsorted(other.ids, base.ids)
+    idx_c = np.clip(idx, 0, max(len(other.ids) - 1, 0))
+    if len(other.ids):
+        hit = other.ids[idx_c] == base.ids
+        base.scores[hit] += other.scores[idx_c[hit]]
+
+
+@dataclass
+class GlobalStats:
+    """Searcher-global statistics (the cross-partition stats exchange)."""
+
+    num_docs: int = 0
+    field_total_tokens: dict = dfield(default_factory=dict)  # field -> int
+    field_doc_count: dict = dfield(default_factory=dict)  # field -> int
+    term_df: dict = dfield(default_factory=dict)  # (field, term) -> int
+
+    def avg_fieldnorm(self, field: str) -> np.float32:
+        total = self.field_total_tokens.get(field, 0)
+        if self.num_docs == 0 or total == 0:
+            return _ONE
+        return _F32(total) / _F32(self.num_docs)
+
+    def df(self, field: str, term) -> int:
+        return self.term_df.get((field, term), 0)
+
+    @staticmethod
+    def from_segment(seg: Segment, schema: IndexSchema) -> "GlobalStats":
+        """Single-partition stats (all terms)."""
+        g = GlobalStats(num_docs=seg.num_docs)
+        for name, ti in seg.text.items():
+            g.field_total_tokens[name] = ti.total_tokens
+            g.field_doc_count[name] = ti.doc_count
+            dfs = np.diff(ti.term_offsets)
+            for t, d in zip(ti.vocab, dfs):
+                g.term_df[(name, t)] = int(d)
+        return g
+
+    def merge(self, other: "GlobalStats") -> "GlobalStats":
+        self.num_docs += other.num_docs
+        for k, v in other.field_total_tokens.items():
+            self.field_total_tokens[k] = self.field_total_tokens.get(k, 0) + v
+        for k, v in other.field_doc_count.items():
+            self.field_doc_count[k] = self.field_doc_count.get(k, 0) + v
+        for k, v in other.term_df.items():
+            self.term_df[k] = self.term_df.get(k, 0) + v
+        return self
+
+
+class Searcher:
+    """Evaluates a query AST against one segment, using global stats."""
+
+    def __init__(self, segment: Segment, schema: IndexSchema,
+                 stats: Optional[GlobalStats] = None):
+        self.seg = segment
+        self.schema = schema
+        self.stats = stats or GlobalStats.from_segment(segment, schema)
+        self._norm_caches: dict = {}
+
+    # -- scoring helpers ----------------------------------------------------
+
+    def _norm_cache(self, field: str) -> np.ndarray:
+        c = self._norm_caches.get(field)
+        if c is None:
+            c = bm25_norm_cache(self.stats.avg_fieldnorm(field))
+            self._norm_caches[field] = c
+        return c
+
+    def _bm25(self, field: str, ti: TextFieldIndex, docs: np.ndarray,
+              tfs: np.ndarray, df: int, boost: float = 1.0) -> Hits:
+        if df <= 0 or len(docs) == 0:
+            return Hits.empty()
+        idf = idf_f32(df, self.stats.num_docs)
+        weight = idf * _F32(boost) * (_ONE + K1)
+        cache = self._norm_cache(field)
+        norms = cache[ti.fieldnorm_ids[docs]]
+        tf = tfs.astype(np.float32)
+        scores = (weight * (tf / (tf + norms))).astype(np.float32)
+        return Hits(docs.astype(np.int64), scores)
+
+    # -- term-level evaluation ---------------------------------------------
+
+    def _normalize_query_token(self, field, value) -> str:
+        """Apply the field analyzer's *filters* to a query literal (a Term's
+        value is normalized but not re-tokenized, `pdb_query.rs` Term)."""
+        f = self.schema.field(field)
+        if f.ftype in (TEXT, KEYWORD):
+            out = f.analyzer.filters.apply_texts([str(value)])
+            return out[0] if out else str(value)
+        return value
+
+    def _text_term_hits(self, field: str, term: str, boost: float = 1.0) -> Hits:
+        ti = self.seg.text.get(field)
+        if ti is None:
+            return Hits.empty()
+        code = ti.term_code(term)
+        if code < 0:
+            return Hits.empty()
+        docs, tfs, _ = ti.postings(code)
+        df = self.stats.df(field, term)
+        return self._bm25(field, ti, docs, tfs, df, boost)
+
+    def _fast_term_mask(self, field: str, value) -> np.ndarray:
+        col = self.seg.column(field)
+        try:
+            m = pc.equal(col, value)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            return np.zeros(self.seg.num_docs, dtype=bool)
+        return np.asarray(m.fill_null(False))
+
+    def _term_hits(self, field: str, value, boost: float = 1.0) -> Hits:
+        f = self.schema.field(field)
+        if f.ftype == TEXT:
+            term = self._normalize_query_token(field, value)
+            return self._text_term_hits(field, term, boost)
+        if f.ftype == KEYWORD:
+            term = self._normalize_query_token(field, value)
+            # keyword columns are matched against the analyzed column value
+            vals = self._keyword_values(field)
+            mask = vals == term
+            df = self.stats.df(field, term)
+            if df <= 0:
+                df = int(mask.sum())
+            if df == 0:
+                return Hits.empty()
+            idf = idf_f32(df, self.stats.num_docs)
+            return Hits.const(np.flatnonzero(mask), float(idf * _F32(boost)))
+        if f.ftype == JSON:
+            raise ValueError("JSON term requires a dot path (field.path)")
+        # numeric/bool/date term
+        mask = self._fast_term_mask(field, value)
+        df = self.stats.df(field, value)
+        if df <= 0:
+            df = int(mask.sum())
+        if df == 0:
+            return Hits.empty()
+        idf = idf_f32(df, self.stats.num_docs)
+        return Hits.const(np.flatnonzero(mask), float(idf * _F32(boost)))
+
+    def _keyword_values(self, field: str) -> np.ndarray:
+        """Analyzed (e.g. lowercased for literal_normalized) column values."""
+        key = ("_kwvals", field)
+        cached = self.seg._json_cache.get(key)
+        if cached is not None:
+            return cached
+        f = self.schema.field(field)
+        col = self.seg.column(field)
+        if f.analyzer.filters.lowercase:
+            col = pc.utf8_lower(col)
+        vals = np.asarray(col.to_pandas(), dtype=object)
+        self.seg._json_cache[key] = vals
+        return vals
+
+    def _json_term_hits(self, field: str, path: str, value, boost=1.0) -> Hits:
+        vals = self.seg.json_path_values(field, path)
+        if isinstance(value, str):
+            value = value.lower()  # raw tokenizer + lowercase (regress setup)
+            cmp = np.array([v.lower() if isinstance(v, str) else None for v in vals],
+                           dtype=object)
+            mask = cmp == value
+        else:
+            mask = np.array([v == value if isinstance(v, (int, float, bool)) else False
+                             for v in vals])
+        return _mask_to_hits(mask)
+
+    # -- vocab expansion (fuzzy/regex/prefix): constant-score 1.0 -----------
+
+    def _expand_union(self, field: str, codes: np.ndarray) -> Hits:
+        ti = self.seg.text.get(field)
+        if ti is None or len(codes) == 0:
+            return Hits.empty()
+        parts = [ti.postings(c)[0] for c in codes]
+        if not parts:
+            return Hits.empty()
+        docs = np.unique(np.concatenate(parts))
+        return Hits.const(docs)
+
+    # -- main eval ----------------------------------------------------------
+
+    def eval(self, q: ast.Query, boost: float = 1.0) -> Hits:
+        m = getattr(self, "_eval_" + type(q).__name__, None)
+        if m is None:
+            raise NotImplementedError(f"eval for {type(q).__name__}")
+        return m(q, boost)
+
+    def _eval_All(self, q, boost):
+        return Hits.const(np.arange(self.seg.num_docs), 1.0 * boost)
+
+    def _eval_Empty(self, q, boost):
+        return Hits.empty()
+
+    def _eval_Term(self, q: ast.Term, boost):
+        if "." in q.field and q.field not in self.schema.fields:
+            base, path = q.field.split(".", 1)
+            if base in self.schema.fields and self.schema.field(base).ftype == JSON:
+                return self._json_term_hits(base, path, q.value, boost)
+        f = self.schema.field(q.field)
+        if f.ftype == JSON:
+            raise ValueError("JSON term requires dot path")
+        return self._term_hits(q.field, q.value, boost)
+
+    def _eval_TermSet(self, q: ast.TermSet, boost):
+        parts = []
+        for v in q.terms:
+            h = self._term_hits(q.field, v, boost)
+            if len(h):
+                parts.append(h.ids)
+        if not parts:
+            return Hits.empty()
+        return Hits.const(np.unique(np.concatenate(parts)), 1.0)
+
+    def _eval_TermSetMulti(self, q: ast.TermSetMulti, boost):
+        parts = []
+        for f, v in q.terms:
+            h = self._term_hits(f, v, boost)
+            if len(h):
+                parts.append(h.ids)
+        if not parts:
+            return Hits.empty()
+        return Hits.const(np.unique(np.concatenate(parts)), 1.0)
+
+    def _eval_Exists(self, q: ast.Exists, boost):
+        f = self.schema.field(q.field)
+        if f.ftype == TEXT and q.field in self.seg.text:
+            return Hits.const(np.flatnonzero(self.seg.text[q.field].has_value))
+        col = self.seg.column(q.field)
+        mask = np.asarray(pc.is_valid(col))
+        return _mask_to_hits(mask)
+
+    def _eval_Range(self, q: ast.Range, boost):
+        col = self.seg.column(q.field)
+        mask = None
+
+        def apply(op, val):
+            nonlocal mask
+            v = _coerce_bound_value(col.type, val)
+            m = np.asarray(op(col, v).fill_null(False))
+            mask = m if mask is None else (mask & m)
+
+        lb, ub = q.lower_bound, q.upper_bound
+        if lb.kind == "included":
+            apply(pc.greater_equal, lb.value)
+        elif lb.kind == "excluded":
+            apply(pc.greater, lb.value)
+        if ub.kind == "included":
+            apply(pc.less_equal, ub.value)
+        elif ub.kind == "excluded":
+            apply(pc.less, ub.value)
+        if mask is None:
+            mask = np.asarray(pc.is_valid(col))
+        return _mask_to_hits(mask)
+
+    def _eval_Boolean(self, q: ast.Boolean, boost):
+        must = [self.eval(c, boost) for c in q.must]
+        should = [self.eval(c, boost) for c in q.should]
+        if not q.must and not q.should:
+            return Hits.empty()
+
+        if must:
+            ids = must[0].ids
+            for h in must[1:]:
+                ids = ids[np.isin(ids, h.ids, assume_unique=True)]
+            if len(ids) == 0:
+                return Hits.empty()
+            scores = np.zeros(len(ids), dtype=np.float32)
+            base = Hits(ids, scores)
+            for h in must:
+                _sum_into(base, h)
+            msm = q.minimum_should_match
+            if should:
+                if msm:
+                    cnt = np.zeros(len(ids), dtype=np.int32)
+                    for h in should:
+                        cnt += np.isin(ids, h.ids, assume_unique=True)
+                    keep = cnt >= msm
+                    base = Hits(ids[keep], base.scores[keep])
+                for h in should:
+                    _sum_into(base, h)
+        else:
+            if not any(len(h) for h in should):
+                return Hits.empty()
+            ids = np.unique(np.concatenate([h.ids for h in should if len(h)]))
+            scores = np.zeros(len(ids), dtype=np.float32)
+            base = Hits(ids, scores)
+            cnt = np.zeros(len(ids), dtype=np.int32)
+            for h in should:
+                _sum_into(base, h)
+                cnt += np.isin(ids, h.ids, assume_unique=True)
+            msm = q.minimum_should_match
+            if msm is None:
+                msm = 1
+            keep = cnt >= msm
+            base = Hits(ids[keep], base.scores[keep])
+
+        for c in q.must_not:
+            h = self.eval(c, 1.0)
+            if len(h):
+                keep = ~np.isin(base.ids, h.ids, assume_unique=True)
+                base = Hits(base.ids[keep], base.scores[keep])
+        return base
+
+    def _eval_Boost(self, q: ast.Boost, boost):
+        return self.eval(q.query, boost * q.factor)
+
+    def _eval_ConstScore(self, q: ast.ConstScore, boost):
+        h = self.eval(q.query, 1.0)
+        return Hits(h.ids, np.full(len(h.ids), _F32(q.score) * _F32(boost),
+                                   dtype=np.float32))
+
+    def _eval_ScoreFilter(self, q: ast.ScoreFilter, boost):
+        h = self.eval(q.query, boost)
+        keep = np.ones(len(h.ids), dtype=bool)
+        for lo_hi in q.bounds:
+            lo, hi = lo_hi
+            if lo is not None:
+                keep &= h.scores >= _F32(lo)
+            if hi is not None:
+                keep &= h.scores <= _F32(hi)
+        return Hits(h.ids[keep], h.scores[keep])
+
+    def _eval_DisjunctionMax(self, q: ast.DisjunctionMax, boost):
+        hits = [self.eval(c, boost) for c in q.disjuncts]
+        hits = [h for h in hits if len(h)]
+        if not hits:
+            return Hits.empty()
+        ids = np.unique(np.concatenate([h.ids for h in hits]))
+        mx = np.zeros(len(ids), dtype=np.float32)
+        sm = np.zeros(len(ids), dtype=np.float32)
+        for h in hits:
+            idx = np.searchsorted(ids, h.ids)
+            np.maximum.at(mx, idx, h.scores)
+            np.add.at(sm, idx, h.scores)
+        tb = _F32(q.tie_breaker or 0.0)
+        scores = (mx + tb * (sm - mx)).astype(np.float32)
+        return Hits(ids, scores)
+
+    # -- text analysis queries ---------------------------------------------
+
+    def _field_tokens(self, field: str, value: str) -> list:
+        return self.schema.field(field).analyzer.tokenize(value)
+
+    def _eval_Match(self, q: ast.Match, boost):
+        if q.tokenizer is not None:
+            from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+            toks = tokenizer_from_config(q.tokenizer).tokenize(q.value)
+        else:
+            toks = self._field_tokens(q.field, q.value)
+        if not toks:
+            return Hits.empty()
+        if q.conjunction_mode:
+            toks = list(dict.fromkeys(toks))  # dedup, keep order (pdb_query.rs:1972)
+        subs = []
+        for t in toks:
+            if q.distance > 0:
+                subs.append(ast.FuzzyTerm(q.field, t, q.distance,
+                                          q.transposition_cost_one, q.prefix))
+            else:
+                subs.append(ast.Term(q.field, t))
+        occur = "must" if q.conjunction_mode else "should"
+        return self._eval_Boolean(ast.Boolean(**{occur: subs}), boost)
+
+    def _eval_ParseWithField(self, q: ast.ParseWithField, boost):
+        from paradedb_ray.query.parser import parse_query_string
+
+        sub = parse_query_string(q.query_string, self.schema,
+                                 default_fields=[q.field],
+                                 conjunction_mode=bool(q.conjunction_mode),
+                                 lenient=bool(q.lenient))
+        return self.eval(sub, boost)
+
+    def _eval_Parse(self, q: ast.Parse, boost):
+        from paradedb_ray.query.parser import parse_query_string
+
+        sub = parse_query_string(q.query_string, self.schema,
+                                 default_fields=self.schema.default_search_fields,
+                                 conjunction_mode=bool(q.conjunction_mode),
+                                 lenient=bool(q.lenient))
+        return self.eval(sub, boost)
+
+    # -- phrases ------------------------------------------------------------
+
+    def _phrase_hits(self, field: str, tokens: list, slop: int, boost) -> Hits:
+        ti = self.seg.text.get(field)
+        if ti is None or not tokens:
+            return Hits.empty()
+        if len(tokens) == 1:
+            return self._text_term_hits(field, tokens[0], boost)
+        codes = [ti.term_code(t) for t in tokens]
+        if any(c < 0 for c in codes):
+            return Hits.empty()
+        # candidate docs = intersection of posting doc lists
+        doc_sets = [ti.postings(c)[0] for c in codes]
+        cand = doc_sets[0]
+        for d in doc_sets[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+        if len(cand) == 0:
+            return Hits.empty()
+        # per-candidate positional check
+        out_docs, out_tf = [], []
+        for doc in cand:
+            plists = []
+            for c in codes:
+                docs_c, _, (s, e) = ti.postings(c)
+                gi = s + np.searchsorted(docs_c, doc)
+                plists.append(ti.positions(gi))
+            tf = _phrase_freq(plists, slop)
+            if tf > 0:
+                out_docs.append(doc)
+                out_tf.append(tf)
+        if not out_docs:
+            return Hits.empty()
+        docs = np.asarray(out_docs, dtype=np.int64)
+        tfs = np.asarray(out_tf, dtype=np.int32)
+        # phrase idf = sum of constituent term idfs (Lucene/tantivy for_terms)
+        idf = _F32(0.0)
+        for t in tokens:
+            df = self.stats.df(field, t)
+            if df > 0:
+                idf = _F32(idf + idf_f32(df, self.stats.num_docs))
+        weight = idf * _F32(boost) * (_ONE + K1)
+        cache = self._norm_cache(field)
+        norms = cache[ti.fieldnorm_ids[docs]]
+        tff = tfs.astype(np.float32)
+        return Hits(docs, (weight * (tff / (tff + norms))).astype(np.float32))
+
+    def _eval_Phrase(self, q: ast.Phrase, boost):
+        toks = []
+        for w in q.phrases:
+            toks.extend(self._field_tokens(q.field, w))
+        return self._phrase_hits(q.field, toks, q.slop, boost)
+
+    def _eval_PhraseArray(self, q: ast.PhraseArray, boost):
+        return self._phrase_hits(q.field, list(q.tokens), q.slop, boost)
+
+    def _eval_TokenizedPhrase(self, q: ast.TokenizedPhrase, boost):
+        toks = self._field_tokens(q.field, q.phrase)
+        return self._phrase_hits(q.field, toks, q.slop, boost)
+
+    def _eval_PhrasePrefix(self, q: ast.PhrasePrefix, boost):
+        ti = self.seg.text.get(q.field)
+        if ti is None:
+            return Hits.empty()
+        toks = []
+        for w in q.phrases:
+            toks.extend(self._field_tokens(q.field, w))
+        if not toks:
+            return Hits.empty()
+        prefix = toks[-1]
+        lead = toks[:-1]
+        # expand prefix in sorted vocab order, capped at max_expansions
+        lo = np.searchsorted(ti.vocab, prefix)
+        hi = np.searchsorted(ti.vocab, prefix + "￿")
+        codes = np.arange(lo, hi)[: q.max_expansions]
+        if len(codes) == 0:
+            return Hits.empty()
+        parts = []
+        for c in codes:
+            h = self._phrase_hits(q.field, lead + [str(ti.vocab[c])], 0, boost)
+            if len(h):
+                parts.append(h)
+        if not parts:
+            return Hits.empty()
+        ids = np.unique(np.concatenate([h.ids for h in parts]))
+        mx = np.zeros(len(ids), dtype=np.float32)
+        for h in parts:
+            idx = np.searchsorted(ids, h.ids)
+            np.maximum.at(mx, idx, h.scores)
+        return Hits(ids, mx)
+
+    # -- vocab-expansion queries (const score 1.0) ---------------------------
+
+    def _eval_Regex(self, q: ast.Regex, boost):
+        f = self.schema.field(q.field)
+        if f.ftype == TEXT:
+            ti = self.seg.text.get(q.field)
+            if ti is None:
+                return Hits.empty()
+            rx = _re.compile(q.pattern)
+            codes = np.fromiter(
+                (i for i, t in enumerate(ti.vocab) if rx.fullmatch(t)),
+                dtype=np.int64,
+            )
+            return self._expand_union(q.field, codes)
+        # keyword fast field: regex over column values
+        vals = self._keyword_values(q.field)
+        rx = _re.compile(q.pattern)
+        mask = np.array([bool(v is not None and rx.fullmatch(v)) for v in vals])
+        return _mask_to_hits(mask)
+
+    def _eval_FuzzyTerm(self, q: ast.FuzzyTerm, boost):
+        f = self.schema.field(q.field)
+        term = self._normalize_query_token(q.field, q.value)
+        if f.ftype == TEXT:
+            ti = self.seg.text.get(q.field)
+            if ti is None:
+                return Hits.empty()
+            vocab = ti.vocab
+        else:
+            vocab = np.unique(self._keyword_values(q.field).astype(str))
+        matches = [
+            i for i, t in enumerate(vocab)
+            if _within_distance(term, t, q.distance, q.transposition_cost_one,
+                                q.prefix)
+        ]
+        if f.ftype == TEXT:
+            return self._expand_union(q.field, np.asarray(matches, dtype=np.int64))
+        vals = self._keyword_values(q.field)
+        ok = set(vocab[i] for i in matches)
+        mask = np.array([v in ok for v in vals])
+        return _mask_to_hits(mask)
+
+    def _eval_Proximity(self, q: ast.Proximity, boost):
+        ti = self.seg.text.get(q.field)
+        if ti is None:
+            return Hits.empty()
+
+        def clause_positions(clause):
+            """-> dict doc -> sorted positions for a term/regex/list clause."""
+            terms = []
+            if isinstance(clause, str):
+                if clause.startswith("/") and clause.endswith("/"):
+                    rx = _re.compile(clause[1:-1])
+                    terms = [t for t in ti.vocab if rx.fullmatch(t)]
+                else:
+                    terms = [self._normalize_query_token(q.field, clause)]
+            elif isinstance(clause, (list, tuple)):
+                for c in clause:
+                    terms.extend(
+                        [self._normalize_query_token(q.field, c)]
+                        if not (isinstance(c, str) and c.startswith("/"))
+                        else [t for t in ti.vocab
+                              if _re.compile(c[1:-1]).fullmatch(t)])
+            posmap: dict = {}
+            for t in terms:
+                c = ti.term_code(str(t))
+                if c < 0:
+                    continue
+                docs_c, _, (s, e) = ti.postings(c)
+                for j, d in enumerate(docs_c):
+                    arr = ti.positions(s + j)
+                    if d in posmap:
+                        posmap[d] = np.union1d(posmap[d], arr)
+                    else:
+                        posmap[d] = arr
+            return posmap
+
+        left, right = clause_positions(q.left), clause_positions(q.right)
+        docs = sorted(set(left) & set(right))
+        out = []
+        for d in docs:
+            lp, rp = left[d], right[d]
+            # distance = max tokens between the two (inclusive window)
+            diffs = rp[None, :] - lp[:, None]
+            if q.ordered:
+                ok = ((diffs > 0) & (diffs <= q.distance + 1)).any()
+            else:
+                ok = ((np.abs(diffs) <= q.distance + 1) & (diffs != 0)).any()
+            if ok:
+                out.append(d)
+        return Hits.const(np.asarray(out, dtype=np.int64))
+
+    def _eval_HeapFilter(self, q: ast.HeapFilter, boost):
+        h = self.eval(q.indexed_query, boost)
+        if q.predicate is None or len(h) == 0:
+            return h
+        sub = self.seg.table.take(pa.array(h.ids))
+        keep = np.asarray(q.predicate(sub), dtype=bool)
+        return Hits(h.ids[keep], h.scores[keep])
+
+    def _eval_MoreLikeThis(self, q: ast.MoreLikeThis, boost):
+        raise NotImplementedError("more_like_this: planned (SURVEY §2.2)")
+
+
+def _coerce_bound_value(typ: pa.DataType, val):
+    if pa.types.is_timestamp(typ) and isinstance(val, str):
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(val)
+    return val
+
+
+def _phrase_freq(plists: list, slop: int) -> int:
+    """Number of phrase matches in a doc.
+
+    slop=0: exact adjacency via intersection of shifted position lists.
+    slop>0: Lucene-style spread check — an alignment matches when
+    max(p_i - i) - min(p_i - i) <= slop.
+    """
+    if slop == 0:
+        cur = plists[0]
+        for i, pl in enumerate(plists[1:], start=1):
+            cur = np.intersect1d(cur, pl - i, assume_unique=True)
+            if len(cur) == 0:
+                return 0
+        return len(cur)
+    adjusted = [pl - i for i, pl in enumerate(plists)]
+    count = 0
+    for p0 in adjusted[0]:
+        lo = hi = p0
+        ok = True
+        for arr in adjusted[1:]:
+            j = np.searchsorted(arr, p0)
+            best = None
+            for cand_idx in (j - 1, j):
+                if 0 <= cand_idx < len(arr):
+                    c = arr[cand_idx]
+                    if best is None or abs(c - p0) < abs(best - p0):
+                        best = c
+            if best is None:
+                ok = False
+                break
+            lo, hi = min(lo, best), max(hi, best)
+            if hi - lo > slop:
+                ok = False
+                break
+        if ok:
+            count += 1
+    return count
+
+
+def _within_distance(query: str, term: str, max_dist: int,
+                     transposition_cost_one: bool, prefix: bool) -> bool:
+    """Damerau-ish Levenshtein with early cutoff; ``prefix`` matches the
+    query against term prefixes (tantivy FuzzyTermQuery::new_prefix)."""
+    if prefix and len(term) > len(query) + max_dist:
+        term_candidates = [term[: len(query) + d] for d in range(max_dist + 1)]
+    else:
+        term_candidates = [term]
+    for t in term_candidates:
+        if _lev(query, t, max_dist, transposition_cost_one) <= max_dist:
+            return True
+    return False
+
+
+def _lev(a: str, b: str, cutoff: int, transpositions: bool) -> int:
+    if abs(len(a) - len(b)) > cutoff:
+        return cutoff + 1
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transpositions and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cutoff:
+            return cutoff + 1
+        prev2, prev = prev, cur
+    return prev[lb]

@@ -1,0 +1,219 @@
+"""Immutable in-memory segment: inverted postings + fieldnorms + fast fields
+over one Arrow batch.
+
+The tantivy analogue is a segment's inverted index + fieldnorm + columnar
+files (`/root/reference/pg_search/src/index/`); here a segment is a plain
+numpy/Arrow structure built per block inside ``map_batches`` (stateless
+scoring path) or held inside a state-store actor (streaming path).
+
+Layout (per text field) is struct-of-arrays, built vectorized via
+pandas.factorize + lexsort rather than per-row Python dict churn:
+
+* ``vocab``            sorted unique terms (object ndarray)
+* ``term_offsets``     [n_terms+1] -> ranges into the group arrays
+* ``g_doc``/``g_tf``   doc id + term frequency per (term, doc) group
+* ``g_pos_off``        [n_groups+1] -> ranges into ``pos_flat``
+* ``pos_flat``         token positions, grouped by (term, doc)
+* ``fieldnorm_ids``    byte-quantized doc lengths (Lucene SmallFloat)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from paradedb_ray.fieldnorm import fieldnorm_to_id
+from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD
+
+
+@dataclass
+class TextFieldIndex:
+    vocab: np.ndarray  # sorted unique terms
+    term_offsets: np.ndarray  # int64 [n_terms+1]
+    g_doc: np.ndarray  # int32 [n_groups]
+    g_tf: np.ndarray  # int32 [n_groups]
+    g_pos_off: Optional[np.ndarray]  # int64 [n_groups+1] or None
+    pos_flat: Optional[np.ndarray]  # int32 [total_tokens] or None
+    fieldnorm_ids: np.ndarray  # uint8 [num_docs]
+    total_tokens: int
+    doc_count: int  # docs with a (non-null) value
+    has_value: np.ndarray  # bool [num_docs]
+
+    def term_code(self, term: str) -> int:
+        """Index of term in vocab, or -1."""
+        i = np.searchsorted(self.vocab, term)
+        if i < len(self.vocab) and self.vocab[i] == term:
+            return int(i)
+        return -1
+
+    def postings(self, code: int):
+        """(doc_ids int32, tfs int32, group_range) for a vocab code."""
+        s, e = self.term_offsets[code], self.term_offsets[code + 1]
+        return self.g_doc[s:e], self.g_tf[s:e], (s, e)
+
+    def positions(self, group_index: int) -> np.ndarray:
+        s, e = self.g_pos_off[group_index], self.g_pos_off[group_index + 1]
+        return self.pos_flat[s:e]
+
+    def doc_freq(self, term: str) -> int:
+        c = self.term_code(term)
+        if c < 0:
+            return 0
+        return int(self.term_offsets[c + 1] - self.term_offsets[c])
+
+
+@dataclass
+class Segment:
+    num_docs: int
+    table: pa.Table  # docstore + fast fields (original columns)
+    text: dict = dfield(default_factory=dict)  # field -> TextFieldIndex
+    schema: IndexSchema = None
+    _json_cache: dict = dfield(default_factory=dict)
+
+    def column(self, name: str) -> pa.ChunkedArray:
+        return self.table.column(name)
+
+    def json_path_values(self, field: str, path: str) -> np.ndarray:
+        """Extract dot-path values from a JSON string column (tantivy
+        json-field dot addressing, `pg_search/src/api/mod.rs:47`)."""
+        key = (field, path)
+        vals = self._json_cache.get(key)
+        if vals is None:
+            import json as _json
+
+            parts = path.split(".")
+            col = self.table.column(field).to_pylist()
+            out = []
+            for v in col:
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    obj = _json.loads(v) if isinstance(v, str) else v
+                    for p in parts:
+                        if isinstance(obj, dict):
+                            obj = obj.get(p)
+                        else:
+                            obj = None
+                            break
+                    out.append(obj)
+                except Exception:
+                    out.append(None)
+            vals = np.array(out, dtype=object)
+            self._json_cache[key] = vals
+        return vals
+
+
+def _build_text_index(
+    texts: list, analyzer, store_positions: bool
+) -> TextFieldIndex:
+    n = len(texts)
+    tok_lists = []
+    has_value = np.zeros(n, dtype=bool)
+    lens = np.zeros(n, dtype=np.int64)
+    tokenize = analyzer.tokenize
+    for i, t in enumerate(texts):
+        if t is None:
+            tok_lists.append(())
+            continue
+        has_value[i] = True
+        toks = tokenize(t)
+        lens[i] = len(toks)
+        tok_lists.append(toks)
+
+    total = int(lens.sum())
+    if total == 0:
+        return TextFieldIndex(
+            vocab=np.empty(0, dtype=object),
+            term_offsets=np.zeros(1, dtype=np.int64),
+            g_doc=np.empty(0, dtype=np.int32),
+            g_tf=np.empty(0, dtype=np.int32),
+            g_pos_off=np.zeros(1, dtype=np.int64) if store_positions else None,
+            pos_flat=np.empty(0, dtype=np.int32) if store_positions else None,
+            fieldnorm_ids=fieldnorm_to_id(lens),
+            total_tokens=0,
+            doc_count=int(has_value.sum()),
+            has_value=has_value,
+        )
+
+    flat = np.empty(total, dtype=object)
+    pos = np.empty(total, dtype=np.int32)
+    k = 0
+    for toks in tok_lists:
+        m = len(toks)
+        if m:
+            flat[k : k + m] = toks
+            pos[k : k + m] = np.arange(m, dtype=np.int32)
+            k += m
+    doc_ids = np.repeat(np.arange(n, dtype=np.int32), lens)
+
+    codes, uniques = pd.factorize(flat, sort=True)
+    codes = codes.astype(np.int64)
+
+    # group by (code, doc); positions are already ascending within each doc,
+    # and a stable sort keeps them ascending within each group.
+    order = np.lexsort((doc_ids, codes))
+    c_s, d_s, p_s = codes[order], doc_ids[order], pos[order]
+
+    # group boundaries
+    newgrp = np.empty(total, dtype=bool)
+    newgrp[0] = True
+    np.not_equal(c_s[1:], c_s[:-1], out=newgrp[1:])
+    diffdoc = d_s[1:] != d_s[:-1]
+    newgrp[1:] |= diffdoc
+    grp_starts = np.flatnonzero(newgrp)
+    g_doc = d_s[grp_starts].astype(np.int32)
+    g_code = c_s[grp_starts]
+    bounds = np.append(grp_starts, total)
+    g_tf = np.diff(bounds).astype(np.int32)
+
+    # per-term ranges over groups (groups sorted by code first)
+    n_terms = len(uniques)
+    term_counts = np.bincount(g_code, minlength=n_terms)
+    term_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(term_counts, out=term_offsets[1:])
+
+    if store_positions:
+        g_pos_off = bounds.astype(np.int64)
+        pos_flat = p_s
+    else:
+        g_pos_off = None
+        pos_flat = None
+
+    return TextFieldIndex(
+        vocab=np.asarray(uniques, dtype=object),
+        term_offsets=term_offsets,
+        g_doc=g_doc,
+        g_tf=g_tf,
+        g_pos_off=g_pos_off,
+        pos_flat=pos_flat,
+        fieldnorm_ids=fieldnorm_to_id(lens),
+        total_tokens=total,
+        doc_count=int(has_value.sum()),
+        has_value=has_value,
+    )
+
+
+def build_segment(
+    table: pa.Table, schema: IndexSchema, store_positions: bool = True
+) -> Segment:
+    """Build a segment over an Arrow table/batch.
+
+    Text fields get postings (+positions); keyword and numeric fields are
+    served directly from the Arrow columns (columnar fast fields), like
+    tantivy fast fields (`pg_search/src/index/fast_fields_helper.rs`).
+    """
+    if isinstance(table, (pa.RecordBatch,)):
+        table = pa.Table.from_batches([table])
+    seg = Segment(num_docs=table.num_rows, table=table, schema=schema)
+    for f in schema.fields.values():
+        if f.ftype == TEXT and f.indexed and f.name in table.column_names:
+            texts = table.column(f.name).to_pylist()
+            seg.text[f.name] = _build_text_index(
+                texts, f.analyzer, store_positions and f.positions
+            )
+    return seg

@@ -1,0 +1,158 @@
+"""Query builder functions — 1:1 with pg_search's ``paradedb.*`` / ``pdb.*``
+SQL constructors (`/root/reference/pg_search/src/api/builder_fns/paradedb.rs:29-310`,
+`pdb.rs:37-530`, `mlt.rs`, `proximity.rs`).  Each returns an AST node."""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from paradedb_ray.query import ast
+
+__all__ = [
+    "all_query", "empty", "boolean", "boost", "const_score",
+    "disjunction_max", "parse", "parse_with_field", "term", "term_set",
+    "exists", "fuzzy_term", "match_query", "match_conjunction",
+    "match_disjunction", "phrase", "phrase_string", "phrase_array",
+    "phrase_prefix", "regex", "regex_phrase", "range", "range_term",
+    "score_filter", "proximity", "more_like_this",
+]
+
+
+def all_query() -> ast.Query:
+    return ast.All()
+
+
+def empty() -> ast.Query:
+    return ast.Empty()
+
+
+def boolean(must=None, should=None, must_not=None,
+            minimum_should_match=None) -> ast.Query:
+    return ast.Boolean(
+        must=list(must or []), should=list(should or []),
+        must_not=list(must_not or []),
+        minimum_should_match=minimum_should_match,
+    )
+
+
+def boost(factor: float, query: ast.Query) -> ast.Query:
+    return ast.Boost(query, factor)
+
+
+def const_score(score: float, query: ast.Query) -> ast.Query:
+    return ast.ConstScore(query, score)
+
+
+def disjunction_max(disjuncts: Sequence[ast.Query],
+                    tie_breaker: Optional[float] = None) -> ast.Query:
+    return ast.DisjunctionMax(list(disjuncts), tie_breaker)
+
+
+def parse(query_string: str, lenient: Optional[bool] = None,
+          conjunction_mode: Optional[bool] = None) -> ast.Query:
+    return ast.Parse(query_string, lenient, conjunction_mode)
+
+
+def parse_with_field(field: str, query_string: str,
+                     lenient: Optional[bool] = None,
+                     conjunction_mode: Optional[bool] = None) -> ast.Query:
+    return ast.ParseWithField(field, query_string, lenient, conjunction_mode)
+
+
+def term(field: str, value: Any) -> ast.Query:
+    return ast.Term(field, value)
+
+
+def term_set(terms: Sequence) -> ast.Query:
+    """``paradedb.term_set(ARRAY[paradedb.term(...), ...])`` — accepts
+    (field, value) pairs or Term nodes."""
+    pairs = []
+    for t in terms:
+        if isinstance(t, ast.Term):
+            pairs.append((t.field, t.value))
+        else:
+            f, v = t
+            pairs.append((f, v))
+    return ast.TermSetMulti(pairs)
+
+
+def exists(field: str) -> ast.Query:
+    return ast.Exists(field)
+
+
+def fuzzy_term(field: str, value: str, distance: int = 2,
+               transposition_cost_one: bool = True,
+               prefix: bool = False) -> ast.Query:
+    return ast.FuzzyTerm(field, value, distance, transposition_cost_one, prefix)
+
+
+def match_query(field: str, value: str, tokenizer: Optional[dict] = None,
+                distance: int = 0, transposition_cost_one: bool = True,
+                prefix: bool = False, conjunction_mode: bool = False) -> ast.Query:
+    return ast.Match(field, value, tokenizer, distance, transposition_cost_one,
+                     prefix, conjunction_mode)
+
+
+def match_conjunction(field: str, value: str, **kw) -> ast.Query:
+    """``field &&& 'text'`` (`api/operator/andandand.rs`)."""
+    return match_query(field, value, conjunction_mode=True, **kw)
+
+
+def match_disjunction(field: str, value: str, **kw) -> ast.Query:
+    """``field ||| 'text'`` (`api/operator/ororor.rs`)."""
+    return match_query(field, value, conjunction_mode=False, **kw)
+
+
+def phrase(field: str, phrases: Sequence[str], slop: int = 0) -> ast.Query:
+    return ast.Phrase(field, list(phrases), slop)
+
+
+def phrase_string(field: str, value: str, slop: int = 0) -> ast.Query:
+    """``field ### 'text'`` (`api/operator/hashhashhash.rs`,
+    `api/builder_fns/pdb.rs:97-99`)."""
+    return ast.TokenizedPhrase(field, value, slop)
+
+
+def phrase_array(field: str, tokens: Sequence[str], slop: int = 0) -> ast.Query:
+    return ast.PhraseArray(field, list(tokens), slop)
+
+
+def phrase_prefix(field: str, phrases: Sequence[str],
+                  max_expansions: int = 50) -> ast.Query:
+    return ast.PhrasePrefix(field, list(phrases), max_expansions)
+
+
+def regex(field: str, pattern: str) -> ast.Query:
+    return ast.Regex(field, pattern)
+
+
+def regex_phrase(field: str, regexes: Sequence[str], slop: int = 0,
+                 max_expansions: int = 50) -> ast.Query:
+    return ast.RegexPhrase(field, list(regexes), slop, max_expansions)
+
+
+def range(field: str, lower=None, upper=None,
+          lower_inclusive: bool = True, upper_inclusive: bool = False) -> ast.Query:
+    lb = ast.Bound.unbounded() if lower is None else (
+        ast.Bound.included(lower) if lower_inclusive else ast.Bound.excluded(lower))
+    ub = ast.Bound.unbounded() if upper is None else (
+        ast.Bound.included(upper) if upper_inclusive else ast.Bound.excluded(upper))
+    return ast.Range(field, lb, ub)
+
+
+def range_term(field: str, value: Any) -> ast.Query:
+    return ast.RangeTerm(field, value)
+
+
+def score_filter(bounds: Sequence, query: ast.Query) -> ast.Query:
+    return ast.ScoreFilter([tuple(b) for b in bounds], query)
+
+
+def proximity(field: str, left, distance: int, right,
+              ordered: bool = False) -> ast.Query:
+    """``field ##> prox_clause`` (`api/builder_fns/proximity.rs:32-146`)."""
+    return ast.Proximity(field, left, distance, right, ordered)
+
+
+def more_like_this(**kw) -> ast.Query:
+    return ast.MoreLikeThis(**kw)

@@ -1,0 +1,135 @@
+"""Index schema registry — the Python twin of pg_search's ``SearchIndexSchema``
+(`/root/reference/pg_search/src/schema/mod.rs:392-421`): per-field type,
+tokenizer config, fast/indexed flags, and the unique key field(s)
+(``WITH (key_field='id')``, `pg_search/src/postgres/options.rs`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from functools import cached_property
+from typing import Optional
+
+from paradedb_ray.text.tokenizers import Tokenizer, tokenizer_from_config
+
+#: field type lattice (SearchFieldType, `schema/mod.rs:60-82`)
+TEXT = "text"
+KEYWORD = "keyword"  # literal/keyword-tokenized string
+I64 = "i64"
+U64 = "u64"
+F64 = "f64"
+BOOL = "bool"
+DATE = "date"
+JSON = "json"
+
+NUMERIC_TYPES = {I64, U64, F64, BOOL, DATE}
+
+
+@dataclass
+class Field:
+    name: str
+    ftype: str = TEXT
+    tokenizer: Optional[dict] = None  # pg_search-style JSON tokenizer config
+    indexed: bool = True
+    fast: bool = False
+    positions: bool = True  # record positions (needed for phrase/proximity)
+    is_key: bool = False
+
+    @cached_property
+    def analyzer(self) -> Tokenizer:
+        if self.ftype == TEXT:
+            return tokenizer_from_config(self.tokenizer)
+        if self.ftype == KEYWORD:
+            cfg = self.tokenizer or {"type": "literal"}
+            return tokenizer_from_config(cfg)
+        raise ValueError(f"field {self.name!r} ({self.ftype}) has no analyzer")
+
+
+@dataclass
+class IndexSchema:
+    fields: dict = dfield(default_factory=dict)  # name -> Field
+    key_fields: list = dfield(default_factory=list)
+
+    @staticmethod
+    def build(key_field, **field_defs) -> "IndexSchema":
+        """``IndexSchema.build(key_field="id", description={"type": "text"},
+        rating={"type": "i64", "fast": True})``"""
+        keys = [key_field] if isinstance(key_field, str) else list(key_field)
+        fields = {}
+        for name, d in field_defs.items():
+            if isinstance(d, str):
+                d = {"type": d}
+            fields[name] = Field(
+                name=name,
+                ftype=d.get("type", TEXT),
+                tokenizer=d.get("tokenizer"),
+                indexed=d.get("indexed", True),
+                fast=d.get("fast", d.get("type") in NUMERIC_TYPES),
+                positions=d.get("positions", True),
+                is_key=name in keys,
+            )
+        for k in keys:
+            if k not in fields:
+                fields[k] = Field(name=k, ftype=I64, indexed=True, fast=True,
+                                  is_key=True)
+        return IndexSchema(fields=fields, key_fields=keys)
+
+    def field(self, name: str) -> Field:
+        f = self.fields.get(name)
+        if f is None:
+            raise KeyError(f"field {name!r} not in index schema")
+        return f
+
+    @cached_property
+    def text_fields(self) -> list:
+        return [f.name for f in self.fields.values() if f.ftype in (TEXT, KEYWORD)]
+
+    @cached_property
+    def default_search_fields(self) -> list:
+        """Fields targeted by un-scoped `parse` queries."""
+        return [f.name for f in self.fields.values() if f.ftype == TEXT and f.indexed]
+
+    def column_names(self) -> list:
+        return list(self.fields)
+
+
+# The driver-mandated transcripts schema (BASELINE.json input_hint);
+# index config per FIXTURES.md §1.
+def transcripts_schema() -> IndexSchema:
+    return IndexSchema.build(
+        key_field=["conv_id", "turn_idx"],
+        conv_id={"type": KEYWORD, "fast": True},
+        turn_idx={"type": I64, "fast": True},
+        role={"type": KEYWORD, "fast": True},
+        text={"type": TEXT},
+        tool={"type": KEYWORD, "fast": True},
+        ts={"type": DATE, "fast": True},
+    )
+
+
+# The synthetic `documents` table from /root/testdata (doc_id, text, lang,
+# source, n_chars).
+def documents_schema() -> IndexSchema:
+    return IndexSchema.build(
+        key_field="doc_id",
+        doc_id={"type": I64, "fast": True},
+        text={"type": TEXT},
+        lang={"type": KEYWORD, "fast": True},
+        source={"type": KEYWORD, "fast": True},
+        n_chars={"type": I64, "fast": True},
+    )
+
+
+# Faithful twin of the pg_regress `mock_items` bm25 index
+# (FIXTURES.md §2; `pg_search/tests/pg_regress/sql/topk_scores.sql`).
+def mock_items_schema() -> IndexSchema:
+    return IndexSchema.build(
+        key_field="id",
+        id={"type": I64, "fast": True},
+        description={"type": TEXT},
+        rating={"type": I64, "fast": True},
+        category={"type": KEYWORD, "tokenizer": {"type": "keyword"}, "fast": True},
+        in_stock={"type": BOOL, "fast": True},
+        metadata={"type": JSON, "fast": True},
+        created_at={"type": DATE, "fast": True},
+    )

@@ -1,0 +1,111 @@
+"""Tokenizer parity tests; golden vectors from
+/root/reference/tokenizers/src/unicode_words.rs:104-139."""
+
+from paradedb_ray.text.tokenizers import (
+    UnicodeWordsTokenizer,
+    SimpleTokenizer,
+    WhitespaceTokenizer,
+    KeywordTokenizer,
+    NgramTokenizer,
+    tokenizer_from_config,
+    byte_offsets,
+)
+
+
+GOLDEN_TEXT = "it's Paul's birthday today!  🎂  hurray!"
+
+
+def test_unicode_words_golden_with_emojis():
+    # raw tokenizer parity (the Rust golden test runs without filters)
+    tok = UnicodeWordsTokenizer(remove_emojis=False,
+                                filters={"lowercase": False})
+    toks = tok.tokenize_tokens(GOLDEN_TEXT)
+    got = [(t.text, t.position) for t in toks]
+    assert got == [
+        ("it's", 0), ("Paul's", 1), ("birthday", 2),
+        ("today", 3), ("🎂", 4), ("hurray", 5),
+    ]
+    # byte offsets (tantivy parity)
+    boffs = byte_offsets(GOLDEN_TEXT, toks)
+    assert boffs == [(0, 4), (5, 11), (12, 20), (21, 26), (29, 33), (35, 41)]
+
+
+def test_unicode_words_golden_without_emojis():
+    tok = UnicodeWordsTokenizer(remove_emojis=True)
+    assert tok.tokenize(GOLDEN_TEXT) == [
+        "it's", "paul's", "birthday", "today", "hurray",
+    ] or tok.filters.lowercase is False
+
+
+def test_default_lowercase_on():
+    tok = tokenizer_from_config({"type": "unicode_words"})
+    assert tok.tokenize("Hello World") == ["hello", "world"]
+
+
+def test_lowercase_disable():
+    tok = tokenizer_from_config({"type": "unicode_words", "lowercase": False})
+    assert tok.tokenize("Hello World") == ["Hello", "World"]
+
+
+def test_unicode_words_numbers_and_punct():
+    tok = UnicodeWordsTokenizer()
+    assert tok.tokenize("price: 1,000.5 dollars (net)") == [
+        "price", "1,000.5", "dollars", "net",
+    ]
+    assert tok.tokenize("foo,bar") == ["foo", "bar"]
+    assert tok.tokenize("High-resolution DSLR") == ["high", "resolution", "dslr"]
+
+
+def test_simple_tokenizer():
+    tok = SimpleTokenizer()
+    assert tok.tokenize("it's Paul's") == ["it", "s", "paul", "s"]
+
+
+def test_whitespace_tokenizer():
+    tok = WhitespaceTokenizer()
+    assert tok.tokenize("a  b\tc") == ["a", "b", "c"]
+
+
+def test_keyword_tokenizer():
+    tok = KeywordTokenizer()
+    assert tok.tokenize("Hello World") == ["hello world"]
+    lit = tokenizer_from_config({"type": "literal"})
+    assert lit.tokenize("Hello World") == ["Hello World"]
+    ln = tokenizer_from_config({"type": "literal_normalized"})
+    assert ln.tokenize("Hello World") == ["hello world"]
+
+
+def test_ngram():
+    tok = NgramTokenizer(2, 3, prefix_only=False, filters={"lowercase": False})
+    grams = tok.tokenize("abcd")
+    assert "ab" in grams and "abc" in grams and "cd" in grams
+    edge = tokenizer_from_config({"type": "edge_ngram", "min_gram": 1, "max_gram": 3})
+    assert edge.tokenize("abcd") == ["a", "ab", "abc"]
+
+
+def test_filter_chain_order_and_stopwords():
+    tok = tokenizer_from_config({
+        "type": "whitespace",
+        "stopwords_language": "English",
+    })
+    assert tok.tokenize("The Quick and the dead") == ["quick", "dead"]
+
+
+def test_stemmer_english():
+    tok = tokenizer_from_config({"type": "default", "stemmer": "English"})
+    assert tok.tokenize("running caresses national generously") == [
+        "run", "caress", "nation", "generous",
+    ]
+
+
+def test_length_filter():
+    tok = tokenizer_from_config({"type": "whitespace", "remove_short": 2,
+                                 "remove_long": 5})
+    assert tok.tokenize("a ab abcd abcde") == ["ab", "abcd"]
+
+
+def test_positions_have_gaps_after_stopword_removal():
+    tok = tokenizer_from_config({"type": "whitespace",
+                                 "stopwords": ["the"]})
+    toks = tok.tokenize_tokens("see the dog")
+    assert [(t.text, t.position) for t in toks] == [("see", 0), ("dog", 2)]
