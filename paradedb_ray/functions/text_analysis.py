@@ -1,0 +1,217 @@
+"""Text-analysis stages for training-data pipelines: tokenize-as-table
+(paradedb.tokenize twin, `pg_search/src/api/tokenize.rs:22-47`), token
+counting, quality scoring, language-ID heuristic, and rolling-hash
+document fingerprinting.  All are stateless vectorized ``map_batches``
+stages (analyzers compiled once per callable instance)."""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+# -- paradedb.tokenize ------------------------------------------------------
+
+
+def tokenize_table(tokenizer_config, text: str) -> pa.Table:
+    """Debug table function: (token, position) rows for one string."""
+    tok = tokenizer_from_config(
+        tokenizer_config if isinstance(tokenizer_config, dict)
+        else {"type": tokenizer_config})
+    toks = tok.tokenize_tokens(text)
+    return pa.table({
+        "token": pa.array([t.text for t in toks]),
+        "position": pa.array([t.position for t in toks], pa.int32()),
+    })
+
+
+def tokenize_dataset(ds: ray.data.Dataset, text_col: str,
+                     tokenizer_config=None, key_col: Optional[str] = None
+                     ) -> ray.data.Dataset:
+    """flat_map each row into (key, token, position) rows."""
+    cfg = tokenizer_config
+
+    class Tok:
+        def __init__(self):
+            self.tok = tokenizer_from_config(
+                cfg if isinstance(cfg, dict) or cfg is None
+                else {"type": cfg})
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            keys = batch.column(key_col).to_pylist() if key_col else range(len(texts))
+            out_k, out_t, out_p = [], [], []
+            for k, txt in zip(keys, texts):
+                if txt is None:
+                    continue
+                for t in self.tok.tokenize_tokens(txt):
+                    out_k.append(k)
+                    out_t.append(t.text)
+                    out_p.append(t.position)
+            cols = {"token": pa.array(out_t), "position": pa.array(out_p, pa.int32())}
+            if key_col:
+                cols = {key_col: pa.array(out_k), **cols}
+            return pa.table(cols)
+
+    return ds.map_batches(Tok, batch_format="pyarrow", batch_size=None,
+                          concurrency=4)
+
+
+# -- token counting ---------------------------------------------------------
+
+_BPEISH = re.compile(r"\w+|[^\w\s]")
+
+
+def add_token_count(ds: ray.data.Dataset, text_col: str,
+                    mode: str = "whitespace",
+                    out_col: str = "n_tokens") -> ray.data.Dataset:
+    """Append a token count column. mode: whitespace | bpe_ish (regex over
+    words + punctuation, a cheap BPE proxy)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        if mode == "whitespace":
+            # fully vectorized: count space-separated parts
+            col = batch.column(text_col)
+            parts = pc.split_pattern_regex(col, r"\s+")
+            n = pc.list_value_length(parts)
+            # empty strings -> 0
+            n = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(col)), 0),
+                           pa.scalar(0, pa.int32()), n)
+            return batch.append_column(out_col, n.cast(pa.int64()))
+        texts = batch.column(text_col).to_pylist()
+        n = [len(_BPEISH.findall(t or "")) for t in texts]
+        return batch.append_column(out_col, pa.array(n, pa.int64()))
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
+# -- quality scoring --------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is it that for on with as at by this".split())
+
+
+def add_quality_score(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """Append quality features: n_chars_q, n_words, mean_word_len,
+    punct_ratio, stopword_ratio, quality (composite in [0,1])."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, dtype=np.int64)
+        n_words = np.zeros(n, dtype=np.int64)
+        mean_wl = np.zeros(n, dtype=np.float64)
+        punct = np.zeros(n, dtype=np.float64)
+        stopr = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            words = t.split()
+            n_words[i] = len(words)
+            if words:
+                mean_wl[i] = sum(len(w) for w in words) / len(words)
+                stopr[i] = sum(1 for w in words if w.lower() in _STOPWORDS) / len(words)
+            if t:
+                punct[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
+        quality = np.clip(
+            0.4 * (n_words >= 5)
+            + 0.3 * ((mean_wl >= 3) & (mean_wl <= 12))
+            + 0.2 * (punct < 0.2)
+            + 0.1 * (stopr > 0.0),
+            0, 1)
+        return (batch
+                .append_column("n_chars_q", pa.array(n_chars))
+                .append_column("n_words", pa.array(n_words))
+                .append_column("mean_word_len", pa.array(mean_wl))
+                .append_column("punct_ratio", pa.array(punct))
+                .append_column("stopword_ratio", pa.array(stopr))
+                .append_column("quality", pa.array(quality.astype(np.float64))))
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# -- language id (n-gram/stopword heuristic) --------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "por", "con"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"},
+    "fr": {"le", "la", "les", "des", "est", "et", "un", "une", "dans", "pour"},
+}
+
+
+def classify_language(text: str) -> str:
+    words = set((text or "").lower().split())
+    best, best_n = "unknown", 0
+    for lang, markers in _LANG_MARKERS.items():
+        k = len(words & markers)
+        if k > best_n:
+            best, best_n = lang, k
+    return best
+
+
+def add_langid(ds: ray.data.Dataset, text_col: str,
+               out_col: str = "lang_pred") -> ray.data.Dataset:
+    def lid(batch: pa.Table) -> pa.Table:
+        preds = [classify_language(t) for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out_col, pa.array(preds, pa.string()))
+
+    return ds.map_batches(lid, batch_format="pyarrow", batch_size=None)
+
+
+# -- rolling-hash fingerprint ----------------------------------------------
+
+_B = 1_000_003
+_M = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Winnowing-style fingerprint: min of rolling hashes over token
+    windows (deterministic)."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hs = [hash_token(t) for t in toks]
+    if len(hs) <= window:
+        acc = 0
+        for h in hs:
+            acc = (acc * _B + h) % _M
+        return acc
+    best = None
+    acc = 0
+    poww = pow(_B, window - 1, _M)
+    for i, h in enumerate(hs):
+        if i < window:
+            acc = (acc * _B + h) % _M
+            if i == window - 1 and (best is None or acc < best):
+                best = acc
+        else:
+            acc = ((acc - hs[i - window] * poww) * _B + h) % _M
+            if best is None or acc < best:
+                best = acc
+    return best
+
+
+def hash_token(t: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % _M
+
+
+def add_fingerprint(ds: ray.data.Dataset, text_col: str,
+                    out_col: str = "fingerprint",
+                    window: int = 8) -> ray.data.Dataset:
+    def fp(batch: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(t, window)
+                for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,243 @@
+"""Aggregation pipelines — the Ray Data analogue of pg_search's
+AggregateScan SQL pushdown (COUNT/SUM/AVG/MIN/MAX + FILTER + GROUP BY,
+`customscan/aggregatescan/aggregate_type.rs:50-90`) and the
+Elasticsearch-style ``pdb.agg`` DSL (`pg_search/src/aggregate/mod.rs:380-570`):
+terms / histogram / date_histogram / range buckets with metric sub-aggs.
+
+Design: derived bucket keys are appended as columns in a stateless
+``map_batches`` (vectorized pyarrow.compute), FILTER clauses become masked
+value columns, and the wide step is a single native
+``groupby().aggregate()`` hash shuffle with partial pre-aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from paradedb_ray.query import ast
+from paradedb_ray.schema import IndexSchema
+
+
+#: aggregate spec: (kind, column) with kind in
+#: count_star | count | sum | avg | min | max
+def _ray_agg(kind: str, col: Optional[str], name: str):
+    if kind == "count_star":
+        return Count(alias_name=name)
+    if kind == "count":
+        return Count(on=col, ignore_nulls=True, alias_name=name)
+    if kind == "sum":
+        return Sum(on=col, alias_name=name)
+    if kind == "avg":
+        return Mean(on=col, alias_name=name)
+    if kind == "min":
+        return Min(on=col, alias_name=name)
+    if kind == "max":
+        return Max(on=col, alias_name=name)
+    raise ValueError(f"unknown aggregate kind {kind!r}")
+
+
+def sql_aggregate(
+    ds: ray.data.Dataset,
+    group_by: list,
+    aggs: dict,
+    schema: Optional[IndexSchema] = None,
+    filter_query: Optional[ast.Query] = None,
+    agg_filters: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """GROUP BY + aggregates with optional search filter and per-aggregate
+    FILTER clauses.
+
+    ``aggs``: name -> (kind, column|None).  ``agg_filters``: name -> callable
+    (pa.Table -> bool mask) implementing ``FILTER (WHERE ...)`` by masking
+    the value column to null before the shuffle.
+    """
+    if filter_query is not None:
+        from paradedb_ray.pipelines.search import search
+
+        assert schema is not None
+        ds = search(ds, schema, filter_query, with_score=False)
+
+    agg_filters = agg_filters or {}
+    needs_mask = {n for n in aggs if n in agg_filters}
+
+    if needs_mask:
+        def add_masked(batch: pa.Table) -> pa.Table:
+            for name in needs_mask:
+                kind, col = aggs[name]
+                mask = pa.array(np.asarray(agg_filters[name](batch), dtype=bool))
+                if kind == "count_star":
+                    vals = pc.if_else(mask, pa.array([1] * batch.num_rows), None)
+                else:
+                    vals = pc.if_else(mask, batch.column(col), None)
+                batch = batch.append_column(f"__mask_{name}", vals)
+            return batch
+
+        ds = ds.map_batches(add_masked, batch_format="pyarrow", batch_size=None)
+
+    ray_aggs = []
+    for name, (kind, col) in aggs.items():
+        if name in needs_mask:
+            k = "count" if kind == "count_star" else kind
+            ray_aggs.append(_ray_agg(k, f"__mask_{name}", name))
+        else:
+            ray_aggs.append(_ray_agg(kind, col, name))
+
+    if group_by:
+        return ds.groupby(group_by).aggregate(*ray_aggs)
+    row = ds.aggregate(*ray_aggs)
+    return ray.data.from_items([row])
+
+
+# ---------------------------------------------------------------------------
+# ES-style agg DSL (pdb.agg subset)
+# ---------------------------------------------------------------------------
+
+_INTERVALS_US = {
+    "second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+    "day": 86_400_000_000, "week": 7 * 86_400_000_000,
+}
+
+
+def _parse_fixed_interval(s) -> int:
+    """'30s' / '5m' / '1h' / '2d' -> microseconds."""
+    if isinstance(s, (int, float)):
+        return int(s)
+    unit = s[-1]
+    n = float(s[:-1])
+    mult = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+            "d": 86_400_000_000}[unit]
+    return int(n * mult)
+
+
+def pdb_agg(
+    ds: ray.data.Dataset,
+    agg_json: dict,
+    schema: Optional[IndexSchema] = None,
+    filter_query: Optional[ast.Query] = None,
+) -> ray.data.Dataset:
+    """Subset of the tantivy/ES aggregation DSL
+    (`api/aggregate.rs:18-120`): one bucket level (terms | histogram |
+    date_histogram | range) with metric sub-aggs, or bare metrics.
+
+    Result is a *flat* table: bucket key column(s) + one column per metric
+    (+ ``doc_count``), which is both Arrow-friendly and directly comparable
+    against a SQL oracle.
+    """
+    if filter_query is not None:
+        from paradedb_ray.pipelines.search import search
+
+        assert schema is not None
+        ds = search(ds, schema, filter_query, with_score=False)
+
+    [(name, spec)] = agg_json.items()
+    bucket_kinds = {"terms", "histogram", "date_histogram", "range"}
+    kind = next((k for k in spec if k in bucket_kinds), None)
+    if kind is None:
+        # bare metrics
+        metrics = {name: spec}
+        aggs = {}
+        for mname, mspec in metrics.items():
+            [(mk, body)] = mspec.items()
+            aggs[mname] = (_metric_kind(mk), body["field"])
+        return sql_aggregate(ds, [], aggs)
+
+    body = spec[kind]
+    sub = spec.get("aggs", {})
+    aggs = {"doc_count": ("count_star", None)}
+    for mname, mspec in sub.items():
+        [(mk, mbody)] = mspec.items()
+        aggs[mname] = (_metric_kind(mk), mbody["field"])
+
+    field = body["field"]
+    if kind == "terms":
+        key_col = field
+        grouped = sql_aggregate(ds, [key_col], aggs)
+        size = body.get("size", 10)
+        return grouped.sort(["doc_count", key_col],
+                            descending=[True, False]).limit(size)
+    if kind == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            x = batch.column(field).to_numpy(zero_copy_only=False).astype(float)
+            b = np.floor((x - offset) / interval) * interval + offset
+            return batch.append_column(f"{name}_key", pa.array(b))
+
+        ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+    if kind == "date_histogram":
+        us = _parse_fixed_interval(body.get("fixed_interval",
+                                           body.get("calendar_interval", "1h")))
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            col = batch.column(field)
+            t = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b = (t // us) * us
+            arr = pa.array(b).cast(pa.timestamp("us"))
+            return batch.append_column(f"{name}_key", arr)
+
+        ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+    if kind == "range":
+        ranges = body["ranges"]
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            x = batch.column(field).to_numpy(zero_copy_only=False).astype(float)
+            lab = np.full(len(x), None, dtype=object)
+            for r in ranges:
+                lo = r.get("from", -np.inf)
+                hi = r.get("to", np.inf)
+                m = (x >= lo) & (x < hi)
+                lab[m] = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+            return batch.append_column(f"{name}_key", pa.array(lab, pa.string()))
+
+        ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+    raise ValueError(f"unsupported bucket kind {kind}")
+
+
+def _metric_kind(mk: str) -> str:
+    m = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
+         "value_count": "count", "cardinality": "cardinality"}
+    if mk not in m:
+        raise ValueError(f"unsupported metric {mk!r}")
+    return m[mk]
+
+
+def facet_terms(ds: ray.data.Dataset, field: str, size: Optional[int] = None,
+                schema=None, filter_query=None) -> ray.data.Dataset:
+    """Terms facet: value -> doc count, count desc (ties by key asc)."""
+    out = sql_aggregate(ds, [field], {"doc_count": ("count_star", None)},
+                        schema=schema, filter_query=filter_query)
+    out = out.sort(["doc_count", field], descending=[True, False])
+    return out.limit(size) if size else out
+
+
+def window_aggregate(ds: ray.data.Dataset, aggs: dict,
+                     schema=None, filter_query=None) -> ray.data.Dataset:
+    """``COUNT(*) OVER ()`` etc. — compute the scalar aggregate once as a
+    side output and broadcast it back onto every row
+    (`api/window_aggregate.rs:17-63`)."""
+    if filter_query is not None:
+        from paradedb_ray.pipelines.search import search
+
+        assert schema is not None
+        ds = search(ds, schema, filter_query, with_score=False)
+    row = ds.aggregate(*[_ray_agg(kind, col, name)
+                         for name, (kind, col) in aggs.items()])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        for name in aggs:
+            batch = batch.append_column(
+                name, pa.array([row[name]] * batch.num_rows))
+        return batch
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)

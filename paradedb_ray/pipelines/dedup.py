@@ -1,0 +1,225 @@
+"""Deduplication pipelines for large-scale training-data curation:
+exact (hash-partitioned), MinHash+LSH, SimHash, and n-gram Jaccard
+verification.  All hashing is deterministic (no process salt), so results
+are stable across runs and cluster sizes.
+
+Scale design: per-doc signatures are computed vectorized in stateless
+``map_batches``; the only wide steps are groupbys on hash/band keys —
+each group is tiny (true duplicates), so no skew amplification.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(values: list) -> np.ndarray:
+    """Deterministic 64-bit content hash (blake2b) per value."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def exact_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    keep: str = "min",
+) -> ray.data.Dataset:
+    """Exact duplicate removal: hash-partition on a content hash, keep the
+    first (min key) row per group.  Emits the surviving rows (all columns)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _stable_hash64(batch.column(text_col).to_pylist())
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # group = one content hash; resolve hash collisions by exact text
+        g = g.sort_values(key_col, kind="mergesort")
+        out = g.drop_duplicates(subset=[text_col], keep="first")
+        return out.drop(columns="__h")
+
+    return hashed.groupby("__h").map_groups(first_per_group,
+                                            batch_format="pandas")
+
+
+def _shingles(tokens: list, k: int) -> set:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """Stateful map_batches callable: 64-perm MinHash over word k-shingles.
+    Permutation parameters derive from a fixed seed (once per actor)."""
+
+    def __init__(self, text_col: str, key_col: str, num_perm: int = 64,
+                 shingle_k: int = 3, bands: int = 16, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.text_col = text_col
+        self.key_col = key_col
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> Optional[np.ndarray]:
+        toks = (text or "").split()
+        sh = _shingles(toks, self.shingle_k)
+        if not sh:
+            return None
+        hs = np.array(
+            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "little") for s in sh],
+            dtype=np.uint64,
+        )
+        # (a*h + b) mod p, vectorized over perms x shingles
+        vals = (np.outer(self.a, hs) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, bands, bhash = [], [], []
+        texts = batch.column(self.text_col).to_pylist()
+        kvals = batch.column(self.key_col).to_pylist()
+        for key, text in zip(kvals, texts):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                keys.append(key)
+                bands.append(bi)
+                bhash.append(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({
+            self.key_col: pa.array(keys),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bhash, pa.int64()),
+        })
+
+
+def minhash_lsh_duplicates(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate candidates: shingle -> minhash -> band ->
+    bucket groupby.  Emits (key, dup_of) pairs: every non-minimal member of
+    a collision bucket maps to the bucket's minimal key (canonical doc)."""
+    sigs = ds.map_batches(
+        MinHasher(text_col, key_col, num_perm, shingle_k, bands),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=None,
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        ks = sorted(g[key_col].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        canon = ks[0]
+        return pd.DataFrame({key_col: ks[1:], "dup_of": canon})
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket, batch_format="pandas")
+
+    # a key may collide in several bands: keep the smallest dup_of per key
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("dup_of").head(1)
+
+    return pairs.groupby(key_col).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def simhash64(tokens: list) -> int:
+    """64-bit SimHash over token hashes (document fingerprinting)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_duplicates(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    hamming_k: int = 3,
+) -> ray.data.Dataset:
+    """SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks;
+    docs sharing a chunk are candidates, verified by hamming distance <= k."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        out_k, out_band, out_chunk, out_sim = [], [], [], []
+        for key, t in zip(keys, texts):
+            s = simhash64((t or "").split())
+            for b in range(4):
+                out_k.append(key)
+                out_band.append(b)
+                out_chunk.append((s >> (16 * b)) & 0xFFFF)
+                out_sim.append(s & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({key_col: pa.array(out_k), "band": pa.array(out_band, pa.int32()),
+                         "chunk": pa.array(out_chunk, pa.int64()),
+                         "sim": pa.array(out_sim, pa.int64())})
+
+    sig = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g[key_col].nunique() < 2:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        keys = g[key_col].tolist()
+        hams = g["sim"].to_numpy()
+        out_k, out_d = [], []
+        canon = keys[0]
+        for i in range(1, len(keys)):
+            d = bin(int(hams[0]) ^ int(hams[i])).count("1")
+            if d <= hamming_k:
+                out_k.append(keys[i])
+                out_d.append(canon)
+        return pd.DataFrame({key_col: out_k, "dup_of": out_d})
+
+    pairs = sig.groupby(["band", "chunk"]).map_groups(bucket, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("dup_of").head(1)
+
+    return pairs.groupby(key_col).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (verification kernel)."""
+    sa, sb = _shingles((a or "").split(), k), _shingles((b or "").split(), k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,152 @@
+"""Join pipelines — the Ray Data analogue of pg_search's JoinScan
+(`postgres/customscan/joinscan/mod.rs:20-64`: INNER/SEMI/ANTI equi-joins)
+and the hash-join IN-list pushdown (`gucs.rs:549-566`: small build side
+broadcast into the probe side).
+
+* ``broadcast_join``: small side is collected once, put in the object store
+  (``ray.put`` — read per task, never re-shipped per batch) and hash-joined
+  against every probe batch with pyarrow's native join kernel.
+* ``semi_join_pushdown``: distinct build-side keys pushed down as a TermSet
+  membership filter.
+* ``repartition_join``: both sides hash-partitioned on the key via one
+  groupby shuffle (big-big joins).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_PA_JOIN = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+class _BroadcastJoiner:
+    def __init__(self, small_ref, keys, right_keys, join_type: str,
+                 right_suffix: str = "_r"):
+        self.small_ref = small_ref
+        self.keys = keys
+        self.right_keys = right_keys
+        self.join_type = join_type
+        self.right_suffix = right_suffix
+        self._small = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._small is None:
+            self._small = (ray.get(self.small_ref)
+                           if isinstance(self.small_ref, ray.ObjectRef)
+                           else self.small_ref)
+        return batch.join(
+            self._small,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=_PA_JOIN[self.join_type],
+            right_suffix=self.right_suffix,
+        )
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right,  # small: ray Dataset | pa.Table
+    on,
+    right_on=None,
+    how: str = "inner",
+    right_columns: Optional[list] = None,
+) -> ray.data.Dataset:
+    """Join a large streaming side against a small broadcast side.
+
+    The small side is materialized ONCE on the driver and broadcast via the
+    object store; each probe batch joins zero-copy with pyarrow's hash join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    if isinstance(right, ray.data.Dataset):
+        if right_columns:
+            right = right.select_columns(sorted(set(right_columns) | set(rkeys)))
+        small = pa.concat_tables(
+            [ray.get(r) for r in right.to_arrow_refs()]
+        )
+    else:
+        small = right
+        if right_columns:
+            small = small.select(sorted(set(right_columns) | set(rkeys)))
+    small = small.combine_chunks()
+    ref = ray.put(small)
+    joiner = _BroadcastJoiner(ref, keys, rkeys, how)
+    return left.map_batches(joiner, batch_format="pyarrow", batch_size=None)
+
+
+def semi_join_pushdown(
+    left: ray.data.Dataset, right: ray.data.Dataset, on: str, right_on=None,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """IN-list pushdown: collect distinct build-side keys, broadcast, filter
+    the probe side by membership (TermSet semantics)."""
+    rkey = right_on or on
+    keys_tbl = pa.concat_tables(
+        [ray.get(r) for r in right.select_columns([rkey]).to_arrow_refs()]
+    )
+    import pyarrow.compute as pc
+
+    keyset = pc.unique(keys_tbl.column(rkey).combine_chunks())
+    ref = ray.put(keyset)
+
+    def member(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.is_in(batch.column(on), value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask.fill_null(anti))
+
+    return left.map_batches(member, batch_format="pyarrow", batch_size=None)
+
+
+def repartition_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Big-big equi-join: tag each side, union, hash-partition by key with
+    one groupby shuffle, join inside each key group."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lcols = set(left.schema().names)
+    rcols = set(right.schema().names)
+    shared = (lcols & rcols) - set(keys)
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__side",
+                                       pa.array([side] * batch.num_rows, pa.int8()))
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    import pandas as pd
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].drop(columns="__side").dropna(axis=1, how="all")
+        rg = g[g["__side"] == 1].drop(columns="__side").dropna(axis=1, how="all")
+        lg = lg[[c for c in lg.columns if c in lcols]]
+        rg = rg[[c for c in rg.columns if c in rcols]]
+        if how == "semi":
+            return lg if len(rg) else lg.iloc[0:0]
+        if how == "anti":
+            return lg if not len(rg) else lg.iloc[0:0]
+        out = lg.merge(rg, on=keys, how=how, suffixes=("", "_r"))
+        return out
+
+    return both.groupby(keys).map_groups(join_group, batch_format="pandas")

@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k (baseline) and IVF-partitioned variant (scale
+path).  Reference analogue: pg_search's vector scan with IVF clustering
+(`pg_search/src/vector/`, `SuperKMeansIvfClusterer`).
+
+Queries are broadcast once (``ray.put``); each batch computes a vectorized
+matmul and keeps its local top-k; the global merge ranks ≤ k×blocks rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch.column(emb_col)
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteScorer:
+    def __init__(self, q_ref, emb_col: str, key_col: str, k: int, metric: str):
+        self.q_ref = q_ref
+        self.emb_col = emb_col
+        self.key_col = key_col
+        self.k = k
+        self.metric = metric
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            q = ray.get(self.q_ref) if isinstance(self.q_ref, ray.ObjectRef) else self.q_ref
+            self._q = _normalize(q) if self.metric == "cosine" else q
+        m = _batch_matrix(batch, self.emb_col)
+        if self.metric == "cosine":
+            m = _normalize(m)
+            sims = m @ self._q.T  # (n, nq)
+        elif self.metric == "ip":
+            sims = m @ self._q.T
+        elif self.metric == "l2":
+            d = (
+                np.sum(m * m, axis=1)[:, None]
+                - 2 * (m @ self._q.T)
+                + np.sum(self._q * self._q, axis=1)[None, :]
+            )
+            sims = -d
+        else:
+            raise ValueError(self.metric)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        out_q, out_key, out_score = [], [], []
+        k = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_key.extend(keys[idx].tolist())
+            out_score.extend(col[idx].astype(np.float32).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            self.key_col: pa.array(out_key),
+            "score": pa.array(out_score, pa.float32()),
+        })
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    key_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    metric: str = "cosine",
+) -> ray.data.Dataset:
+    """Exact top-k per query vector.  Output: (query_id, key, score),
+    score = cosine similarity (or -L2 / inner product)."""
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    ref = ray.put(q)
+    scored = ds.map_batches(
+        _BruteScorer(ref, emb_col, key_col, k, metric),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", key_col], ascending=[False, True]).head(k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF variant: kmeans centroids trained on a sample, probe nearest nprobe
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    key_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+) -> ray.data.Dataset:
+    """IVF-bucketed cosine ANN: centroids from a driver-side sample (once),
+    batches prune rows whose nearest centroid is not among each query's
+    ``nprobe`` probed cells, then brute-force within the survivors."""
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    sample = ds.limit(sample_size).to_pandas()
+    xs = np.stack(sample[emb_col].to_numpy())
+    cent = _normalize(_kmeans(_normalize(xs.astype(np.float32)), n_clusters))
+    qn = _normalize(q)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(qn)
+
+    class IvfScorer:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.probe = ray.get(probe_ref)
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            assign = (m @ self.cent.T).argmax(1)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            out_q, out_key, out_score = [], [], []
+            for qi in range(len(self.q)):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.q[qi]
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                sel = np.flatnonzero(mask)[idx]
+                out_q.extend([qi] * kk)
+                out_key.extend(keys[sel].tolist())
+                out_score.extend(sims[idx].astype(np.float32).tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int32()),
+                key_col: pa.array(out_key),
+                "score": pa.array(out_score, pa.float32()),
+            })
+
+    scored = ds.map_batches(IvfScorer, batch_format="pyarrow",
+                            batch_size=None, concurrency=4)
+
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", key_col], ascending=[False, True]).head(k)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")

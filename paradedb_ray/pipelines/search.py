@@ -1,0 +1,108 @@
+"""Distributed one-shot search over a ``ray.data.Dataset`` — the Dataset
+analogue of pg_search's custom scan (SURVEY §3.2):
+
+    stats pass (global stats exchange)  ->  broadcast stats
+    scoring pass (map_batches, zero-copy Arrow, per-block segment)
+    [top-k: per-block prune -> small global sort+limit]
+
+No full materialization: the scoring pass streams; only the pruned
+candidate set (≤ limit × blocks) reaches the final merge-rank.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import ray.data
+
+from paradedb_ray.query import ast
+from paradedb_ray.schema import IndexSchema
+from paradedb_ray.stages.search_stages import BatchScorer, compute_global_stats
+
+SortKey = tuple  # (column, "ascending"|"descending"); "score" allowed
+
+
+def _needs_stats(q: ast.Query) -> bool:
+    return True
+
+
+def search(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    query: Union[ast.Query, str],
+    *,
+    with_score: bool = True,
+    snippet_cfgs: Optional[list] = None,
+    output_columns: Optional[list] = None,
+    stats=None,
+) -> ray.data.Dataset:
+    """Filter ``ds`` to rows matching ``query``; appends ``score`` (f32).
+
+    ``query`` may be an AST node or a query string (parsed over the
+    schema's default search fields, i.e. ``paradedb.parse``).
+    """
+    if isinstance(query, str):
+        query = ast.Parse(query)
+    if stats is None:
+        stats = compute_global_stats(ds, schema, query)
+    scorer = BatchScorer(schema, query, stats, with_score=with_score,
+                         snippet_cfgs=snippet_cfgs,
+                         output_columns=output_columns)
+    return ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
+
+
+def search_topk(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    query: Union[ast.Query, str],
+    limit: int,
+    order_by: Optional[Sequence[SortKey]] = None,
+    *,
+    offset: int = 0,
+    with_score: bool = True,
+    snippet_cfgs: Optional[list] = None,
+    output_columns: Optional[list] = None,
+    stats=None,
+) -> ray.data.Dataset:
+    """Top-k search: ORDER BY (score desc by default, or fast-field keys with
+    up to 4 tie-breakers — `index/reader/index.rs:881-1090`) LIMIT k.
+
+    Per-block top-k pruning bounds the shuffle to ``limit`` rows per block
+    before the global sort+limit (per-segment top-k + merge-rank).
+    """
+    if isinstance(query, str):
+        query = ast.Parse(query)
+    if order_by is None:
+        order_by = [("score", "descending")]
+    order_by = list(order_by)
+    if stats is None:
+        stats = compute_global_stats(ds, schema, query)
+    need = limit + offset
+    scorer = BatchScorer(schema, query, stats,
+                         with_score=with_score or any(k == "score" for k, _ in order_by),
+                         snippet_cfgs=snippet_cfgs,
+                         prune_limit=need, sort_keys=order_by,
+                         output_columns=output_columns)
+    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
+    cols = [k for k, _ in order_by]
+    desc = [d == "descending" for _, d in order_by]
+    out = scored.sort(cols, descending=desc)
+    if offset:
+        # Dataset has no offset; the candidate set is already ≤ blocks×need,
+        # so a local slice via pandas is fine at these sizes.
+        import pandas as pd
+
+        df = out.limit(need).to_pandas()
+        return ray.data.from_pandas(df.iloc[offset:need].reset_index(drop=True))
+    return out.limit(limit)
+
+
+def search_count(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    query: Union[ast.Query, str],
+    stats=None,
+) -> int:
+    """COUNT(*) of matching rows (aggregate pushdown fast path)."""
+    matched = search(ds, schema, query, with_score=False, stats=stats)
+    return matched.count()

@@ -1,0 +1,266 @@
+"""Ray Data stages for the distributed scoring path.
+
+Two-pass model (the Dataset-native analogue of pg_search's scan with
+searcher-global statistics, SURVEY §5 "BM25 parity requirements"):
+
+1. **stats pass** — ``map_batches(StatsCollector)`` computes per-block
+   partial statistics (num docs, per-field token totals, per-term doc
+   freqs for exactly the terms the query needs); the driver reduces the
+   tiny partials into one ``GlobalStats`` — this is the global stats
+   exchange.
+2. **scoring pass** — ``map_batches(BatchScorer)`` builds a transient
+   segment per block (zero-copy Arrow in, vectorized postings) and
+   evaluates the query with the broadcast global stats, emitting matching
+   rows + ``score`` (+ optional snippet columns).
+
+Both stages are pure functions of their batch: no shuffle, no
+materialization; scale-out is linear in blocks.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from paradedb_ray.index.searcher import GlobalStats, Searcher
+from paradedb_ray.index.segment import build_segment
+from paradedb_ray.query import ast
+from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD, JSON
+
+
+# ---------------------------------------------------------------------------
+# Which stats does a query need?
+# ---------------------------------------------------------------------------
+
+
+def collect_stat_requests(q: ast.Query, schema: IndexSchema,
+                          default_fields: Optional[list] = None) -> dict:
+    """-> {"terms": set[(field, term)], "fields": set[field]} — the term
+    doc-freqs and field token totals BM25 scoring will look up."""
+    terms: set = set()
+    fields: set = set()
+
+    def field_tokens(field, value):
+        f = schema.fields.get(field.split(".")[0])
+        if f is None:
+            return []
+        if f.ftype == TEXT:
+            return f.analyzer.tokenize(value)
+        return [value]
+
+    def norm_token(field, value):
+        f = schema.fields.get(field.split(".")[0])
+        if f is not None and f.ftype in (TEXT, KEYWORD) and isinstance(value, str):
+            out = f.analyzer.filters.apply_texts([value])
+            return out[0] if out else value
+        return value
+
+    def walk(q, dfields):
+        if isinstance(q, ast.Boolean):
+            for c in q.must + q.should + q.must_not:
+                walk(c, dfields)
+        elif isinstance(q, (ast.Boost, ast.ConstScore)):
+            walk(q.query, dfields)
+        elif isinstance(q, ast.ScoreFilter):
+            if q.query is not None:
+                walk(q.query, dfields)
+        elif isinstance(q, ast.DisjunctionMax):
+            for c in q.disjuncts:
+                walk(c, dfields)
+        elif isinstance(q, ast.HeapFilter):
+            walk(q.indexed_query, dfields)
+        elif isinstance(q, ast.Term):
+            terms.add((q.field, norm_token(q.field, q.value)))
+            fields.add(q.field.split(".")[0])
+        elif isinstance(q, ast.Match):
+            for t in field_tokens(q.field, q.value):
+                if q.distance == 0:
+                    terms.add((q.field, t))
+            fields.add(q.field)
+        elif isinstance(q, (ast.Phrase, ast.TokenizedPhrase, ast.PhraseArray)):
+            fields.add(q.field)
+            if isinstance(q, ast.PhraseArray):
+                toks = list(q.tokens)
+            elif isinstance(q, ast.Phrase):
+                toks = [t for w in q.phrases for t in field_tokens(q.field, w)]
+            else:
+                toks = field_tokens(q.field, q.phrase)
+            for t in toks:
+                terms.add((q.field, t))
+        elif isinstance(q, ast.PhrasePrefix):
+            fields.add(q.field)
+            for w in list(q.phrases)[:-1]:
+                for t in field_tokens(q.field, w):
+                    terms.add((q.field, t))
+        elif isinstance(q, ast.ParseWithField):
+            from paradedb_ray.query.parser import parse_query_string
+
+            sub = parse_query_string(q.query_string, schema, [q.field],
+                                     bool(q.conjunction_mode), bool(q.lenient))
+            walk(sub, [q.field])
+        elif isinstance(q, ast.Parse):
+            from paradedb_ray.query.parser import parse_query_string
+
+            dfs = dfields or schema.default_search_fields
+            sub = parse_query_string(q.query_string, schema, dfs,
+                                     bool(q.conjunction_mode), bool(q.lenient))
+            walk(sub, dfs)
+        # fuzzy/regex/term_set/range/exists/proximity: constant score — no df
+
+    walk(q, default_fields)
+    return {"terms": terms, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: per-block stat partials
+# ---------------------------------------------------------------------------
+
+
+class StatsCollector:
+    """map_batches callable: one tiny row out per block (pickled partial)."""
+
+    def __init__(self, schema: IndexSchema, requests: dict):
+        self.schema = schema
+        self.requests = requests
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = GlobalStats(num_docs=batch.num_rows)
+        by_field: dict = {}
+        for f, t in self.requests["terms"]:
+            by_field.setdefault(f.split(".")[0], set()).add((f, t))
+        need_fields = set(self.requests["fields"]) | set(by_field)
+        for fname in need_fields:
+            f = self.schema.fields.get(fname)
+            if f is None or fname not in batch.column_names:
+                continue
+            if f.ftype == TEXT:
+                analyzer = f.analyzer
+                total = 0
+                doc_count = 0
+                wanted = {t for (_, t) in by_field.get(fname, ())}
+                dfs = dict.fromkeys(wanted, 0)
+                for txt in batch.column(fname).to_pylist():
+                    if txt is None:
+                        continue
+                    doc_count += 1
+                    toks = analyzer.tokenize(txt)
+                    total += len(toks)
+                    if wanted:
+                        for t in wanted.intersection(toks):
+                            dfs[t] += 1
+                g.field_total_tokens[fname] = total
+                g.field_doc_count[fname] = doc_count
+                for t, d in dfs.items():
+                    g.term_df[(fname, t)] = d
+            else:
+                # keyword / numeric / json: df by (possibly normalized) equality
+                import pyarrow.compute as pc
+
+                col = batch.column(fname)
+                g.field_doc_count[fname] = int(pc.count(col).as_py())
+                for (full, t) in by_field.get(fname, ()):
+                    if f.ftype == JSON and "." in full:
+                        seg = build_segment(
+                            batch.select([fname]),
+                            IndexSchema(fields={fname: f}, key_fields=[]),
+                        )
+                        vals = seg.json_path_values(fname, full.split(".", 1)[1])
+                        tv = t.lower() if isinstance(t, str) else t
+                        cnt = sum(
+                            1 for v in vals
+                            if (v.lower() if isinstance(v, str) else v) == tv
+                        )
+                    else:
+                        if f.ftype == KEYWORD and f.analyzer.filters.lowercase:
+                            cmpcol = pc.utf8_lower(col)
+                        else:
+                            cmpcol = col
+                        try:
+                            cnt = int(pc.sum(pc.equal(cmpcol, t).fill_null(False)).as_py() or 0)
+                        except Exception:
+                            cnt = 0
+                    g.term_df[(full, t)] = cnt
+        return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
+
+
+def compute_global_stats(ds, schema: IndexSchema, query: ast.Query,
+                         default_fields: Optional[list] = None) -> GlobalStats:
+    """Run the stats pass and reduce (the global stats exchange barrier)."""
+    req = collect_stat_requests(query, schema, default_fields)
+    read_cols = sorted(
+        {f.split(".")[0] for f in req["fields"]}
+        | {f.split(".")[0] for f, _ in req["terms"]}
+    )
+    if read_cols:
+        ds = ds.select_columns(read_cols)
+    parts = ds.map_batches(
+        StatsCollector(schema, req), batch_format="pyarrow", batch_size=None
+    ).take_all()
+    g = GlobalStats()
+    for row in parts:
+        g.merge(pickle.loads(row["partial"]))
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: score per block with broadcast global stats
+# ---------------------------------------------------------------------------
+
+
+class BatchScorer:
+    """map_batches callable: emit matching rows (+score, +optional snippets)."""
+
+    def __init__(self, schema: IndexSchema, query: ast.Query,
+                 stats: GlobalStats, with_score: bool = True,
+                 snippet_cfgs: Optional[list] = None,
+                 prune_limit: Optional[int] = None,
+                 sort_keys: Optional[list] = None,
+                 output_columns: Optional[list] = None):
+        self.schema = schema
+        self.query = query
+        self.stats = stats
+        self.with_score = with_score
+        self.snippet_cfgs = snippet_cfgs or []
+        self.prune_limit = prune_limit
+        self.sort_keys = sort_keys
+        self.output_columns = output_columns
+        if self.snippet_cfgs:
+            from paradedb_ray.index.snippet import query_terms_for_field
+
+            self._snippet_terms = {
+                cfg.output_name: query_terms_for_field(query, schema, cfg.field)
+                for cfg in self.snippet_cfgs
+            }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seg = build_segment(batch, self.schema)
+        searcher = Searcher(seg, self.schema, self.stats)
+        hits = searcher.eval(self.query)
+        out = batch.take(pa.array(hits.ids, pa.int64()))
+        if self.with_score:
+            out = out.append_column("score", pa.array(hits.scores, pa.float32()))
+        for cfg in self.snippet_cfgs:
+            from paradedb_ray.index.snippet import snippet_column
+
+            col = snippet_column(searcher, hits, cfg,
+                                 self._snippet_terms[cfg.output_name])
+            out = out.append_column(cfg.output_name, col)
+        if self.output_columns:
+            out = out.select(self.output_columns)
+        if self.prune_limit is not None and out.num_rows > self.prune_limit:
+            out = _local_topk(out, self.sort_keys, self.prune_limit)
+        return out
+
+
+def _local_topk(table: pa.Table, sort_keys, limit: int) -> pa.Table:
+    """Per-block top-k pruning before the global merge (the analogue of
+    pg_search's per-segment top-k, `scan/segmented_topk_exec.rs`)."""
+    if not sort_keys:
+        return table.slice(0, limit)
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(table, sort_keys=sort_keys)
+    return table.take(idx.slice(0, limit))
