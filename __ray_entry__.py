@@ -1,44 +1,699 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps one entry per implemented operator/pipeline from
+SURVEY.md §2 to a callable over an ``sf_dir``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry (same column names).
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.compute as pc
+
+
+# -- lazy imports (driver imports this module before running anything) ------
+
+def _docs(sf_dir, columns=None):
+    from paradedb_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=columns)
+
+
+def _tbl(sf_dir, name, columns=None):
+    from paradedb_ray.sources import read_table
+
+    return read_table(sf_dir, name, columns=columns)
+
+
+def _doc_schema():
+    from paradedb_ray.schema import documents_schema
+
+    return documents_schema()
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: BM25 top-k with scores over the
+    documents table (read -> stats exchange -> scored map_batches ->
+    per-block prune -> merge-rank)."""
+    from paradedb_ray.pipelines.search import search_topk
+
+    sf = "/root/testdata/sf0.001"
+    return search_topk(
+        _docs(sf), _doc_schema(), "spark batch", limit=25,
+        order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "text", "score"],
+    )
+
+
+# -- search family ----------------------------------------------------------
+
+
+def _q_search_term(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(), pdb.term("text", "spark"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_term_set(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.term_set([("text", "spark"), ("text", "vector")])
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_boolean(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.boolean(
+        must=[pdb.term("text", "spark"), pdb.term("text", "batch")],
+        must_not=[pdb.term("text", "window")],
+    )
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_match_conjunction(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.match_conjunction("text", "spark batch"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_match_disjunction(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.match_disjunction("text", "spark batch"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_parse(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.parse_with_field("text", "spark OR (batch AND window)"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_phrase(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.phrase_string("text", "batch batch"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_phrase_slop(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.phrase_string("text", "merge join", slop=1),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_fuzzy(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.fuzzy_term("text", "sparc", distance=1,
+                       transposition_cost_one=False)
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_regex(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(), pdb.regex("text", "sp.*k"),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_proximity(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.proximity("text", "merge", 2, "join", ordered=True)
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_range_term(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import ast, builders as pdb
+
+    q = pdb.boolean(must=[
+        pdb.term("text", "vector"),
+        ast.Range("n_chars", ast.Bound.included(100), ast.Bound.excluded(300)),
+    ])
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_topk_bm25(sf):
+    from paradedb_ray.pipelines.search import search_topk
+
+    return search_topk(
+        _docs(sf), _doc_schema(), "spark batch stream", limit=10,
+        order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "score"],
+    )
+
+
+def _q_search_topk_field(sf):
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    return search_topk(
+        _docs(sf), _doc_schema(), pdb.term("text", "spark"), limit=20,
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")],
+        with_score=False, output_columns=["doc_id", "n_chars"],
+    )
+
+
+def _q_snippet(sf):
+    from paradedb_ray.index.snippet import SnippetConfig
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    cfg = SnippetConfig(field="text", mode="single", max_num_chars=80)
+    return search(_docs(sf), _doc_schema(), pdb.term("text", "spark"),
+                  with_score=False, snippet_cfgs=[cfg],
+                  output_columns=["doc_id", "snippet"])
+
+
+def _q_json_term(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import events_schema
+
+    return search(_tbl(sf, "events"), events_schema(), pdb.term("props.k", 5),
+                  with_score=False, output_columns=["event_id"])
+
+
+def _q_facet_lang(sf):
+    from paradedb_ray.pipelines.aggregate import facet_terms
+    from paradedb_ray.query import builders as pdb
+
+    return facet_terms(_docs(sf), "lang", schema=_doc_schema(),
+                       filter_query=pdb.term("text", "spark"))
+
+
+# -- relational family ------------------------------------------------------
+
+
+def _q_agg_groupby(sf):
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ds = _tbl(sf, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_shipdate"])
+    cutoff = dt.datetime(1998, 9, 2)
+    ds = filter_batches(ds, lambda b: pc.less_equal(b.column("l_shipdate"), cutoff))
+    return sql_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "avg_qty": ("avg", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "count_order": ("count_star", None),
+        },
+    )
+
+
+def _q_filter_project(sf):
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ds = _tbl(sf, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_linenumber",
+                       "l_shipdate", "l_discount"])
+
+    def pred(b):
+        return pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), dt.datetime(1997, 1, 1)),
+            pc.greater(b.column("l_discount"), 0.07),
+        )
+
+    return filter_batches(ds, pred,
+                          columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+
+def _q_topk_orders(sf):
+    ds = _tbl(sf, "orders",
+              columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def _q_join_inner(sf):
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = filter_batches(o, lambda b: pc.greater(b.column("o_totalprice"), 300000.0))
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_name"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey", how="inner")
+    return j.select_columns(["o_orderkey", "c_name"])
+
+
+def _q_join_semi(sf):
+    from paradedb_ray.pipelines.joins import semi_join_pushdown
+
+    c = _tbl(sf, "customer", columns=["c_custkey"])
+    o = _tbl(sf, "orders", columns=["o_custkey"])
+    return semi_join_pushdown(c, o, on="c_custkey", right_on="o_custkey")
+
+
+def _q_join_anti(sf):
+    from paradedb_ray.pipelines.joins import semi_join_pushdown
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    c = _tbl(sf, "customer", columns=["c_custkey"])
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_totalprice"])
+    o = filter_batches(o, lambda b: pc.greater(b.column("o_totalprice"), 400000.0),
+                       columns=["o_custkey"])
+    return semi_join_pushdown(c, o, on="c_custkey", right_on="o_custkey",
+                              anti=True)
+
+
+def _q_join_groupby(sf):
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+
+    o = _tbl(sf, "orders", columns=["o_custkey"])
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey", how="inner")
+    return sql_aggregate(j, ["c_nationkey"],
+                         {"n_orders": ("count_star", None)})
+
+
+def _q_distinct(sf):
+    from paradedb_ray.pipelines.relational import distinct
+
+    return distinct(_tbl(sf, "orders", columns=["o_orderpriority"]),
+                    ["o_orderpriority"])
+
+
+def _q_union_all(sf):
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderstatus"])
+    a = filter_batches(o, lambda b: pc.equal(b.column("o_orderstatus"), "F"),
+                       columns=["o_orderkey"])
+    b = filter_batches(o, lambda t: pc.equal(t.column("o_orderstatus"), "O"),
+                       columns=["o_orderkey"])
+    return a.union(b)
+
+
+def _q_window_count_over(sf):
+    from paradedb_ray.pipelines.aggregate import window_aggregate
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    o = filter_batches(
+        o, lambda b: pc.equal(b.column("o_orderpriority"), "1-URGENT"),
+        columns=["o_orderkey"])
+    return window_aggregate(o, {"total_count": ("count_star", None)})
+
+
+def _q_agg_filter(sf):
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    o = _tbl(sf, "orders", columns=["o_orderstatus", "o_totalprice"])
+    return sql_aggregate(
+        o, [],
+        {
+            "n_all": ("count_star", None),
+            "n_f": ("count_star", None),
+            "n_big": ("count_star", None),
+        },
+        agg_filters={
+            "n_f": lambda b: pc.equal(b.column("o_orderstatus"), "F"),
+            "n_big": lambda b: pc.greater(b.column("o_totalprice"), 200000.0),
+        },
+    )
+
+
+def _q_histogram(sf):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    o = _tbl(sf, "orders", columns=["o_totalprice"])
+    return pdb_agg(o, {"price": {"histogram": {"field": "o_totalprice",
+                                               "interval": 100000.0}}})
+
+
+def _q_date_histogram(sf):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events", columns=["ts", "value"])
+    return pdb_agg(ev, {"day": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+        "aggs": {"vmin": {"min": {"field": "value"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }})
+
+
+def _q_terms_agg(sf):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events", columns=["event_type", "value"])
+    return pdb_agg(ev, {"types": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {"vmin": {"min": {"field": "value"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }})
+
+
+# -- streaming windows ------------------------------------------------------
+
+
+def _q_tumbling_1h(sf):
+    from paradedb_ray.pipelines.windows import tumbling_window
+
+    ev = _tbl(sf, "events", columns=["ts", "event_type", "value"])
+    return tumbling_window(ev, "ts", "1h",
+                           {"n": ("count_star", None),
+                            "vmin": ("min", "value"),
+                            "vmax": ("max", "value")},
+                           keys=["event_type"])
+
+
+def _q_sliding_1h_30m(sf):
+    from paradedb_ray.pipelines.windows import sliding_window
+
+    ev = _tbl(sf, "events", columns=["ts"])
+    return sliding_window(ev, "ts", "1h", "30m", {"n": ("count_star", None)})
+
+
+def _q_session_30m(sf):
+    from paradedb_ray.pipelines.windows import session_window
+
+    ev = _tbl(sf, "events", columns=["ts", "user_id"])
+    return session_window(ev, "ts", "user_id", "30m")
+
+
+# -- dedup / text analysis --------------------------------------------------
+
+
+def _q_dedup_exact(sf):
+    from paradedb_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf, columns=["doc_id", "text"]),
+                       "text", "doc_id").select_columns(["doc_id"])
+
+
+def _q_dedup_minhash(sf):
+    from paradedb_ray.pipelines.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(_docs(sf, columns=["doc_id", "text"]),
+                                  "text", "doc_id")
+
+
+def _q_dedup_simhash(sf):
+    from paradedb_ray.pipelines.dedup import simhash_duplicates
+
+    return simhash_duplicates(_docs(sf, columns=["doc_id", "text"]),
+                              "text", "doc_id", hamming_k=3)
+
+
+def _q_token_count(sf):
+    from paradedb_ray.functions import add_token_count
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality(sf):
+    from paradedb_ray.functions import add_quality_score
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_quality_score(ds, "text").select_columns(
+        ["doc_id", "n_words", "punct_ratio"])
+
+
+def _q_langid(sf):
+    from paradedb_ray.functions import add_langid
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_langid(ds, "text").select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint(sf):
+    from paradedb_ray.functions import add_fingerprint
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_fingerprint(ds, "text").select_columns(["doc_id", "fingerprint"])
+
+
+def _q_tokenize(sf):
+    from paradedb_ray.functions.text_analysis import tokenize_dataset
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    ds = filter_batches(ds, lambda b: pc.less(b.column("doc_id"), 50))
+    return tokenize_dataset(ds, "text", {"type": "whitespace"},
+                            key_col="doc_id")
+
+
+# -- vectors ----------------------------------------------------------------
+
+
+def _knn_queries(sf):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc2
+
+    t = t.filter(pc2.less(t.column("vec_id"), 2)).sort_by("vec_id")
+    return np.stack([np.asarray(x, dtype=np.float32)
+                     for x in t.column("embedding").to_pylist()])
+
+
+def _q_knn_brute(sf):
+    from paradedb_ray.pipelines.knn import knn_brute
+
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute(emb, "embedding", "vec_id", _knn_queries(sf), k=10,
+                    dtype=np.float64)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_knn_ivf(sf):
+    from paradedb_ray.pipelines.knn import knn_ivf
+
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, "embedding", "vec_id", _knn_queries(sf), k=10,
+                   n_clusters=8, nprobe=4).select_columns(
+        ["query_id", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "search_term": _q_search_term,
+        "search_term_set": _q_search_term_set,
+        "search_boolean": _q_search_boolean,
+        "search_match_conjunction": _q_match_conjunction,
+        "search_match_disjunction": _q_match_disjunction,
+        "search_parse": _q_search_parse,
+        "search_phrase": _q_search_phrase,
+        "search_phrase_slop": _q_search_phrase_slop,
+        "search_fuzzy": _q_search_fuzzy,
+        "search_regex": _q_search_regex,
+        "search_proximity": _q_search_proximity,
+        "search_range_term": _q_search_range_term,
+        "search_topk_bm25": _q_search_topk_bm25,
+        "search_topk_field": _q_search_topk_field,
+        "snippet": _q_snippet,
+        "json_term": _q_json_term,
+        "facet_lang": _q_facet_lang,
+        "agg_groupby": _q_agg_groupby,
+        "filter_project": _q_filter_project,
+        "topk_orders": _q_topk_orders,
+        "join_inner": _q_join_inner,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "join_groupby": _q_join_groupby,
+        "distinct": _q_distinct,
+        "union_all": _q_union_all,
+        "window_count_over": _q_window_count_over,
+        "agg_filter": _q_agg_filter,
+        "histogram": _q_histogram,
+        "date_histogram": _q_date_histogram,
+        "terms_agg": _q_terms_agg,
+        "tumbling_1h": _q_tumbling_1h,
+        "sliding_1h_30m": _q_sliding_1h_30m,
+        "session_30m": _q_session_30m,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "tokenize": _q_tokenize,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "string_split(text, ' ')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "search_term":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')",
+        "search_term_set":
+            f"SELECT doc_id FROM documents WHERE list_has_any({_TOKS}, ['spark', 'vector'])",
+        "search_boolean":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" AND list_contains({_TOKS}, 'batch')"
+            f" AND NOT list_contains({_TOKS}, 'window')",
+        "search_match_conjunction":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" AND list_contains({_TOKS}, 'batch')",
+        "search_match_disjunction":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" OR list_contains({_TOKS}, 'batch')",
+        "search_parse":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" OR (list_contains({_TOKS}, 'batch') AND list_contains({_TOKS}, 'window'))",
+        "search_phrase":
+            "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% batch batch %'",
+        "search_phrase_slop":
+            "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge( [^ ]+)? join')",
+        "search_fuzzy":
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) AS tok"
+            " FROM documents) WHERE levenshtein(tok, 'sparc') <= 1",
+        "search_regex":
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) AS tok"
+            " FROM documents) WHERE regexp_full_match(tok, 'sp.*k')",
+        "search_proximity":
+            "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge( [^ ]+){0,2} join')",
+        "search_range_term":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'vector')"
+            " AND n_chars >= 100 AND n_chars < 300",
+        "search_topk_field":
+            f"SELECT doc_id, n_chars FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            " ORDER BY n_chars DESC, doc_id LIMIT 20",
+        "json_term":
+            "SELECT event_id FROM events"
+            " WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 5",
+        "facet_lang":
+            f"SELECT lang, count(*) AS doc_count FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark') GROUP BY lang",
+        "agg_groupby":
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+            " avg(l_quantity) AS avg_qty, min(l_extendedprice) AS min_price,"
+            " max(l_extendedprice) AS max_price, count(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus",
+        "filter_project":
+            "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.07",
+        "topk_orders":
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders"
+            " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+        "join_inner":
+            "SELECT o_orderkey, c_name FROM orders JOIN customer"
+            " ON o_custkey = c_custkey WHERE o_totalprice > 300000",
+        "join_semi":
+            "SELECT c_custkey FROM customer WHERE c_custkey IN"
+            " (SELECT o_custkey FROM orders)",
+        "join_anti":
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
+        "join_groupby":
+            "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer"
+            " ON o_custkey = c_custkey GROUP BY c_nationkey",
+        "distinct":
+            "SELECT DISTINCT o_orderpriority FROM orders",
+        "union_all":
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+            " UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'",
+        "window_count_over":
+            "SELECT o_orderkey, count(*) OVER () AS total_count FROM orders"
+            " WHERE o_orderpriority = '1-URGENT'",
+        "agg_filter":
+            "SELECT count(*) AS n_all,"
+            " count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,"
+            " count(*) FILTER (WHERE o_totalprice > 200000) AS n_big FROM orders",
+        "histogram":
+            "SELECT floor(o_totalprice / 100000) * 100000 AS price_key,"
+            " count(*) AS doc_count FROM orders GROUP BY price_key",
+        "date_histogram":
+            "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
+            " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",
+        "terms_agg":
+            "SELECT event_type, count(*) AS doc_count,"
+            " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",
+        "tumbling_1h":
+            "SELECT date_trunc('hour', ts) AS window_start, event_type,"
+            " count(*) AS n, min(value) AS vmin, max(value) AS vmax"
+            " FROM events GROUP BY window_start, event_type",
+        "sliding_1h_30m":
+            "SELECT to_timestamp((epoch_us(ts) // 1800000000 - s.i) * 1800)"
+            "::TIMESTAMP AS window_start, count(*) AS n"
+            " FROM events CROSS JOIN (VALUES (0), (1)) s(i)"
+            " GROUP BY window_start",
+        "session_30m":
+            "WITH o AS (SELECT user_id, ts,"
+            " CASE WHEN lag(ts) OVER w IS NULL"
+            "  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+            " THEN 1 ELSE 0 END AS new FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+            " s AS (SELECT user_id, ts, sum(new) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid"
+            " FROM o)"
+            " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
+            " count(*) AS n_events FROM s GROUP BY user_id, sid",
+        "dedup_exact":
+            "SELECT doc_id FROM documents QUALIFY"
+            " row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+        "token_count":
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
+        "quality":
+            f"SELECT doc_id, len({_TOKS}) AS n_words,"
+            " CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
+            " / length(text) AS punct_ratio FROM documents",
+        "tokenize":
+            f"SELECT doc_id, unnest({_TOKS}) AS token,"
+            f" CAST(generate_subscripts({_TOKS}, 1) - 1 AS INTEGER) AS position"
+            " FROM documents WHERE doc_id < 50",
+        "knn_brute":
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+            " WHERE vec_id < 2)"
+            " SELECT CAST(qid AS INTEGER) AS query_id, e.vec_id FROM embeddings e"
+            " CROSS JOIN q QUALIFY row_number() OVER (PARTITION BY qid"
+            " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id)"
+            " <= 10",
+        # rows-only (non-SQL-expressible): search_topk_bm25 (BM25 scores),
+        # snippet (highlight strings), dedup_minhash/dedup_simhash
+        # (probabilistic sketches), langid/fingerprint (heuristics), knn_ivf
+        # (approximate ANN).
+    }

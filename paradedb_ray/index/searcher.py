@@ -279,22 +279,34 @@ class Searcher:
             raise ValueError("JSON term requires dot path")
         return self._term_hits(q.field, q.value, boost)
 
+    def _term_docs(self, field: str, value) -> np.ndarray:
+        """Matching doc ids for an exact term, unscored (no global-stats df
+        dependence — TermSet queries are constant-score, `pdb_query.rs`)."""
+        f = self.schema.field(field)
+        if f.ftype == TEXT:
+            term = self._normalize_query_token(field, value)
+            ti = self.seg.text.get(field)
+            if ti is None:
+                return np.empty(0, dtype=np.int64)
+            code = ti.term_code(term)
+            if code < 0:
+                return np.empty(0, dtype=np.int64)
+            return ti.postings(code)[0].astype(np.int64)
+        if f.ftype == KEYWORD:
+            term = self._normalize_query_token(field, value)
+            return np.flatnonzero(self._keyword_values(field) == term)
+        return np.flatnonzero(self._fast_term_mask(field, value))
+
     def _eval_TermSet(self, q: ast.TermSet, boost):
-        parts = []
-        for v in q.terms:
-            h = self._term_hits(q.field, v, boost)
-            if len(h):
-                parts.append(h.ids)
+        parts = [self._term_docs(q.field, v) for v in q.terms]
+        parts = [p for p in parts if len(p)]
         if not parts:
             return Hits.empty()
         return Hits.const(np.unique(np.concatenate(parts)), 1.0)
 
     def _eval_TermSetMulti(self, q: ast.TermSetMulti, boost):
-        parts = []
-        for f, v in q.terms:
-            h = self._term_hits(f, v, boost)
-            if len(h):
-                parts.append(h.ids)
+        parts = [self._term_docs(f, v) for f, v in q.terms]
+        parts = [p for p in parts if len(p)]
         if not parts:
             return Hits.empty()
         return Hits.const(np.unique(np.concatenate(parts)), 1.0)

@@ -81,17 +81,32 @@ def sql_aggregate(
 
         ds = ds.map_batches(add_masked, batch_format="pyarrow", batch_size=None)
 
+    # Ray's global (ungrouped) Count(on=None) is unreliable on parquet-read
+    # blocks in this version; rewrite count_star as Sum over a ones column.
+    star_names = [n for n, (k, _) in aggs.items()
+                  if k == "count_star" and n not in needs_mask]
+    if not group_by and star_names:
+        def add_ones(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+        ds = ds.map_batches(add_ones, batch_format="pyarrow", batch_size=None)
+
     ray_aggs = []
     for name, (kind, col) in aggs.items():
         if name in needs_mask:
             k = "count" if kind == "count_star" else kind
             ray_aggs.append(_ray_agg(k, f"__mask_{name}", name))
+        elif not group_by and kind == "count_star":
+            ray_aggs.append(_ray_agg("sum", "__one", name))
         else:
             ray_aggs.append(_ray_agg(kind, col, name))
 
     if group_by:
         return ds.groupby(group_by).aggregate(*ray_aggs)
     row = ds.aggregate(*ray_aggs)
+    for n in star_names:
+        row[n] = int(row[n] or 0)
     return ray.data.from_items([row])
 
 
@@ -231,8 +246,7 @@ def window_aggregate(ds: ray.data.Dataset, aggs: dict,
 
         assert schema is not None
         ds = search(ds, schema, filter_query, with_score=False)
-    row = ds.aggregate(*[_ray_agg(kind, col, name)
-                         for name, (kind, col) in aggs.items()])
+    row = sql_aggregate(ds, [], aggs).take_all()[0]
 
     def attach(batch: pa.Table) -> pa.Table:
         for name in aggs:

@@ -32,19 +32,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BruteScorer:
-    def __init__(self, q_ref, emb_col: str, key_col: str, k: int, metric: str):
+    def __init__(self, q_ref, emb_col: str, key_col: str, k: int, metric: str,
+                 dtype=np.float32):
         self.q_ref = q_ref
         self.emb_col = emb_col
         self.key_col = key_col
         self.k = k
         self.metric = metric
+        self.dtype = dtype
         self._q = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._q is None:
             q = ray.get(self.q_ref) if isinstance(self.q_ref, ray.ObjectRef) else self.q_ref
+            q = q.astype(self.dtype)
             self._q = _normalize(q) if self.metric == "cosine" else q
-        m = _batch_matrix(batch, self.emb_col)
+        m = _batch_matrix(batch, self.emb_col).astype(self.dtype)
         if self.metric == "cosine":
             m = _normalize(m)
             sims = m @ self._q.T  # (n, nq)
@@ -82,6 +85,7 @@ def knn_brute(
     queries: np.ndarray,
     k: int = 10,
     metric: str = "cosine",
+    dtype=np.float32,
 ) -> ray.data.Dataset:
     """Exact top-k per query vector.  Output: (query_id, key, score),
     score = cosine similarity (or -L2 / inner product)."""
@@ -90,7 +94,7 @@ def knn_brute(
         q = q[None, :]
     ref = ray.put(q)
     scored = ds.map_batches(
-        _BruteScorer(ref, emb_col, key_col, k, metric),
+        _BruteScorer(ref, emb_col, key_col, k, metric, dtype),
         batch_format="pyarrow", batch_size=None,
     )
 

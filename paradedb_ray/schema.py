@@ -120,6 +120,20 @@ def documents_schema() -> IndexSchema:
     )
 
 
+# The synthetic `events` stream table (event_id, ts, user_id, event_type,
+# value, props) — props is a JSON column with dot-path addressing.
+def events_schema() -> IndexSchema:
+    return IndexSchema.build(
+        key_field="event_id",
+        event_id={"type": I64, "fast": True},
+        ts={"type": DATE, "fast": True},
+        user_id={"type": I64, "fast": True},
+        event_type={"type": KEYWORD, "fast": True},
+        value={"type": F64, "fast": True},
+        props={"type": JSON},
+    )
+
+
 # Faithful twin of the pg_regress `mock_items` bm25 index
 # (FIXTURES.md §2; `pg_search/tests/pg_regress/sql/topk_scores.sql`).
 def mock_items_schema() -> IndexSchema:

@@ -1,0 +1,131 @@
+"""Driver-mimicking correctness check: run every queries() entry at a given
+sf and compare against oracle_sql() via DuckDB (row count + schema +
+order-insensitive value hash).  Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def to_pandas(obj):
+    import pandas as pd
+    import pyarrow as pa
+
+    try:
+        import ray.data
+
+        if isinstance(obj, ray.data.Dataset):
+            return obj.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    raise TypeError(type(obj))
+
+
+def canon(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df):
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    return int(hash_pandas_object(canon(df), index=False).sum())
+
+
+def main():
+    import duckdb
+    import ray
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf))
+        except Exception as e:
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(got)} rows ({el:.1f}s) [no oracle]")
+            n_rowsonly += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle raised {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(got) != len(exp):
+            problems.append(f"rows {len(got)} != {len(exp)}")
+        if sorted(map(str.lower, got.columns)) != sorted(map(str.lower, exp.columns)):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
+        if not problems:
+            g, e_ = canon(got), canon(exp)
+            e_.columns = g.columns
+            try:
+                import pandas.testing as pt
+
+                pt.assert_frame_equal(g, e_, check_dtype=False,
+                                      check_exact=False, rtol=0, atol=0)
+            except AssertionError as err:
+                if value_hash(got) != value_hash(exp):
+                    problems.append("value mismatch: " + str(err).split("\n")[0])
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")
+            if len(got) and not only:
+                pass
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(got)} rows ({el:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_rowsonly} rows-only")
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
