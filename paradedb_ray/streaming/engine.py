@@ -1,0 +1,407 @@
+"""StreamEngine — sharded continuous BM25 index + standing queries.
+
+The Ray-native re-imagining of pg_search's index as a CEP pipeline
+(BASELINE.json north_star):
+
+* ``ingest(ds, epoch)`` — a Ray Data pipeline routes each Arrow batch to
+  its ``hash(conv_id) % P`` partition actor (stateful map_batches over an
+  actor pool); hot conversations (detected from per-partition counts) are
+  salted across ``salt_k`` sub-partitions by ``turn_idx`` and re-merged at
+  query time — multi-segment search makes that free, exactly as the
+  reference searches many segments (`index/reader/index.rs:223-300`).
+* ``advance_watermark(wm)`` — session-window close on watermark expiry;
+  returns closed-session summary rows.
+* ``query_topk`` / ``query_matches`` — two-phase: a global stats exchange
+  (per-partition partial ``GlobalStats`` merged on the driver — BM25's
+  searcher-global N / df / avgdl, SURVEY §5) then per-partition top-k and a
+  driver merge-rank, mirroring per-segment collectors + shared-threshold
+  merge (`scan/segmented_topk_exec.rs`).
+* ``checkpoint / restore`` — per-partition manifest + segment payloads;
+  epoch-tagged, idempotent, resumable.
+* ``EpochRunner`` — micro-batch driver with an **exactly-once sink**:
+  results land in ``sink_dir/<query>/epoch=K/part.parquet`` written
+  atomically; a re-run (or restart after crash) skips epochs whose sink
+  files already exist and replays the source from the recorded offset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from paradedb_ray.query import ast
+from paradedb_ray.schema import IndexSchema
+from paradedb_ray.index.searcher import GlobalStats
+from paradedb_ray.stages.search_stages import collect_stat_requests
+from paradedb_ray.streaming.state_store import Bm25PartitionStore, _key_hash
+
+
+def _stable_hash_strings(vals: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(vals, dtype=object))
+
+
+@dataclass
+class StreamConfig:
+    num_partitions: int = 8
+    mutable_rows: int = 1000
+    session_gap_us: int = 1_800_000_000       # 30 min
+    lateness_us: int = 3_600_000_000          # 1 h allowed lateness
+    key_cols: tuple = ("conv_id", "turn_idx")
+    ts_col: str = "ts"
+    salt_k: int = 4                            # sub-partitions for hot convs
+    hot_threshold: int = 5000                  # turns seen before salting
+    merge_max_segments: int = 8
+
+
+class StreamEngine:
+    def __init__(self, schema: IndexSchema, config: StreamConfig = None,
+                 checkpoint_dir: Optional[str] = None):
+        self.schema = schema
+        self.cfg = config or StreamConfig()
+        self.checkpoint_dir = checkpoint_dir
+        sp = pickle.dumps(schema)
+        self.actors = [
+            Bm25PartitionStore.options(max_restarts=0).remote(
+                p, sp,
+                mutable_rows=self.cfg.mutable_rows,
+                session_gap_us=self.cfg.session_gap_us,
+                lateness_us=self.cfg.lateness_us,
+                key_cols=self.cfg.key_cols,
+                ts_col=self.cfg.ts_col,
+            )
+            for p in range(self.cfg.num_partitions)
+        ]
+        self.hot: set = set()
+        self.epoch = 0
+
+    # -- partitioning -------------------------------------------------------
+
+    def _partition_of(self, conv: np.ndarray, turn: np.ndarray):
+        """hash(conv) % P, with hot conversations salted by turn_idx so one
+        conversation cannot overflow a single actor (SURVEY §7 hard part 6).
+
+        Returns ``(part, base)``: the routed partition and the unsalted home
+        partition (they differ only for hot conversations; the home partition
+        then needs a retraction for re-arriving keys, since a stale copy of
+        the key may live there from before the conversation turned hot)."""
+        P = self.cfg.num_partitions
+        h = _stable_hash_strings(conv)
+        base = (h % np.uint64(P)).astype(np.int64)
+        part = base.copy()
+        if self.hot:
+            hot_mask = np.fromiter((c in self.hot for c in conv), dtype=bool,
+                                   count=len(conv))
+            if hot_mask.any():
+                salt = (turn.astype(np.int64) % self.cfg.salt_k)
+                part[hot_mask] = ((h[hot_mask].astype(np.int64)
+                                   + salt[hot_mask] * np.int64(2654435761))
+                                  % P)
+        return part, base
+
+    # -- ingest -------------------------------------------------------------
+
+    def ingest(self, source: Union["ray.data.Dataset", pa.Table],
+               epoch: Optional[int] = None) -> dict:
+        """Route a micro-batch (Dataset or Table) into the partition actors.
+
+        Routing runs inside ``map_batches`` tasks: each task splits its
+        Arrow batch by partition and ships sub-tables to the actors through
+        the object store; ``ray.get`` inside the task applies backpressure.
+        """
+        if epoch is None:
+            epoch = self.epoch
+        actors = self.actors
+        cfg = self.cfg
+        hot = self.hot
+        part_fn = self._partition_of
+
+        def route(batch: pa.Table) -> pa.Table:
+            conv = batch.column(cfg.key_cols[0]).to_numpy(
+                zero_copy_only=False)
+            turn = batch.column(cfg.key_cols[1]).to_numpy(
+                zero_copy_only=False)
+            part, base = part_fn(conv, turn)
+            refs = []
+            # a salted key's stale pre-hot copy may live in the home
+            # partition: retract it there (no-op when absent)
+            moved = part != base
+            if moved.any():
+                kh = _key_hash(conv[moved], turn[moved])
+                for b in np.unique(base[moved]):
+                    ks = kh[base[moved] == b].tolist()
+                    refs.append(actors[b].retract_keys.remote(ks))
+            for p in np.unique(part):
+                sub = batch.filter(pa.array(part == p))
+                refs.append(actors[p].ingest.remote(sub, epoch))
+            res = ray.get(refs)
+            res = [r for r in res if isinstance(r, dict)]
+            return pa.table({
+                "part": pa.array([r["part"] for r in res], pa.int64()),
+                "n": pa.array([r["n"] for r in res], pa.int64()),
+            })
+
+        if isinstance(source, pa.Table):
+            counts = route(source).to_pylist()
+        else:
+            out = source.map_batches(route, batch_format="pyarrow",
+                                     batch_size=8192)
+            counts = out.take_all()
+        n = sum(r["n"] for r in counts)
+        return {"epoch": epoch, "rows": n}
+
+    def refresh_hot(self):
+        """Pull per-conversation counts and update the hot set (salting
+        takes effect for subsequent epochs; already-ingested rows stay
+        where they are — query merges across partitions regardless)."""
+        hot_lists = ray.get([a.hot_convs.remote(self.cfg.hot_threshold)
+                             for a in self.actors])
+        self.hot = set(c for lst in hot_lists for c in lst)
+        return self.hot
+
+    # -- windows / maintenance ---------------------------------------------
+
+    def advance_watermark(self, wm_us: int, epoch: Optional[int] = None) -> pa.Table:
+        """Advance the watermark everywhere; returns closed-session rows."""
+        if epoch is None:
+            epoch = self.epoch
+        closed = ray.get([a.advance_watermark.remote(wm_us, epoch)
+                          for a in self.actors])
+        rows = [r for part in closed for r in part]
+        if not rows:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "session_end": pa.array([], pa.int64()),
+                             "n_turns": pa.array([], pa.int64()),
+                             "epoch": pa.array([], pa.int64())})
+        return pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "session_end": pa.array([r["session_end"] for r in rows],
+                                    pa.int64()),
+            "n_turns": pa.array([r["n_turns"] for r in rows], pa.int64()),
+            "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
+        })
+
+    def merge_tick(self):
+        return sum(ray.get([a.merge_tick.remote(self.cfg.merge_max_segments)
+                            for a in self.actors]))
+
+    def vacuum(self):
+        return sum(ray.get([a.vacuum.remote() for a in self.actors]))
+
+    # -- query --------------------------------------------------------------
+
+    def global_stats(self, query: ast.Query) -> GlobalStats:
+        """The cross-partition stats exchange (barrier reduce of tiny
+        partials)."""
+        req = collect_stat_requests(query, self.schema)
+        rp = pickle.dumps(req)
+        partials = ray.get([a.stats_partial.remote(rp) for a in self.actors])
+        g = GlobalStats()
+        for p in partials:
+            g.merge(pickle.loads(p))
+        return g
+
+    def query_topk(self, query: Union[ast.Query, str], k: int = 10,
+                   columns: Optional[list] = None,
+                   with_score: bool = True) -> pa.Table:
+        if isinstance(query, str):
+            query = ast.Parse(query)
+        stats = self.global_stats(query)
+        qp, sp = pickle.dumps(query), pickle.dumps(stats)
+        parts = ray.get([a.topk.remote(qp, sp, k, with_score, columns)
+                         for a in self.actors])
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({})
+        out = pa.concat_tables(parts, promote_options="default")
+        import pyarrow.compute as pc
+
+        sort_keys = ([("score", "descending")] if with_score else []) + [
+            (c, "ascending") for c in self.cfg.key_cols if c in out.column_names]
+        idx = pc.sort_indices(out, sort_keys=sort_keys)
+        return out.take(idx.slice(0, k))
+
+    def query_matches(self, query: Union[ast.Query, str],
+                      columns: Optional[list] = None) -> pa.Table:
+        """Full match set across partitions (standing-query emission)."""
+        if isinstance(query, str):
+            query = ast.Parse(query)
+        stats = self.global_stats(query)
+        qp, sp = pickle.dumps(query), pickle.dumps(stats)
+        parts = ray.get([a.match_table.remote(qp, sp, columns)
+                         for a in self.actors])
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts, promote_options="default")
+
+    def metrics(self) -> list:
+        return ray.get([a.metrics.remote() for a in self.actors])
+
+    def num_docs(self) -> int:
+        return sum(ray.get([a.num_docs.remote() for a in self.actors]))
+
+    # -- checkpoint / resume ------------------------------------------------
+
+    def checkpoint(self, epoch: Optional[int] = None) -> dict:
+        assert self.checkpoint_dir, "engine created without checkpoint_dir"
+        if epoch is None:
+            epoch = self.epoch
+        files = ray.get([a.checkpoint.remote(self.checkpoint_dir, epoch)
+                         for a in self.actors])
+        meta = {"epoch": epoch, "num_partitions": self.cfg.num_partitions,
+                "hot": sorted(self.hot)}
+        tmp = os.path.join(self.checkpoint_dir, "engine.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.checkpoint_dir, "engine.json"))
+        return {"epoch": epoch, "files": files}
+
+    def restore(self) -> int:
+        """Restore every partition from its latest manifest; returns the
+        restored epoch (-1 if no checkpoint)."""
+        assert self.checkpoint_dir
+        epochs = ray.get([a.restore.remote(self.checkpoint_dir)
+                          for a in self.actors])
+        meta_path = os.path.join(self.checkpoint_dir, "engine.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.hot = set(json.load(f).get("hot", []))
+        e = min(epochs) if epochs else -1
+        self.epoch = e + 1 if e >= 0 else 0
+        return e
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once micro-batch driver
+# ---------------------------------------------------------------------------
+
+
+def _write_atomic_parquet(table: pa.Table, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+class EpochRunner:
+    """Drives a transcript stream through the engine in epochs with an
+    idempotent, exactly-once parquet sink.
+
+    Source = any ray Dataset / Arrow table already split into epoch tables
+    (micro-batches in arrival order).  Per epoch:
+
+        ingest -> advance watermark (max ts seen - lateness)
+               -> standing queries emit top-k to sink/<q>/epoch=K.parquet
+               -> closed sessions emit to sink/sessions/epoch=K.parquet
+               -> checkpoint
+
+    A finished epoch is recognised by its ``_COMMIT`` marker; re-running
+    skips it (exactly-once under restart).  ``resume()`` restores engine
+    state from the checkpoint and continues from the first uncommitted
+    epoch.
+    """
+
+    def __init__(self, engine: StreamEngine, sink_dir: str,
+                 standing_queries: dict,
+                 topk: int = 10, columns: Optional[list] = None,
+                 checkpoint_every: int = 1):
+        self.engine = engine
+        self.sink_dir = sink_dir
+        self.standing = standing_queries  # name -> Query | str
+        self.topk = topk
+        self.columns = columns
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(sink_dir, exist_ok=True)
+
+    def _commit_marker(self, epoch: int) -> str:
+        return os.path.join(self.sink_dir, f"epoch={epoch:06d}._COMMIT")
+
+    def epoch_done(self, epoch: int) -> bool:
+        return os.path.exists(self._commit_marker(epoch))
+
+    def run_epoch(self, epoch: int, table: pa.Table) -> dict:
+        if self.epoch_done(epoch):
+            return {"epoch": epoch, "skipped": True}
+        eng = self.engine
+        eng.epoch = epoch
+        info = eng.ingest(table, epoch=epoch)
+        ts_max = int(pa.compute.max(
+            table.column(eng.cfg.ts_col).cast(pa.int64())).as_py())
+        wm = ts_max - eng.cfg.lateness_us
+        sessions = eng.advance_watermark(wm, epoch=epoch)
+        if sessions.num_rows:
+            _write_atomic_parquet(
+                sessions, os.path.join(self.sink_dir, "sessions",
+                                       f"epoch={epoch:06d}.parquet"))
+        for name, q in self.standing.items():
+            res = eng.query_topk(q, self.topk, columns=self.columns)
+            if res.num_rows == 0:
+                res = pa.table({"epoch": pa.array([], pa.int64())})
+            else:
+                res = res.append_column(
+                    "epoch", pa.array([epoch] * res.num_rows, pa.int64()))
+            _write_atomic_parquet(
+                res, os.path.join(self.sink_dir, name,
+                                  f"epoch={epoch:06d}.parquet"))
+        eng.merge_tick()
+        if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
+            eng.checkpoint(epoch)
+        # commit marker LAST: the epoch is replayed in full on crash before
+        # this point, and every write above is idempotent (same path, same
+        # deterministic content) -> effectively exactly-once.
+        with open(self._commit_marker(epoch), "w") as f:
+            f.write(json.dumps({"rows": info["rows"]}))
+        return {"epoch": epoch, "rows": info["rows"], "watermark": wm}
+
+    def run(self, epoch_tables: list, start_epoch: int = 0) -> list:
+        out = []
+        for i, t in enumerate(epoch_tables):
+            out.append(self.run_epoch(start_epoch + i, t))
+        return out
+
+    def resume(self) -> int:
+        """Restore engine state; next call to ``run`` with the same source
+        skips committed epochs and replays the rest."""
+        return self.engine.restore()
+
+    def read_result(self, name: str) -> pa.Table:
+        """Latest-epoch view of a standing query's emissions."""
+        d = os.path.join(self.sink_dir, name)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pq.read_table(os.path.join(d, files[-1]))
+
+    def read_sessions(self) -> pa.Table:
+        """All closed sessions, latest emission per conv_id (re-emissions
+        from reopened sessions supersede by epoch)."""
+        d = os.path.join(self.sink_dir, "sessions")
+        if not os.path.isdir(d):
+            return pa.table({})
+        tables = [pq.read_table(os.path.join(d, f))
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not tables:
+            return pa.table({})
+        t = pa.concat_tables(tables)
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["conv_id", "epoch"])
+        df = df.drop_duplicates(subset=["conv_id"], keep="last")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)

@@ -1,0 +1,391 @@
+"""Per-partition BM25 state-store actor — the streaming heart of the engine.
+
+One actor owns one ``hash(conv_id) % P`` partition (single-writer-per-
+partition discipline, mirroring pg_search's merge/vacuum locks
+`postgres/storage/merge.rs`).  State:
+
+* **mutable buffer** — the LSM memtable: incoming turn batches accumulate
+  until ``mutable_rows`` (default 1000, max 10k — the reference's mutable
+  segment, `pg_search/src/postgres/options.rs:73-74`), then freeze into an
+  immutable :class:`Segment`.
+* **sealed segments** — immutable postings built via ``build_segment``;
+  background `merge_tick` compacts them in size tiers (layered merge policy,
+  `pg_search/src/index/merge_policy.rs:103-300`).
+* **keys / tombstones** — upsert on the ``(conv_id, turn_idx)`` key: a
+  re-arrival replaces the old row (watermark-bounded retraction); the old
+  copy is tombstoned and physically dropped at the next merge/vacuum
+  (MVCC visibility + vacuum, `directory/mvcc.rs`, `delete.rs`).
+* **session windows** — ``advance_watermark`` closes every conversation
+  whose ``last_ts + gap < watermark`` and emits a session summary row; a
+  post-close arrival inside the lateness bound re-opens the session
+  (re-emitted under a later epoch; the exactly-once sink keeps the latest).
+* **checkpoint** — per-partition manifest (JSON lineage: epoch, seq,
+  watermark, segment files) + segment payloads; ``restore`` resumes.
+
+Everything row-level is vectorized numpy/Arrow; actor methods receive whole
+Arrow tables through the object store (zero-copy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from paradedb_ray.index.searcher import GlobalStats, Searcher
+from paradedb_ray.index.segment import Segment, build_segment
+from paradedb_ray.schema import IndexSchema
+
+
+def _key_hash(conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
+    """Vectorized, process-stable 64-bit key for (conv_id, turn_idx)
+    (pandas' fixed-key siphash — safe to persist in checkpoints; Python's
+    ``hash`` is randomized per process and must NOT be used here)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(conv, dtype=object)).astype(np.int64)
+    return h * np.int64(1_000_003) + turn.astype(np.int64)
+
+
+@ray.remote
+class Bm25PartitionStore:
+    def __init__(self, part_id: int, schema_pickle: bytes,
+                 mutable_rows: int = 1000,
+                 session_gap_us: int = 1_800_000_000,
+                 lateness_us: int = 3_600_000_000,
+                 key_cols=("conv_id", "turn_idx"),
+                 ts_col: str = "ts"):
+        self.part_id = part_id
+        self.schema: IndexSchema = pickle.loads(schema_pickle)
+        self.mutable_rows = mutable_rows
+        self.session_gap_us = session_gap_us
+        self.lateness_us = lateness_us
+        self.key_cols = tuple(key_cols)
+        self.ts_col = ts_col
+
+        self.mutable: list = []          # list[pa.Table]
+        self.mutable_count = 0
+        self.sealed: list = []           # list[Segment]
+        # key hash -> __seq of the LIVE copy; a stored row is visible iff
+        # live_seq[key] == row.__seq (MVCC-style visibility, one dict per
+        # partition instead of ctid heap checks)
+        self.live_seq: dict = {}
+        self.row_seq = 0                 # monotone per-partition row counter
+        self.n_dead = 0                  # superseded/retracted copies pending
+        self.last_ts: dict = {}          # conv_id -> last event ts (us)
+        self.conv_counts: dict = {}      # conv_id -> n turns (hot detection)
+        self.closed: dict = {}           # conv_id -> (start, end, n, epoch)
+        self.watermark = -(1 << 62)
+        self.seq = 0                     # ingest sequence (lineage)
+        self.metrics_ = {"ingested": 0, "late_dropped": 0, "retractions": 0,
+                         "reopened": 0, "freezes": 0, "merges": 0}
+
+    # -- ingest -------------------------------------------------------------
+
+    def ingest(self, table: pa.Table, epoch: int = 0) -> dict:
+        if table.num_rows == 0:
+            return {"part": self.part_id, "n": 0}
+        conv = table.column(self.key_cols[0]).to_numpy(zero_copy_only=False)
+        turn = table.column(self.key_cols[1]).to_numpy(zero_copy_only=False)
+        ts = table.column(self.ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+
+        # drop rows later than the lateness bound behind the watermark
+        ok = ts >= self.watermark - self.lateness_us
+        n_late = int((~ok).sum())
+        self.metrics_["late_dropped"] += n_late
+        if n_late:
+            table = table.filter(pa.array(ok))
+            conv, turn, ts = conv[ok], turn[ok], ts[ok]
+        if table.num_rows == 0:
+            return {"part": self.part_id, "n": 0, "late": n_late}
+
+        keys = _key_hash(conv, turn).tolist()
+        # upsert: re-arrival of a live key supersedes the earlier copy
+        n_dup = sum(1 for k in keys if k in self.live_seq)
+        if n_dup:
+            self.metrics_["retractions"] += n_dup
+            self.n_dead += n_dup
+        seqs = np.arange(self.row_seq, self.row_seq + len(keys),
+                         dtype=np.int64)
+        self.row_seq += len(keys)
+        self.live_seq.update(zip(keys, seqs.tolist()))
+        table = table.append_column("__seq", pa.array(seqs, pa.int64()))
+
+        # per-conv last_ts + counts; reopen closed sessions on late arrival
+        for c, t in zip(conv, ts):
+            prev = self.last_ts.get(c)
+            if prev is None or t > prev:
+                self.last_ts[c] = int(t)
+            self.conv_counts[c] = self.conv_counts.get(c, 0) + 1
+            if c in self.closed:
+                del self.closed[c]
+                self.metrics_["reopened"] += 1
+
+        self.mutable.append(table)
+        self.mutable_count += table.num_rows
+        self.metrics_["ingested"] += table.num_rows
+        self.seq += 1
+        if self.mutable_count >= self.mutable_rows:
+            self._freeze()
+        return {"part": self.part_id, "n": table.num_rows, "late": n_late}
+
+    def _freeze(self):
+        if not self.mutable:
+            return
+        t = pa.concat_tables(self.mutable).combine_chunks()
+        # within-buffer upsert: drop copies already superseded
+        t = self._visible_only(t)
+        seg = build_segment(t, self.schema)
+        self.sealed.append(seg)
+        self.mutable = []
+        self.mutable_count = 0
+        self.metrics_["freezes"] += 1
+
+    # -- windows / watermark ------------------------------------------------
+
+    def advance_watermark(self, wm_us: int, epoch: int = 0) -> list:
+        """Session-window close: freeze the buffer, close conversations idle
+        past the gap, return their session summary rows."""
+        self.watermark = max(self.watermark, wm_us)
+        self._freeze()
+        out = []
+        for c, lt in list(self.last_ts.items()):
+            if c in self.closed:
+                continue
+            if lt + self.session_gap_us < self.watermark:
+                n = self.conv_counts.get(c, 0)
+                self.closed[c] = (lt, n, epoch)
+                out.append({"conv_id": c, "session_end": lt,
+                            "n_turns": n, "epoch": epoch})
+        return out
+
+    # -- compaction ---------------------------------------------------------
+
+    def merge_tick(self, max_segments: int = 8) -> int:
+        """Layered LSM merge: when more than ``max_segments`` sealed
+        segments exist, merge the smallest tier into one (and vacuum
+        superseded copies away).  Returns the number of segments merged."""
+        if len(self.sealed) <= max_segments:
+            return 0
+        by_size = sorted(self.sealed, key=lambda s: s.num_docs)
+        merge_n = len(self.sealed) - max_segments + 1
+        victims = by_size[:merge_n]
+        keepers = by_size[merge_n:]
+        tbl = pa.concat_tables([s.table for s in victims]).combine_chunks()
+        tbl = self._visible_only(tbl, force=True)
+        self.sealed = keepers + [build_segment(tbl, self.schema)]
+        self.metrics_["merges"] += 1
+        return merge_n
+
+    def vacuum(self) -> int:
+        """Rewrite every segment dropping superseded copies (exact stats)."""
+        if not self.n_dead:
+            return 0
+        self._freeze()
+        n = 0
+        new = []
+        for s in self.sealed:
+            t = self._visible_only(s.table, force=True)
+            n += s.num_docs - t.num_rows
+            if t.num_rows:
+                new.append(build_segment(t, self.schema))
+        self.sealed = new
+        self.n_dead = 0
+        return n
+
+    def retract_keys(self, key_hashes: list) -> int:
+        """Drop keys whose live copy migrated to another partition (a
+        conversation turning hot re-routes new copies to salted partitions;
+        the stale copy here must not answer queries)."""
+        n = 0
+        for k in key_hashes:
+            if k in self.live_seq:
+                del self.live_seq[k]
+                self.n_dead += 1
+                n += 1
+        self.metrics_["retractions"] += n
+        return n
+
+    def _visible_only(self, t: pa.Table, force: bool = False) -> pa.Table:
+        """Filter a stored table down to rows that are the live copy of
+        their key (``live_seq[key] == __seq``)."""
+        if t.num_rows == 0 or (not self.n_dead and not force):
+            return t
+        conv = t.column(self.key_cols[0]).to_numpy(zero_copy_only=False)
+        turn = t.column(self.key_cols[1]).to_numpy(zero_copy_only=False)
+        seqs = t.column("__seq").to_numpy(zero_copy_only=False).tolist()
+        keys = _key_hash(conv, turn).tolist()
+        get = self.live_seq.get
+        keep = np.fromiter((get(k, -1) == s for k, s in zip(keys, seqs)),
+                           dtype=bool, count=len(keys))
+        if keep.all():
+            return t
+        return t.filter(pa.array(keep))
+
+    # -- query --------------------------------------------------------------
+
+    def _all_segments(self) -> list:
+        segs = list(self.sealed)
+        if self.mutable:
+            segs.append(build_segment(
+                pa.concat_tables(self.mutable).combine_chunks(), self.schema))
+        return segs
+
+    def stats_partial(self, requests_pickle: bytes) -> bytes:
+        """Partial GlobalStats for the driver's stats exchange barrier."""
+        req = pickle.loads(requests_pickle)
+        g = GlobalStats()
+        for seg in self._all_segments():
+            g.num_docs += seg.num_docs
+            for fname in req["fields"] | {f.split(".")[0]
+                                          for f, _ in req["terms"]}:
+                ti = seg.text.get(fname)
+                if ti is None:
+                    continue
+                g.field_total_tokens[fname] = (
+                    g.field_total_tokens.get(fname, 0) + ti.total_tokens)
+                g.field_doc_count[fname] = (
+                    g.field_doc_count.get(fname, 0) + ti.doc_count)
+            for (f, t) in req["terms"]:
+                base = f.split(".")[0]
+                ti = seg.text.get(base)
+                if ti is not None:
+                    g.term_df[(f, t)] = (g.term_df.get((f, t), 0)
+                                         + ti.doc_freq(t))
+        return pickle.dumps(g)
+
+    def topk(self, query_pickle: bytes, stats_pickle: bytes, k: int,
+             with_score: bool = True, columns=None) -> pa.Table:
+        """Local top-k by score desc then key asc (merge-rank happens on the
+        driver across partitions, like per-segment collectors)."""
+        query = pickle.loads(query_pickle)
+        stats = pickle.loads(stats_pickle)
+        parts = []
+        for seg in self._all_segments():
+            s = Searcher(seg, self.schema, stats)
+            hits = s.eval(query)
+            if len(hits) == 0:
+                continue
+            sub = seg.table.take(pa.array(hits.ids, pa.int64()))
+            if with_score:
+                sub = sub.append_column(
+                    "score", pa.array(hits.scores, pa.float32()))
+            sub = self._visible_only(sub)
+            if sub.num_rows:
+                parts.append(sub)
+        if not parts:
+            cols = columns or (list(self.key_cols)
+                               + (["score"] if with_score else []))
+            return pa.table({c: pa.array([], pa.string() if c == "conv_id"
+                                         else pa.float32() if c == "score"
+                                         else pa.int64()) for c in cols})
+        out = pa.concat_tables(parts, promote_options="default")
+        import pyarrow.compute as pc
+
+        sort_keys = [(c, "descending" if c == "score" else "ascending")
+                     for c in ((("score",) if with_score else ())
+                               + self.key_cols)
+                     if c in out.column_names]
+        idx = pc.sort_indices(out, sort_keys=sort_keys)
+        out = out.take(idx.slice(0, k))
+        if columns:
+            out = out.select([c for c in columns if c in out.column_names])
+        elif "__seq" in out.column_names:
+            out = out.drop_columns(["__seq"])
+        return out
+
+    def match_table(self, query_pickle: bytes, stats_pickle: bytes,
+                    columns=None) -> pa.Table:
+        """Full (unranked-capped) match set for this partition."""
+        return self.topk(query_pickle, stats_pickle, k=1 << 62,
+                         with_score=True, columns=columns)
+
+    # -- checkpoint / restore ----------------------------------------------
+
+    def checkpoint(self, ckpt_dir: str, epoch: int) -> str:
+        """Write manifest (lineage) + segment payloads; idempotent per
+        (partition, epoch) — the exactly-once unit of resume."""
+        self._freeze()
+        d = os.path.join(ckpt_dir, f"part-{self.part_id:05d}")
+        os.makedirs(d, exist_ok=True)
+        seg_file = os.path.join(d, f"epoch-{epoch:06d}.segments.pkl")
+        tmp = seg_file + ".tmp"
+        state = {
+            "sealed_tables": [s.table for s in self.sealed],
+            "live_seq": self.live_seq,
+            "row_seq": self.row_seq,
+            "n_dead": self.n_dead,
+            "last_ts": self.last_ts,
+            "conv_counts": self.conv_counts,
+            "closed": self.closed,
+            "watermark": self.watermark,
+            "seq": self.seq,
+            "metrics": self.metrics_,
+        }
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f, protocol=4)
+        os.replace(tmp, seg_file)
+        manifest = {
+            "part": self.part_id, "epoch": epoch, "seq": self.seq,
+            "watermark": self.watermark,
+            "segments": [{"file": os.path.basename(seg_file), "i": i,
+                          "num_docs": s.num_docs}
+                         for i, s in enumerate(self.sealed)],
+            "n_live_keys": len(self.live_seq),
+        }
+        mtmp = os.path.join(d, "manifest.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, os.path.join(d, "manifest.json"))
+        return seg_file
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Load the latest checkpoint; returns the restored epoch (-1 if
+        none)."""
+        d = os.path.join(ckpt_dir, f"part-{self.part_id:05d}")
+        mpath = os.path.join(d, "manifest.json")
+        if not os.path.exists(mpath):
+            return -1
+        with open(mpath) as f:
+            manifest = json.load(f)
+        epoch = manifest["epoch"]
+        with open(os.path.join(d, f"epoch-{epoch:06d}.segments.pkl"),
+                  "rb") as f:
+            state = pickle.load(f)
+        self.sealed = [build_segment(t, self.schema)
+                       for t in state["sealed_tables"]]
+        self.live_seq = state["live_seq"]
+        self.row_seq = state["row_seq"]
+        self.n_dead = state["n_dead"]
+        self.last_ts = state["last_ts"]
+        self.conv_counts = state["conv_counts"]
+        self.closed = state["closed"]
+        self.watermark = state["watermark"]
+        self.seq = state["seq"]
+        self.metrics_ = state["metrics"]
+        self.mutable = []
+        self.mutable_count = 0
+        return epoch
+
+    # -- introspection ------------------------------------------------------
+
+    def metrics(self) -> dict:
+        return dict(self.metrics_, part=self.part_id,
+                    sealed_segments=len(self.sealed),
+                    mutable_rows=self.mutable_count,
+                    live_keys=len(self.live_seq),
+                    tombstones=self.n_dead,
+                    watermark=self.watermark,
+                    closed_sessions=len(self.closed))
+
+    def hot_convs(self, threshold: int) -> list:
+        return [c for c, n in self.conv_counts.items() if n >= threshold]
+
+    def num_docs(self) -> int:
+        return sum(s.num_docs for s in self.sealed) + self.mutable_count

@@ -1,0 +1,270 @@
+"""Streaming engine tests: sharded ingest, session windows, retraction,
+checkpoint/resume, exactly-once sink (north_rule conformance).
+
+Semantics anchors: mutable segment `pg_search/src/postgres/insert.rs:56-70`,
+MVCC retraction `pg_search/src/index/directory/mvcc.rs`, segment manifest
+`pg_search/src/postgres/storage/block.rs`.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from paradedb_ray.query import ast, builders as pdb
+from paradedb_ray.schema import transcripts_schema
+from paradedb_ray.streaming import EpochRunner, StreamConfig, StreamEngine
+from paradedb_ray.testing.transcripts import transcript_turns
+
+GAP_US = 1_800_000_000  # 30 min
+
+
+def _engine(tmp=None, parts=4, **kw):
+    cfg = StreamConfig(num_partitions=parts, mutable_rows=500, **kw)
+    return StreamEngine(transcripts_schema(), cfg, checkpoint_dir=tmp)
+
+
+def _brute_term_ids(table: pa.Table, term: str) -> set:
+    conv = table.column("conv_id").to_pylist()
+    turn = table.column("turn_idx").to_pylist()
+    text = table.column("text").to_pylist()
+    return {(c, t) for c, t, x in zip(conv, turn, text)
+            if term in x.split(" ")}
+
+
+def _result_ids(t: pa.Table) -> set:
+    return set(zip(t.column("conv_id").to_pylist(),
+                   t.column("turn_idx").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def turns():
+    return transcript_turns(3000, seed=7)
+
+
+def test_ingest_matches_brute_force(ray_session, turns):
+    eng = _engine()
+    try:
+        eng.ingest(turns)
+        assert eng.num_docs() == turns.num_rows
+        for term in ("checkpoint", "merge", "watermark"):
+            got = eng.query_matches(pdb.term("text", term),
+                                    columns=["conv_id", "turn_idx", "score"])
+            assert _result_ids(got) == _brute_term_ids(turns, term)
+    finally:
+        eng.shutdown()
+
+
+def test_topk_is_global_and_stable(ray_session, turns):
+    eng = _engine(parts=3)
+    try:
+        eng.ingest(turns)
+        full = eng.query_matches(pdb.term("text", "segment"),
+                                 columns=["conv_id", "turn_idx", "score"])
+        top = eng.query_topk(pdb.term("text", "segment"), k=10,
+                             columns=["conv_id", "turn_idx", "score"])
+        assert top.num_rows == min(10, full.num_rows)
+        # the global top-k scores == the 10 best scores of the full match set
+        all_scores = sorted(full.column("score").to_pylist(), reverse=True)
+        got_scores = top.column("score").to_pylist()
+        assert got_scores == sorted(got_scores, reverse=True)
+        assert np.allclose(got_scores, all_scores[:top.num_rows])
+    finally:
+        eng.shutdown()
+
+
+def test_upsert_retraction(ray_session):
+    eng = _engine(parts=2)
+    try:
+        t0 = 1_700_000_000_000_000
+
+        def row(text, ts):
+            return pa.table({
+                "conv_id": pa.array(["c0"]), "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["user"]), "text": pa.array([text]),
+                "tool": pa.array([""]),
+                "ts": pa.array([ts], pa.timestamp("us"))})
+
+        eng.ingest(row("alpha beta", t0))
+        eng.ingest(row("gamma delta", t0 + 1))  # same key -> upsert
+        assert eng.query_matches(pdb.term("text", "alpha")).num_rows == 0
+        got = eng.query_matches(pdb.term("text", "gamma"),
+                                columns=["conv_id", "turn_idx", "score"])
+        assert _result_ids(got) == {("c0", 0)}
+        m = eng.metrics()
+        assert sum(x["retractions"] for x in m) == 1
+        # vacuum physically drops the tombstoned copy
+        eng.vacuum()
+        assert eng.num_docs() == 1
+    finally:
+        eng.shutdown()
+
+
+def test_session_window_close_and_reopen(ray_session):
+    eng = _engine(parts=2)
+    try:
+        t0 = 1_700_000_000_000_000
+        t = pa.table({
+            "conv_id": pa.array(["a", "a", "b"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["one", "two", "three"]),
+            "tool": pa.array([""] * 3),
+            "ts": pa.array([t0, t0 + 10_000_000, t0 + GAP_US * 3],
+                           pa.timestamp("us"))})
+        eng.ingest(t)
+        # watermark far past conv a's last ts + gap, but not b's
+        closed = eng.advance_watermark(t0 + GAP_US * 2, epoch=0)
+        assert closed.column("conv_id").to_pylist() == ["a"]
+        assert closed.column("n_turns").to_pylist() == [2]
+        # late arrival for a reopens the session (inside lateness bound)
+        late = pa.table({
+            "conv_id": pa.array(["a"]), "turn_idx": pa.array([2], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array(["four"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([t0 + 20_000_000], pa.timestamp("us"))})
+        eng.ingest(late)
+        closed2 = eng.advance_watermark(t0 + GAP_US * 2 + 1, epoch=1)
+        assert closed2.column("conv_id").to_pylist() == ["a"]
+        assert closed2.column("n_turns").to_pylist() == [3]
+        m = eng.metrics()
+        assert sum(x["reopened"] for x in m) == 1
+    finally:
+        eng.shutdown()
+
+
+def test_late_beyond_lateness_dropped(ray_session):
+    eng = _engine(parts=1, lateness_us=1_000_000)
+    try:
+        t0 = 1_700_000_000_000_000
+        eng.advance_watermark(t0)
+        old = pa.table({
+            "conv_id": pa.array(["z"]), "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array(["ancient"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([t0 - 10_000_000], pa.timestamp("us"))})
+        eng.ingest(old)
+        assert eng.num_docs() == 0
+        assert sum(x["late_dropped"] for x in eng.metrics()) == 1
+    finally:
+        eng.shutdown()
+
+
+def test_checkpoint_restore_roundtrip(ray_session, turns, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    eng = _engine(ckpt, parts=3)
+    try:
+        eng.ingest(turns)
+        want = _result_ids(eng.query_matches(
+            pdb.term("text", "watermark"), columns=["conv_id", "turn_idx"]))
+        eng.checkpoint(epoch=0)
+    finally:
+        eng.shutdown()
+
+    eng2 = _engine(ckpt, parts=3)
+    try:
+        assert eng2.restore() == 0
+        assert eng2.num_docs() == turns.num_rows
+        got = _result_ids(eng2.query_matches(
+            pdb.term("text", "watermark"), columns=["conv_id", "turn_idx"]))
+        assert got == want
+    finally:
+        eng2.shutdown()
+
+
+def test_exactly_once_epoch_runner(ray_session, turns, tmp_path):
+    """Crash mid-stream -> resume from checkpoint -> identical sink as an
+    uninterrupted run; committed epochs are never re-emitted."""
+    import pyarrow.parquet as pq
+
+    # split into 3 arrival-ordered epochs by ts
+    idx = pa.compute.sort_indices(turns, sort_keys=[("ts", "ascending")])
+    ordered = turns.take(idx)
+    n = ordered.num_rows
+    epochs = [ordered.slice(0, n // 3), ordered.slice(n // 3, n // 3),
+              ordered.slice(2 * (n // 3))]
+    standing = {"q_merge": pdb.term("text", "merge")}
+
+    sink_a = str(tmp_path / "sink_a")
+    eng = _engine(str(tmp_path / "ck_a"), parts=2)
+    try:
+        r = EpochRunner(eng, sink_a, standing, topk=5,
+                        columns=["conv_id", "turn_idx", "score"])
+        out = r.run(epochs)
+        assert [o["epoch"] for o in out] == [0, 1, 2]
+        # re-run: all epochs skipped, sink untouched
+        out2 = r.run(epochs)
+        assert all(o.get("skipped") for o in out2)
+    finally:
+        eng.shutdown()
+
+    # interrupted run: do epoch 0, "crash", resume with a fresh engine
+    sink_b = str(tmp_path / "sink_b")
+    ck_b = str(tmp_path / "ck_b")
+    eng1 = _engine(ck_b, parts=2)
+    try:
+        r1 = EpochRunner(eng1, sink_b, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"])
+        r1.run_epoch(0, epochs[0])
+    finally:
+        eng1.shutdown()  # crash
+
+    eng2 = _engine(ck_b, parts=2)
+    try:
+        r2 = EpochRunner(eng2, sink_b, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"])
+        assert r2.resume() == 0
+        out = r2.run(epochs)
+        assert out[0].get("skipped")  # epoch 0 committed, not re-emitted
+        # final emissions identical to the uninterrupted run
+        for e in (0, 1, 2):
+            a = pq.read_table(os.path.join(sink_a, "q_merge",
+                                           f"epoch={e:06d}.parquet"))
+            b = pq.read_table(os.path.join(sink_b, "q_merge",
+                                           f"epoch={e:06d}.parquet"))
+            assert a.equals(b)
+    finally:
+        eng2.shutdown()
+
+
+def test_hot_conv_salting_preserves_results(ray_session):
+    eng = _engine(parts=4, hot_threshold=50)
+    try:
+        # one huge conversation + some small ones
+        n_hot = 400
+        hot = pa.table({
+            "conv_id": pa.array(["hot"] * n_hot),
+            "turn_idx": pa.array(np.arange(n_hot, dtype=np.int32)),
+            "role": pa.array(["user"] * n_hot),
+            "text": pa.array(["salted shard query"] * n_hot),
+            "tool": pa.array([""] * n_hot),
+            "ts": pa.array(np.int64(1_700_000_000_000_000)
+                           + np.arange(n_hot, dtype=np.int64) * 1_000_000,
+                           pa.timestamp("us"))})
+        eng.ingest(hot.slice(0, 100))
+        assert "hot" in eng.refresh_hot()
+        eng.ingest(hot.slice(100))  # now salted across actors
+        got = eng.query_matches(pdb.term("text", "salted"),
+                                columns=["conv_id", "turn_idx"])
+        assert got.num_rows == n_hot
+        assert _result_ids(got) == {("hot", i) for i in range(n_hot)}
+        # salting actually spread the hot conv over >1 partition
+        m = eng.metrics()
+        parts_with_rows = sum(1 for x in m if x["ingested"] > 0)
+        assert parts_with_rows > 1
+    finally:
+        eng.shutdown()
+
+
+def test_query_parse_string_over_stream(ray_session, turns):
+    eng = _engine(parts=2)
+    try:
+        eng.ingest(turns)
+        got = eng.query_matches("checkpoint AND epoch",
+                                columns=["conv_id", "turn_idx"])
+        want = {k for k in _brute_term_ids(turns, "checkpoint")
+                if k in _brute_term_ids(turns, "epoch")}
+        assert _result_ids(got) == want
+    finally:
+        eng.shutdown()
