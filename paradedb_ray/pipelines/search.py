@@ -97,6 +97,79 @@ def search_topk(
     return out.limit(limit)
 
 
+def search_topk_multi(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    queries: dict,
+    limit: int,
+    order_by: Optional[Sequence[SortKey]] = None,
+    *,
+    with_score: bool = True,
+    output_columns: Optional[list] = None,
+) -> ray.data.Dataset:
+    """Top-k for MANY standing queries in two dataset passes total.
+
+    One shared stats pass (union of every query's stat requests) and one
+    scoring pass that builds each block's segment once and evaluates all
+    queries against it — the batch analogue of standing queries over a
+    persistent index.  Output carries a ``query_id`` column; each query's
+    rows are its global top-``limit`` under ``order_by``.
+    """
+    from paradedb_ray.stages.search_stages import (
+        MultiQueryScorer,
+        StatsCollector,
+        collect_stat_requests,
+        merge_stat_requests,
+        needs_positions,
+    )
+
+    queries = {name: (ast.Parse(q) if isinstance(q, str) else q)
+               for name, q in queries.items()}
+    if order_by is None:
+        order_by = [("score", "descending")]
+    order_by = list(order_by)
+
+    import pickle
+
+    import pyarrow as pa
+
+    from paradedb_ray.index.searcher import GlobalStats
+
+    req = merge_stat_requests(
+        [collect_stat_requests(q, schema) for q in queries.values()])
+    read_cols = sorted({f.split(".")[0] for f in req["fields"]}
+                       | {f.split(".")[0] for f, _ in req["terms"]})
+    stats_ds = ds.select_columns(read_cols) if read_cols else ds
+    parts = stats_ds.map_batches(
+        StatsCollector(schema, req), batch_format="pyarrow", batch_size=None
+    ).take_all()
+    stats = GlobalStats()
+    for row in parts:
+        stats.merge(pickle.loads(row["partial"]))
+
+    scorer = MultiQueryScorer(
+        schema, queries, stats,
+        with_score=with_score or any(k == "score" for k, _ in order_by),
+        prune_limit=limit, sort_keys=order_by, output_columns=output_columns,
+        store_positions=any(needs_positions(q, schema)
+                            for q in queries.values()))
+    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
+
+    cols = [k for k, _ in order_by]
+    desc = [d == "descending" for _, d in order_by]
+
+    def per_query_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(g, sort_keys=list(zip(cols, (
+            "descending" if d else "ascending" for d in desc))))
+        return g.take(idx.slice(0, limit))
+
+    # candidate set ≤ blocks × limit × |queries|: tiny groupby-shuffle
+    return scored.groupby("query_id").map_groups(
+        per_query_topk, batch_format="pyarrow")
+
+
 def search_count(
     ds: ray.data.Dataset,
     schema: IndexSchema,

@@ -114,6 +114,50 @@ def collect_stat_requests(q: ast.Query, schema: IndexSchema,
     return {"terms": terms, "fields": fields}
 
 
+def merge_stat_requests(reqs: list) -> dict:
+    """Union the stat requests of several queries (one shared stats pass)."""
+    out = {"terms": set(), "fields": set()}
+    for r in reqs:
+        out["terms"] |= r["terms"]
+        out["fields"] |= r["fields"]
+    return out
+
+
+def needs_positions(q: ast.Query, schema: Optional[IndexSchema] = None,
+                    default_fields: Optional[list] = None) -> bool:
+    """True iff evaluating ``q`` needs positional postings (phrase /
+    proximity family); term-only queries can skip position storage."""
+    if isinstance(q, (ast.Phrase, ast.TokenizedPhrase, ast.PhraseArray,
+                      ast.PhrasePrefix, ast.RegexPhrase, ast.Proximity)):
+        return True
+    if isinstance(q, ast.Boolean):
+        return any(needs_positions(c, schema, default_fields)
+                   for c in q.must + q.should + q.must_not)
+    if isinstance(q, (ast.Boost, ast.ConstScore)):
+        return needs_positions(q.query, schema, default_fields)
+    if isinstance(q, ast.ScoreFilter):
+        return q.query is not None and needs_positions(q.query, schema,
+                                                       default_fields)
+    if isinstance(q, ast.DisjunctionMax):
+        return any(needs_positions(c, schema, default_fields)
+                   for c in q.disjuncts)
+    if isinstance(q, ast.HeapFilter):
+        return needs_positions(q.indexed_query, schema, default_fields)
+    if isinstance(q, (ast.Parse, ast.ParseWithField)):
+        if schema is None:
+            return True  # conservative: query strings may contain phrases
+        from paradedb_ray.query.parser import parse_query_string
+
+        if isinstance(q, ast.ParseWithField):
+            dfs = [q.field]
+        else:
+            dfs = default_fields or schema.default_search_fields
+        sub = parse_query_string(q.query_string, schema, dfs,
+                                 bool(q.conjunction_mode), bool(q.lenient))
+        return needs_positions(sub, schema, dfs)
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Stage 1: per-block stat partials
 # ---------------------------------------------------------------------------
@@ -218,7 +262,8 @@ class BatchScorer:
                  snippet_cfgs: Optional[list] = None,
                  prune_limit: Optional[int] = None,
                  sort_keys: Optional[list] = None,
-                 output_columns: Optional[list] = None):
+                 output_columns: Optional[list] = None,
+                 store_positions: Optional[bool] = None):
         self.schema = schema
         self.query = query
         self.stats = stats
@@ -227,6 +272,11 @@ class BatchScorer:
         self.prune_limit = prune_limit
         self.sort_keys = sort_keys
         self.output_columns = output_columns
+        if store_positions is None:
+            # snippets need offsets; otherwise only positional queries do
+            store_positions = bool(self.snippet_cfgs) or needs_positions(
+                query, schema)
+        self.store_positions = store_positions
         if self.snippet_cfgs:
             from paradedb_ray.index.snippet import query_terms_for_field
 
@@ -236,7 +286,8 @@ class BatchScorer:
             }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        seg = build_segment(batch, self.schema)
+        seg = build_segment(batch, self.schema,
+                            store_positions=self.store_positions)
         searcher = Searcher(seg, self.schema, self.stats)
         hits = searcher.eval(self.query)
         out = batch.take(pa.array(hits.ids, pa.int64()))
@@ -253,6 +304,49 @@ class BatchScorer:
         if self.prune_limit is not None and out.num_rows > self.prune_limit:
             out = _local_topk(out, self.sort_keys, self.prune_limit)
         return out
+
+
+class MultiQueryScorer:
+    """map_batches callable evaluating MANY standing queries per block.
+
+    The segment (tokenization + postings) is built ONCE per block and
+    shared by every query — the standing-query amortization the reference
+    gets for free from its persistent index; emits ``query_id`` per row."""
+
+    def __init__(self, schema: IndexSchema, queries: dict,
+                 stats: GlobalStats, with_score: bool = True,
+                 prune_limit: Optional[int] = None,
+                 sort_keys: Optional[list] = None,
+                 output_columns: Optional[list] = None,
+                 store_positions: bool = True):
+        self.schema = schema
+        self.queries = queries  # name -> ast.Query
+        self.stats = stats
+        self.with_score = with_score
+        self.prune_limit = prune_limit
+        self.sort_keys = sort_keys
+        self.output_columns = output_columns
+        self.store_positions = store_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seg = build_segment(batch, self.schema,
+                            store_positions=self.store_positions)
+        searcher = Searcher(seg, self.schema, self.stats)
+        outs = []
+        for name, q in self.queries.items():
+            hits = searcher.eval(q)
+            out = batch.take(pa.array(hits.ids, pa.int64()))
+            if self.with_score:
+                out = out.append_column("score",
+                                        pa.array(hits.scores, pa.float32()))
+            if self.output_columns:
+                out = out.select(self.output_columns)
+            if self.prune_limit is not None and out.num_rows > self.prune_limit:
+                out = _local_topk(out, self.sort_keys, self.prune_limit)
+            out = out.append_column(
+                "query_id", pa.array([name] * out.num_rows, pa.string()))
+            outs.append(out)
+        return pa.concat_tables(outs)
 
 
 def _local_topk(table: pa.Table, sort_keys, limit: int) -> pa.Table:

@@ -96,38 +96,42 @@ def transcript_turns(n_turns: int, seed: int = 42,
     })
 
 
-def write_transcripts(path: str, n_turns: int, seed: int = 42,
-                      chunk: int = 50_000) -> str:
-    """Write (and cache) a deterministic transcripts parquet file; one
-    row-group per chunk so ray.data reads it block-parallel."""
-    if os.path.exists(path):
-        try:
-            if pq.read_metadata(path).num_rows == n_turns:
+#: parquet row-group size — the unit ray.data can split blocks on
+_ROW_GROUP = 4096
+#: files per generated dataset — the unit ray.data parallelizes reads over
+#: (a real transcript stream lands as many shard files, never one blob)
+_N_FILES = 32
+
+
+def write_transcripts(path: str, n_turns: int, seed: int = 42) -> str:
+    """Write (and cache) a deterministic transcripts dataset: a DIRECTORY of
+    ``_N_FILES`` parquet shard files (read-parallel, resumable layout)."""
+    marker = os.path.join(path, "_DONE")
+    if os.path.isdir(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(n_turns):
                 return path
-        except Exception:
-            pass
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    writer = None
+    os.makedirs(path, exist_ok=True)
+    per_file = max(1, n_turns // _N_FILES)
     done = 0
     conv_base = 0
-    try:
-        while done < n_turns:
-            n = min(chunk, n_turns - done)
-            t = transcript_turns(n, seed=seed, start_conv=conv_base)
-            conv_base += len(np.unique(t.column("conv_id").to_numpy(
-                zero_copy_only=False)))
-            if writer is None:
-                writer = pq.ParquetWriter(path, t.schema)
-            writer.write_table(t)
-            done += n
-    finally:
-        if writer is not None:
-            writer.close()
+    i = 0
+    while done < n_turns:
+        n = per_file if done + 2 * per_file <= n_turns else n_turns - done
+        t = transcript_turns(n, seed=seed, start_conv=conv_base)
+        conv_base += len(np.unique(t.column("conv_id").to_numpy(
+            zero_copy_only=False)))
+        pq.write_table(t, os.path.join(path, f"part-{i:05d}.parquet"),
+                       row_group_size=_ROW_GROUP)
+        done += n
+        i += 1
+    with open(marker, "w") as f:
+        f.write(str(n_turns))
     return path
 
 
 def transcripts_path(n_turns: int, seed: int = 42,
                      root: str = "/tmp/paradedb_ray_data") -> str:
-    """Cached path for an ``n_turns`` transcript table."""
-    p = os.path.join(root, f"transcripts_{n_turns}_{seed}.parquet")
+    """Cached dataset directory for an ``n_turns`` transcript table."""
+    p = os.path.join(root, f"transcripts_{n_turns}_{seed}")
     return write_transcripts(p, n_turns, seed=seed)

@@ -117,11 +117,23 @@ class Tokenizer:
         """Yield (raw_token_text, char_start, char_end)."""
         raise NotImplementedError
 
+    #: regex for the ASCII texts-only fast path (None = always slow path)
+    _fast_re = None
+
     def tokenize(self, text: str) -> list[str]:
         """Hot path: filtered token texts only (positions implicit by index
         when no removing filters are configured)."""
+        # ASCII fast path: findall on the whole (lowercased) text — skips
+        # match objects, per-token lower/trim, and emoji scanning.  Pure
+        # ASCII lowercasing is 1:1 and never moves a word boundary, so the
+        # result is byte-identical to the general path.
+        f = self.filters
+        rx = self._fast_re
+        if (rx is not None and not f._removes and f._stem is None
+                and not f.ascii_folding and text.isascii()):
+            return rx.findall(text.lower() if f.lowercase else text)
         toks = [t for t, _, _ in self._segments(text)]
-        return self.filters.apply_texts(toks)
+        return f.apply_texts(toks)
 
     def tokenize_tokens(self, text: str) -> list[Token]:
         """Full tokens with positions + char offsets (for phrase indexes and
@@ -134,6 +146,7 @@ class Tokenizer:
 
 class UnicodeWordsTokenizer(Tokenizer):
     name = "unicode_words"
+    _fast_re = _WORD_RE
 
     def __init__(self, remove_emojis: bool = False, filters: Optional[dict] = None):
         super().__init__(filters)
@@ -153,6 +166,7 @@ class SimpleTokenizer(Tokenizer):
 
     name = "default"
     _RE = re.compile(r"[^\W_]+", re.UNICODE)
+    _fast_re = _RE
 
     def _segments(self, text: str):
         return [(m.group(), m.start(), m.end()) for m in self._RE.finditer(text)]
