@@ -219,6 +219,109 @@ def _q_facet_lang(sf):
                        filter_query=pdb.term("text", "spark"))
 
 
+def _q_search_dismax(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.disjunction_max([pdb.term("text", "spark"),
+                             pdb.term("text", "vector")], tie_breaker=0.3)
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_exists(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import events_schema
+
+    return search(_tbl(sf, "events"), events_schema(),
+                  pdb.exists("props.k"), with_score=False,
+                  output_columns=["event_id"])
+
+
+def _q_search_phrase_prefix(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.phrase_prefix("text", ["batch", "wi"]),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_regex_phrase(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.regex_phrase("text", ["sp.*k", "ba.*h"]),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_boost(sf):
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.boolean(should=[pdb.boost(2.0, pdb.term("text", "spark")),
+                            pdb.const_score(0.5, pdb.term("text", "vector"))])
+    return search_topk(
+        _docs(sf), _doc_schema(), q, limit=10,
+        order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "score"])
+
+
+def _q_search_score_filter(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.score_filter([(1.0, None)], pdb.match_disjunction(
+        "text", "spark vector stream"))
+    return search(_docs(sf), _doc_schema(), q,
+                  output_columns=["doc_id", "score"])
+
+
+def _q_snippet_positions(sf):
+    from paradedb_ray.index.snippet import SnippetConfig
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    cfg = SnippetConfig(field="text", mode="positions")
+    return search(_docs(sf), _doc_schema(), pdb.term("text", "spark"),
+                  with_score=False, snippet_cfgs=[cfg],
+                  output_columns=["doc_id", "snippet_positions"])
+
+
+def _q_rrf(sf):
+    from paradedb_ray.pipelines.search import reciprocal_rank_fusion
+    from paradedb_ray.query import builders as pdb
+
+    return reciprocal_rank_fusion(
+        _docs(sf), _doc_schema(),
+        {"a": pdb.match_disjunction("text", "spark stream"),
+         "b": pdb.match_disjunction("text", "vector batch")},
+        key_cols=["doc_id"], limit=10)
+
+
+def _q_keyset_paging(sf):
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+    o = filter_batches(o, lambda b: pc.greater(b.column("o_orderkey"), 5000))
+    return o.sort(["o_orderkey"]).limit(20)
+
+
+def _q_heap_filter(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import ast, builders as pdb
+
+    q = ast.HeapFilter(
+        indexed_query=pdb.term("text", "spark"),
+        predicate=lambda t: pc.greater(t.column("n_chars"), 200).to_numpy(
+            zero_copy_only=False),
+        sql="n_chars > 200")
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
 # -- relational family ------------------------------------------------------
 
 
@@ -386,6 +489,45 @@ def _q_terms_agg(sf):
     }})
 
 
+def _q_stats_agg(sf):
+    # l_quantity is integer-valued: double sums are exact so the result is
+    # block-order-independent (bit-stable vs the sequential SQL oracle)
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    li = _tbl(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return pdb_agg(li, {"flags": {
+        "terms": {"field": "l_returnflag", "size": 100},
+        "aggs": {"v": {"stats": {"field": "l_quantity"}}},
+    }})
+
+
+def _q_cardinality(sf):
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    ev = _tbl(sf, "events", columns=["event_type", "user_id"])
+    return sql_aggregate(ev, ["event_type"],
+                         {"n_users": ("cardinality", "user_id")})
+
+
+def _q_percentiles(sf):
+    from paradedb_ray.pipelines.aggregate import percentiles_agg
+
+    li = _tbl(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return percentiles_agg(li, ["l_returnflag"], "l_extendedprice",
+                           percents=[25, 50, 75, 95])
+
+
+def _q_range_agg(sf):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    o = _tbl(sf, "orders", columns=["o_totalprice"])
+    return pdb_agg(o, {"buckets": {"range": {
+        "field": "o_totalprice",
+        "ranges": [{"key": "low", "to": 100000.0},
+                   {"key": "mid", "from": 100000.0, "to": 250000.0},
+                   {"key": "high", "from": 250000.0}]}}})
+
+
 # -- streaming windows ------------------------------------------------------
 
 
@@ -436,6 +578,46 @@ def _q_dedup_simhash(sf):
 
     return simhash_duplicates(_docs(sf, columns=["doc_id", "text"]),
                               "text", "doc_id", hamming_k=3)
+
+
+def _q_dedup_ngram_jaccard(sf):
+    from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
+
+    out = ngram_jaccard_duplicates(
+        _docs(sf, columns=["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5)
+    return out.select_columns(["doc_id", "dup_of"])
+
+
+def _q_dedup_embedding(sf):
+    from paradedb_ray.pipelines.dedup import embedding_near_duplicates
+
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_duplicates(emb, "embedding", "vec_id",
+                                     threshold=0.9)
+
+
+def _q_multimodal_decode(sf):
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        synthesize_payloads,
+    )
+
+    ds = synthesize_payloads(_docs(sf, columns=["doc_id", "text"]),
+                             "text", "doc_id")
+    return decode_media(ds).select_columns(
+        ["doc_id", "width", "height", "n_bytes"])
+
+
+def _q_multimodal_features(sf):
+    from paradedb_ray.pipelines.multimodal import (
+        extract_features,
+        synthesize_payloads,
+    )
+
+    ds = synthesize_payloads(_docs(sf, columns=["doc_id", "text"]),
+                             "text", "doc_id")
+    return extract_features(ds).select_columns(["doc_id", "features"])
 
 
 def _q_token_count(sf):
@@ -528,7 +710,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_term": _q_search_range_term,
         "search_topk_bm25": _q_search_topk_bm25,
         "search_topk_field": _q_search_topk_field,
+        "search_dismax": _q_search_dismax,
+        "search_exists": _q_search_exists,
+        "search_phrase_prefix": _q_search_phrase_prefix,
+        "search_regex_phrase": _q_search_regex_phrase,
+        "search_boost": _q_search_boost,
+        "search_score_filter": _q_search_score_filter,
         "snippet": _q_snippet,
+        "snippet_positions": _q_snippet_positions,
+        "rrf": _q_rrf,
+        "keyset_paging": _q_keyset_paging,
+        "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
         "facet_lang": _q_facet_lang,
         "agg_groupby": _q_agg_groupby,
@@ -545,12 +737,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": _q_histogram,
         "date_histogram": _q_date_histogram,
         "terms_agg": _q_terms_agg,
+        "stats_agg": _q_stats_agg,
+        "cardinality": _q_cardinality,
+        "percentiles": _q_percentiles,
+        "range_agg": _q_range_agg,
         "tumbling_1h": _q_tumbling_1h,
         "sliding_1h_30m": _q_sliding_1h_30m,
         "session_30m": _q_session_30m,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_features": _q_multimodal_features,
         "token_count": _q_token_count,
         "quality": _q_quality,
         "langid": _q_langid,
@@ -601,6 +801,24 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_field":
             f"SELECT doc_id, n_chars FROM documents WHERE list_contains({_TOKS}, 'spark')"
             " ORDER BY n_chars DESC, doc_id LIMIT 20",
+        "search_dismax":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" OR list_contains({_TOKS}, 'vector')",
+        "search_exists":
+            "SELECT event_id FROM events"
+            " WHERE json_extract_string(props, '$.k') IS NOT NULL",
+        "search_phrase_prefix":
+            "SELECT doc_id FROM documents"
+            " WHERE ' ' || text || ' ' LIKE '% batch wi%'",
+        "search_regex_phrase":
+            "SELECT doc_id FROM documents"
+            " WHERE regexp_matches(' ' || text || ' ', ' sp[^ ]*k ba[^ ]*h ')",
+        "keyset_paging":
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 20",
+        "heap_filter":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            " AND n_chars > 200",
         "json_term":
             "SELECT event_id FROM events"
             " WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 5",
@@ -652,6 +870,34 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",
+        "stats_agg":
+            "SELECT l_returnflag, count(*) AS doc_count,"
+            " count(l_quantity) AS v_count, min(l_quantity) AS v_min,"
+            " max(l_quantity) AS v_max, sum(l_quantity) AS v_sum,"
+            " avg(l_quantity) AS v_avg FROM lineitem GROUP BY l_returnflag",
+        "cardinality":
+            "SELECT event_type, count(DISTINCT user_id) AS n_users"
+            " FROM events GROUP BY event_type",
+        "percentiles":
+            "SELECT l_returnflag,"
+            " quantile_cont(l_extendedprice, 0.25) AS p25,"
+            " quantile_cont(l_extendedprice, 0.50) AS p50,"
+            " quantile_cont(l_extendedprice, 0.75) AS p75,"
+            " quantile_cont(l_extendedprice, 0.95) AS p95"
+            " FROM lineitem GROUP BY l_returnflag",
+        "range_agg":
+            "SELECT CASE WHEN o_totalprice < 100000 THEN 'low'"
+            " WHEN o_totalprice < 250000 THEN 'mid' ELSE 'high' END"
+            " AS buckets_key, count(*) AS doc_count FROM orders"
+            " GROUP BY buckets_key",
+        "multimodal_decode":
+            "SELECT doc_id,"
+            " 16 + CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) % 240"
+            "   AS width,"
+            " 16 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 240"
+            "   AS height,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes"
+            " FROM documents",
         "tumbling_1h":
             "SELECT date_trunc('hour', ts) AS window_start, event_type,"
             " count(*) AS n, min(value) AS vmin, max(value) AS vmax"

@@ -312,6 +312,11 @@ class Searcher:
         return Hits.const(np.unique(np.concatenate(parts)), 1.0)
 
     def _eval_Exists(self, q: ast.Exists, boost):
+        if "." in q.field:  # JSON dot-path presence (`api/mod.rs:47`)
+            base, path = q.field.split(".", 1)
+            vals = self.seg.json_path_values(base, path)
+            mask = np.array([v is not None for v in vals], dtype=bool)
+            return _mask_to_hits(mask)
         f = self.schema.field(q.field)
         if f.ftype == TEXT and q.field in self.seg.text:
             return Hits.const(np.flatnonzero(self.seg.text[q.field].has_value))
@@ -559,6 +564,70 @@ class Searcher:
             idx = np.searchsorted(ids, h.ids)
             np.maximum.at(mx, idx, h.scores)
         return Hits(ids, mx)
+
+    def _eval_RegexPhrase(self, q: ast.RegexPhrase, boost):
+        """Positional phrase of regex-matched terms
+        (`pdb_query.rs` RegexPhrase): each slot expands to the vocab terms
+        matching its regex (capped at ``max_expansions``); a doc matches
+        when some combination lines up within ``slop``.  Scored like a
+        phrase whose per-slot df is the summed df of the expansions."""
+        ti = self.seg.text.get(q.field)
+        if ti is None or not q.regexes:
+            return Hits.empty()
+        slot_codes = []
+        for pat in q.regexes:
+            rx = _re.compile(pat)
+            codes = [i for i, t in enumerate(ti.vocab) if rx.fullmatch(t)]
+            codes = codes[: q.max_expansions]
+            if not codes:
+                return Hits.empty()
+            slot_codes.append(codes)
+        # candidate docs: intersection over slots of the union of postings
+        cand = None
+        slot_docs = []
+        for codes in slot_codes:
+            docs = np.unique(np.concatenate(
+                [ti.postings(c)[0] for c in codes]))
+            slot_docs.append(docs)
+            cand = docs if cand is None else cand[
+                np.isin(cand, docs, assume_unique=True)]
+        if cand is None or len(cand) == 0:
+            return Hits.empty()
+        out_docs, out_tf = [], []
+        for doc in cand:
+            plists = []
+            for codes in slot_codes:
+                pos = []
+                for c in codes:
+                    docs_c, _, (s, e) = ti.postings(c)
+                    j = np.searchsorted(docs_c, doc)
+                    if j < len(docs_c) and docs_c[j] == doc:
+                        pos.append(ti.positions(s + j))
+                if not pos:
+                    break
+                plists.append(np.sort(np.concatenate(pos)))
+            if len(plists) < len(slot_codes):
+                continue
+            tf = _phrase_freq(plists, q.slop)
+            if tf > 0:
+                out_docs.append(doc)
+                out_tf.append(tf)
+        if not out_docs:
+            return Hits.empty()
+        docs = np.asarray(out_docs, dtype=np.int64)
+        tfs = np.asarray(out_tf, dtype=np.int32)
+        idf = _F32(0.0)
+        for codes in slot_codes:
+            df = int(sum(ti.term_offsets[c + 1] - ti.term_offsets[c]
+                         for c in codes))
+            if df > 0:
+                idf = _F32(idf + idf_f32(min(df, self.stats.num_docs),
+                                         self.stats.num_docs))
+        weight = idf * _F32(boost) * (_ONE + K1)
+        cache = self._norm_cache(q.field)
+        norms = cache[ti.fieldnorm_ids[docs]]
+        tff = tfs.astype(np.float32)
+        return Hits(docs, (weight * (tff / (tff + norms))).astype(np.float32))
 
     # -- vocab-expansion queries (const score 1.0) ---------------------------
 

@@ -65,6 +65,37 @@ def sql_aggregate(
         ds = search(ds, schema, filter_query, with_score=False)
 
     agg_filters = agg_filters or {}
+
+    # cardinality (exact COUNT(DISTINCT col)): two-stage shuffle — distinct
+    # on (keys, col) then count per keys — computed separately and joined
+    # back onto the other aggregates' (small) result
+    card = {n: c for n, (k, c) in aggs.items() if k == "cardinality"}
+    if card:
+        rest = {n: kc for n, kc in aggs.items() if kc[0] != "cardinality"}
+        outs = []
+        for name, col in card.items():
+            dd = ds.groupby((group_by or []) + [col]).aggregate(
+                Count(alias_name="__c"))
+            if group_by:
+                o = dd.groupby(group_by).aggregate(Count(alias_name=name))
+            else:
+                o = ray.data.from_items([{name: dd.count()}])
+            outs.append(o)
+        if rest:
+            outs.insert(0, sql_aggregate(ds, group_by, rest,
+                                         agg_filters=agg_filters))
+        import functools
+
+        import pandas as pd
+
+        dfs = [o.to_pandas() for o in outs]  # aggregate outputs are small
+        if group_by:
+            merged = functools.reduce(
+                lambda a, b: a.merge(b, on=group_by, how="outer"), dfs)
+        else:
+            merged = pd.concat([d.reset_index(drop=True) for d in dfs], axis=1)
+        return ray.data.from_pandas(merged)
+
     needs_mask = {n for n in aggs if n in agg_filters}
 
     if needs_mask:
@@ -156,19 +187,15 @@ def pdb_agg(
     kind = next((k for k in spec if k in bucket_kinds), None)
     if kind is None:
         # bare metrics
-        metrics = {name: spec}
         aggs = {}
-        for mname, mspec in metrics.items():
-            [(mk, body)] = mspec.items()
-            aggs[mname] = (_metric_kind(mk), body["field"])
+        _expand_metric(aggs, name, spec)
         return sql_aggregate(ds, [], aggs)
 
     body = spec[kind]
     sub = spec.get("aggs", {})
     aggs = {"doc_count": ("count_star", None)}
     for mname, mspec in sub.items():
-        [(mk, mbody)] = mspec.items()
-        aggs[mname] = (_metric_kind(mk), mbody["field"])
+        _expand_metric(aggs, mname, mspec)
 
     field = body["field"]
     if kind == "terms":
@@ -219,12 +246,74 @@ def pdb_agg(
     raise ValueError(f"unsupported bucket kind {kind}")
 
 
+def _expand_metric(aggs: dict, mname: str, mspec: dict):
+    """One ES metric spec -> sql_aggregate agg entries (``stats`` expands
+    to its five component columns, `aggregate/mod.rs` stats agg)."""
+    [(mk, body)] = mspec.items()
+    if mk == "stats":
+        f = body["field"]
+        for s in ("count", "min", "max", "sum", "avg"):
+            aggs[f"{mname}_{s}"] = (s, f)
+    else:
+        aggs[mname] = (_metric_kind(mk), body["field"])
+
+
 def _metric_kind(mk: str) -> str:
     m = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
          "value_count": "count", "cardinality": "cardinality"}
     if mk not in m:
         raise ValueError(f"unsupported metric {mk!r}")
     return m[mk]
+
+
+def percentiles_agg(
+    ds: ray.data.Dataset,
+    group_by: list,
+    col: str,
+    percents: list = (25.0, 50.0, 75.0, 95.0),
+    prefix: str = "p",
+) -> ray.data.Dataset:
+    """Exact interpolated percentiles per group (the ES ``percentiles``
+    metric, `aggregate/mod.rs` percentile path — the reference uses a
+    t-digest sketch; at our block sizes an exact per-group quantile via
+    ``map_groups`` is both cheaper and oracle-comparable; a sketch drops in
+    here if group cardinality explodes).
+
+    Output columns: group keys + ``{prefix}{int(p)}`` per percentile.
+    Interpolation is ``(1-f)*lo + f*hi`` — bit-identical to SQL
+    ``quantile_cont`` (np.quantile's ``lo + f*(hi-lo)`` differs in the
+    last ulp on ties)."""
+    import math
+
+    percents = list(percents)
+
+    def q(g: pa.Table) -> pa.Table:
+        x = g.column(col).to_numpy(zero_copy_only=False).astype(float)
+        x = np.sort(x[~np.isnan(x)])
+        out = {k: [g.column(k)[0].as_py()] for k in group_by}
+        for p in percents:
+            if len(x):
+                h = (len(x) - 1) * (p / 100.0)
+                lo, hi = x[math.floor(h)], x[math.ceil(h)]
+                f = h - math.floor(h)
+                v = float((1.0 - f) * lo + f * hi)
+            else:
+                v = None
+            out[f"{prefix}{int(p) if float(p).is_integer() else p}"] = [v]
+        return pa.table(out)
+
+    if group_by:
+        return ds.groupby(group_by).map_groups(q, batch_format="pyarrow")
+
+    def q_all(t: pa.Table) -> pa.Table:
+        return q(t)
+
+    # ungrouped: single reduce over the (pruned) value column
+    import pyarrow as _pa
+
+    vals = ds.select_columns([col]).take_all()
+    t = _pa.table({col: [r[col] for r in vals]})
+    return ray.data.from_arrow(q_all(t))
 
 
 def facet_terms(ds: ray.data.Dataset, field: str, size: Optional[int] = None,

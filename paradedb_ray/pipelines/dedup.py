@@ -225,3 +225,136 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_duplicates(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """Near-dup pairs with EXACT n-gram-Jaccard verification: MinHash+LSH
+    proposes candidate pairs (the scale path), then each pair is verified
+    with the exact word-k-gram Jaccard kernel.  Emits
+    (key, dup_of, jaccard) for pairs >= threshold.
+
+    The verification join ships only the candidate keys' texts (a filter
+    over the corpus), never all-pairs."""
+    sigs = ds.map_batches(
+        MinHasher(text_col, key_col, num_perm, shingle_k, bands),
+        batch_format="pyarrow", batch_size=None)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key_col].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        canon = ks[0]
+        return pd.DataFrame({key_col: ks[1:], "dup_of": canon})
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    cand = pairs.to_pandas().drop_duplicates([key_col, "dup_of"])
+    if len(cand) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {key_col: [], "dup_of": [], "jaccard": []}))
+
+    # fetch the candidate keys' texts with a broadcast membership filter
+    import ray as _ray
+
+    wanted_ref = _ray.put(set(cand[key_col]) | set(cand["dup_of"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(wanted_ref)
+        kv = batch.column(key_col).to_pylist()
+        mask = pa.array([k in wanted for k in kv], pa.bool_())
+        return batch.filter(mask).select([key_col, text_col])
+
+    texts = {r[key_col]: r[text_col]
+             for r in ds.map_batches(keep, batch_format="pyarrow",
+                                     batch_size=None).take_all()}
+    out_k, out_d, out_j = [], [], []
+    for _, row in cand.iterrows():
+        j = ngram_jaccard(texts.get(row[key_col], ""),
+                          texts.get(row["dup_of"], ""), shingle_k)
+        if j >= threshold:
+            out_k.append(row[key_col])
+            out_d.append(row["dup_of"])
+            out_j.append(j)
+    res = pd.DataFrame({key_col: out_k, "dup_of": out_d, "jaccard": out_j})
+    # keep one canonical target per duplicate key
+    res = res.sort_values([key_col, "dup_of"]).drop_duplicates([key_col])
+    return ray.data.from_pandas(res.reset_index(drop=True))
+
+
+def embedding_near_duplicates(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    key_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup: random-hyperplane LSH (sign bits of
+    ``V @ P``), banded; within each colliding bucket exact cosine verifies
+    pairs >= threshold.  Emits (key, dup_of, cosine) with the bucket-minimal
+    key canonical.  All-pairs work is confined to LSH buckets."""
+    bits_per_band = n_bits // bands
+
+    class Planes:
+        def __init__(self):
+            self.P = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = np.stack([np.asarray(v, dtype=np.float32)
+                          for v in batch.column(vec_col).to_pylist()])
+            if self.P is None:
+                rng = np.random.RandomState(seed)
+                self.P = rng.standard_normal((V.shape[1], n_bits)).astype(
+                    np.float32)
+            signs = (V @ self.P) > 0
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+            keys = batch.column(key_col).to_pylist()
+            norm = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                  1e-12)
+            out_k, out_b, out_h, out_v = [], [], [], []
+            for b in range(bands):
+                chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+                h = chunk.astype(np.int64) @ weights
+                out_k.extend(keys)
+                out_b.extend([b] * len(keys))
+                out_h.extend(h.tolist())
+                out_v.extend(norm.tolist())
+            return pa.table({
+                key_col: pa.array(out_k),
+                "band": pa.array(out_b, pa.int32()),
+                "bucket": pa.array(out_h, pa.int64()),
+                "nvec": pa.array(out_v, pa.list_(pa.float32())),
+            })
+
+    sig = ds.map_batches(Planes(), batch_format="pyarrow", batch_size=None,
+                         concurrency=2)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        if len(g) < 2:
+            return pd.DataFrame({key_col: [], "dup_of": [], "cosine": []})
+        V = np.stack([np.asarray(v, dtype=np.float32) for v in g["nvec"]])
+        keys = g[key_col].tolist()
+        cos = V[1:] @ V[0]
+        m = cos >= threshold
+        return pd.DataFrame({key_col: np.asarray(keys[1:])[m],
+                             "dup_of": keys[0],
+                             "cosine": cos[m].astype(float)})
+
+    pairs = sig.groupby(["band", "bucket"]).map_groups(
+        bucket, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("dup_of").head(1)
+
+    return pairs.groupby(key_col).map_groups(dedup_pairs,
+                                             batch_format="pandas")

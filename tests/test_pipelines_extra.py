@@ -1,0 +1,191 @@
+"""Tests for round-1 coverage additions: cardinality/percentiles/stats
+aggs, regex-phrase, RRF, n-gram-Jaccard and embedding near-dup,
+multimodal stub stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.fixture
+def events_tbl():
+    rng = np.random.RandomState(5)
+    n = 400
+    return pa.table({
+        "event_type": pa.array([f"t{i % 4}" for i in range(n)]),
+        "user_id": pa.array((rng.randint(0, 37, n)).tolist(), pa.int64()),
+        "value": pa.array(rng.randint(0, 50, n).astype(float)),
+    })
+
+
+def test_cardinality_exact(ray_session, events_tbl):
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = sql_aggregate(ds, ["event_type"],
+                        {"n_users": ("cardinality", "user_id"),
+                         "total": ("count_star", None)}).to_pandas()
+    exp = duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users,"
+        " count(*) AS total FROM events_tbl GROUP BY event_type").df()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    exp = exp.sort_values("event_type").reset_index(drop=True)
+    assert got[["event_type", "n_users", "total"]].astype(
+        {"n_users": int, "total": int}).equals(
+        exp[["event_type", "n_users", "total"]].astype(
+            {"n_users": int, "total": int}))
+
+
+def test_percentiles_bitwise_vs_duckdb(ray_session, events_tbl):
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import percentiles_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = percentiles_agg(ds, ["event_type"], "value",
+                          percents=[25, 50, 90]).to_pandas()
+    exp = duckdb.sql(
+        "SELECT event_type, quantile_cont(value, 0.25) AS p25,"
+        " quantile_cont(value, 0.50) AS p50,"
+        " quantile_cont(value, 0.90) AS p90"
+        " FROM events_tbl GROUP BY event_type").df()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    exp = exp.sort_values("event_type").reset_index(drop=True)
+    for c in ("p25", "p50", "p90"):
+        assert [v.hex() for v in got[c]] == [v.hex() for v in exp[c]], c
+
+
+def test_stats_agg_expansion(ray_session, events_tbl):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    out = pdb_agg(ds, {"g": {"terms": {"field": "event_type", "size": 10},
+                             "aggs": {"v": {"stats": {"field": "value"}}}}})
+    df = out.to_pandas()
+    assert {"event_type", "doc_count", "v_count", "v_min", "v_max",
+            "v_sum", "v_avg"} <= set(df.columns)
+    assert df["doc_count"].sum() == 400
+
+
+def test_regex_phrase_matches_brute(ray_session):
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+    import re
+
+    texts = ["spark batch runs", "spork batch", "spark match", "batch spark",
+             "the spark bunch works", "spark  batch", None, "sprk batch"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x or "") for x in texts],
+                                      pa.int64())})
+    schema = documents_schema()
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+    def brute(slop):
+        out = []
+        r1, r2 = re.compile("sp.*k"), re.compile("b.*h")
+        for i, x in enumerate(texts):
+            toks = (x or "").split()
+            hit = any(r1.fullmatch(toks[a]) and r2.fullmatch(toks[b])
+                      for a in range(len(toks))
+                      for b in range(a + 1, min(a + 2 + slop, len(toks))))
+            if hit:
+                out.append(i)
+        return out
+
+    h = s.eval(pdb.regex_phrase("text", ["sp.*k", "b.*h"]))
+    got = sorted(seg.table.column("doc_id").take(h.ids.tolist()).to_pylist())
+    assert got == brute(0)
+    # slop=1 lets one token intervene
+    h2 = s.eval(pdb.regex_phrase("text", ["sp.*k", "b.*h"], slop=1))
+    got2 = sorted(seg.table.column("doc_id").take(h2.ids.tolist()).to_pylist())
+    assert got2 == brute(1)
+    assert set(got2) >= set(got)
+
+
+def test_rrf_prefers_docs_in_both_rankings(ray_session):
+    from paradedb_ray.pipelines.search import reciprocal_rank_fusion
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+
+    texts = (["alpha beta"] * 3) + ["alpha only"] + ["beta only"] + \
+        ["gamma delta"] * 4
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = reciprocal_rank_fusion(
+        ds, documents_schema(),
+        {"qa": pdb.term("text", "alpha"), "qb": pdb.term("text", "beta")},
+        key_cols=["doc_id"], limit=5).to_pandas()
+    # docs 0-2 appear in both rankings -> fused above single-ranking docs
+    top3 = set(out.head(3)["doc_id"])
+    assert top3 == {0, 1, 2}
+
+
+def test_ngram_jaccard_duplicates(ray_session):
+    from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    near = base.replace("tonight", "today")
+    other = "completely different words with no overlap whatsoever here"
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([base, near, other])})
+    out = ngram_jaccard_duplicates(ray.data.from_arrow(t), "text", "doc_id",
+                                   threshold=0.5).to_pandas()
+    assert list(out["doc_id"]) == [2]
+    assert list(out["dup_of"]) == [1]
+    assert (out["jaccard"] >= 0.5).all()
+
+
+def test_embedding_near_duplicates(ray_session):
+    from paradedb_ray.pipelines.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    near = base + rng.standard_normal(32).astype(np.float32) * 0.01
+    rest = rng.standard_normal((20, 32)).astype(np.float32)
+    vecs = [base, near] + list(rest)
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = embedding_near_duplicates(ray.data.from_arrow(t), "embedding",
+                                    "vec_id", threshold=0.95).to_pandas()
+    assert list(out["vec_id"]) == [1]
+    assert list(out["dup_of"]) == [0]
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import hashlib
+
+    from paradedb_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_features,
+        synthesize_payloads,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["hello world", "abc"])})
+    ds = synthesize_payloads(ray.data.from_arrow(t), "text", "doc_id")
+    dec = decode_media(ds).to_pandas().sort_values("doc_id")
+    h = hashlib.md5(b"hello world").digest()
+    assert dec.iloc[0]["width"] == 16 + h[0] % 240
+    assert dec.iloc[0]["height"] == 16 + h[1] % 240
+    assert dec.iloc[0]["n_bytes"] == len(b"hello world")
+    feat = extract_features(ds).to_pandas().sort_values("doc_id")
+    assert all(len(f) == FEATURE_DIM for f in feat["features"])
+    # deterministic across runs
+    feat2 = extract_features(ds).to_pandas().sort_values("doc_id")
+    assert [list(a) for a in feat["features"]] == \
+        [list(a) for a in feat2["features"]]
