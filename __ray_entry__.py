@@ -322,6 +322,18 @@ def _q_heap_filter(sf):
                   output_columns=["doc_id"])
 
 
+def _q_more_like_this(sf):
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.more_like_this(key_value=7, min_doc_frequency=1,
+                           min_term_frequency=1, max_query_terms=10)
+    return search_topk(
+        _docs(sf), _doc_schema(), q, limit=10,
+        order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "score"])
+
+
 # -- relational family ------------------------------------------------------
 
 
@@ -719,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet": _q_snippet,
         "snippet_positions": _q_snippet_positions,
         "rrf": _q_rrf,
+        "more_like_this": _q_more_like_this,
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,

@@ -730,7 +730,55 @@ class Searcher:
         return Hits(h.ids[keep], h.scores[keep])
 
     def _eval_MoreLikeThis(self, q: ast.MoreLikeThis, boost):
-        raise NotImplementedError("more_like_this: planned (SURVEY §2.2)")
+        """Extract "interesting" terms from the exemplar text and evaluate
+        the resulting OR (`query/more_like_this.rs:31-80`): per-field term
+        frequencies filtered by tf / word-length / stopword / doc-freq
+        bounds, ranked by tf·idf, top ``max_query_terms`` kept.
+
+        ``key_value`` exemplars must be resolved to ``document_fields``
+        before distributed evaluation (see
+        ``pipelines.search.resolve_more_like_this``) — a block-local lookup
+        would only see its own partition."""
+        if not q.document_fields:
+            raise ValueError(
+                "MoreLikeThis.key_value must be resolved to document_fields "
+                "before evaluation (resolve_more_like_this)")
+        stop = set(q.stop_words or ())
+        scored = []
+        for field, text in q.document_fields:
+            f = self.schema.fields.get(field)
+            if f is None or text is None:
+                continue
+            tf: dict = {}
+            toks = (f.analyzer.tokenize(text) if f.ftype == TEXT
+                    else [text])
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, c in tf.items():
+                if q.min_term_frequency is not None and c < q.min_term_frequency:
+                    continue
+                if q.min_word_length is not None and len(t) < q.min_word_length:
+                    continue
+                if q.max_word_length is not None and len(t) > q.max_word_length:
+                    continue
+                if t in stop:
+                    continue
+                df = self.stats.df(field, t)
+                if q.min_doc_frequency is not None and df < q.min_doc_frequency:
+                    continue
+                if q.max_doc_frequency is not None and df > q.max_doc_frequency:
+                    continue
+                if df <= 0:
+                    continue
+                scored.append((float(idf_f32(df, self.stats.num_docs)) * c,
+                               field, t))
+        scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+        keep = scored[: (q.max_query_terms or 25)]
+        if not keep:
+            return Hits.empty()
+        sub = ast.Boolean(should=[ast.Term(field=f_, value=t) for _, f_, t in keep])
+        b = boost * (q.boost_factor if q.boost_factor is not None else 1.0)
+        return self.eval(sub, b)
 
 
 def _coerce_bound_value(typ: pa.DataType, val):

@@ -26,6 +26,48 @@ def _needs_stats(q: ast.Query) -> bool:
     return True
 
 
+def resolve_more_like_this(ds: ray.data.Dataset, schema: IndexSchema,
+                           query: ast.Query) -> ast.Query:
+    """Rewrite MoreLikeThis ``key_value`` exemplars into ``document_fields``
+    by fetching the exemplar row once on the driver (the reference looks the
+    document up in the index the same way,
+    `api/builder_fns/mlt.rs:28-100`)."""
+    import copy
+
+    import pyarrow.compute as pc
+
+    def walk(q):
+        if isinstance(q, ast.MoreLikeThis) and q.key_value is not None \
+                and not q.document_fields:
+            key = schema.key_fields[0]
+            # small pushdown filter: only the exemplar row leaves the read
+            matches = ds.map_batches(
+                lambda b: b.filter(pc.equal(b.column(key), q.key_value)),
+                batch_format="pyarrow", batch_size=None).take(1)
+            if not matches:
+                q2 = copy.copy(q)
+                q2.document_fields = []
+                return q2
+            r = matches[0]
+            q2 = copy.copy(q)
+            from paradedb_ray.schema import TEXT as _TEXT
+
+            q2.document_fields = [
+                (f.name, r.get(f.name))
+                for f in schema.fields.values()
+                if f.ftype == _TEXT and r.get(f.name) is not None]
+            return q2
+        for attr in ("must", "should", "must_not", "disjuncts"):
+            if hasattr(q, attr) and getattr(q, attr):
+                setattr(q, attr, [walk(c) for c in getattr(q, attr)])
+        for attr in ("query", "indexed_query"):
+            if hasattr(q, attr) and isinstance(getattr(q, attr), ast.Query):
+                setattr(q, attr, walk(getattr(q, attr)))
+        return q
+
+    return walk(query)
+
+
 def search(
     ds: ray.data.Dataset,
     schema: IndexSchema,
@@ -43,6 +85,7 @@ def search(
     """
     if isinstance(query, str):
         query = ast.Parse(query)
+    query = resolve_more_like_this(ds, schema, query)
     if stats is None:
         stats = compute_global_stats(ds, schema, query)
     scorer = BatchScorer(schema, query, stats, with_score=with_score,
@@ -72,6 +115,7 @@ def search_topk(
     """
     if isinstance(query, str):
         query = ast.Parse(query)
+    query = resolve_more_like_this(ds, schema, query)
     if order_by is None:
         order_by = [("score", "descending")]
     order_by = list(order_by)

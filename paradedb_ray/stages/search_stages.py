@@ -108,6 +108,14 @@ def collect_stat_requests(q: ast.Query, schema: IndexSchema,
             sub = parse_query_string(q.query_string, schema, dfs,
                                      bool(q.conjunction_mode), bool(q.lenient))
             walk(sub, dfs)
+        elif isinstance(q, ast.MoreLikeThis):
+            for field, text in (q.document_fields or []):
+                fdef = schema.fields.get(field)
+                if fdef is None or text is None:
+                    continue
+                fields.add(field.split(".")[0])
+                for t in field_tokens(field, text):
+                    terms.add((field, t))
         # fuzzy/regex/term_set/range/exists/proximity: constant score — no df
 
     walk(q, default_fields)

@@ -320,14 +320,30 @@ class EpochRunner:
     def __init__(self, engine: StreamEngine, sink_dir: str,
                  standing_queries: dict,
                  topk: int = 10, columns: Optional[list] = None,
-                 checkpoint_every: int = 1):
+                 checkpoint_every: int = 1,
+                 query_stream: Optional[list] = None):
         self.engine = engine
         self.sink_dir = sink_dir
-        self.standing = standing_queries  # name -> Query | str
+        self.standing = dict(standing_queries)  # name -> Query | str
         self.topk = topk
         self.columns = columns
         self.checkpoint_every = checkpoint_every
+        # the query stream: [(epoch, "add"|"remove", name, query|None)] —
+        # standing queries arrive/retire over time; each epoch joins the
+        # live query set against the indexed turn stream (the stateful
+        # query-stream ⋈ turn-stream join of the north rule)
+        self.query_stream = sorted(query_stream or [], key=lambda e: e[0])
         os.makedirs(sink_dir, exist_ok=True)
+
+    def _apply_query_stream(self, epoch: int):
+        for ev in self.query_stream:
+            ep, op, name = ev[0], ev[1], ev[2]
+            if ep != epoch:
+                continue
+            if op == "add":
+                self.standing[name] = ev[3]
+            elif op == "remove":
+                self.standing.pop(name, None)
 
     def _commit_marker(self, epoch: int) -> str:
         return os.path.join(self.sink_dir, f"epoch={epoch:06d}._COMMIT")
@@ -336,6 +352,7 @@ class EpochRunner:
         return os.path.exists(self._commit_marker(epoch))
 
     def run_epoch(self, epoch: int, table: pa.Table) -> dict:
+        self._apply_query_stream(epoch)  # deterministic: replayed on resume
         if self.epoch_done(epoch):
             return {"epoch": epoch, "skipped": True}
         eng = self.engine
@@ -362,6 +379,16 @@ class EpochRunner:
         eng.merge_tick()
         if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
             eng.checkpoint(epoch)
+        # per-partition metrics lineage (ingested/late/retracted/reopened,
+        # segment + watermark state) — one JSON per epoch
+        mdir = os.path.join(self.sink_dir, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        mtmp = os.path.join(mdir, f"epoch={epoch:06d}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump({"epoch": epoch, "watermark": wm,
+                       "live_queries": sorted(self.standing),
+                       "partitions": eng.metrics()}, f)
+        os.replace(mtmp, os.path.join(mdir, f"epoch={epoch:06d}.json"))
         # commit marker LAST: the epoch is replayed in full on crash before
         # this point, and every write above is idempotent (same path, same
         # deterministic content) -> effectively exactly-once.

@@ -165,6 +165,30 @@ def test_embedding_near_duplicates(ray_session):
     assert list(out["dup_of"]) == [0]
 
 
+def test_more_like_this(ray_session):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+
+    texts = ["apple banana cherry", "apple banana grape", "apple pear kiwi",
+             "stone brick cement", "glass steel wood"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    q = pdb.more_like_this(key_value=0, min_doc_frequency=1,
+                           min_term_frequency=1)
+    out = search(ds, documents_schema(), q,
+                 output_columns=["doc_id", "score"]).to_pandas()
+    # docs sharing terms with doc 0 match; unrelated docs don't
+    assert set(out["doc_id"]) == {0, 1, 2}
+    ranked = out.sort_values("score", ascending=False)["doc_id"].tolist()
+    assert ranked[0] == 0          # the exemplar itself scores highest
+    assert ranked[1] == 1          # two shared terms beat one
+
+
 def test_multimodal_stub_pipeline(ray_session):
     import hashlib
 

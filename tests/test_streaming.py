@@ -257,6 +257,38 @@ def test_hot_conv_salting_preserves_results(ray_session):
         eng.shutdown()
 
 
+def test_query_stream_join_and_metrics(ray_session, turns, tmp_path):
+    """Queries arrive/retire over epochs (query-stream ⋈ turn-stream);
+    per-epoch metrics lineage is emitted alongside results."""
+    import json as _json
+
+    idx = pa.compute.sort_indices(turns, sort_keys=[("ts", "ascending")])
+    ordered = turns.take(idx)
+    n = ordered.num_rows
+    epochs = [ordered.slice(0, n // 2), ordered.slice(n // 2)]
+    sink = str(tmp_path / "sink")
+    eng = _engine(parts=2)
+    try:
+        r = EpochRunner(
+            eng, sink, {"q0": pdb.term("text", "merge")}, topk=5,
+            columns=["conv_id", "turn_idx", "score"],
+            query_stream=[(1, "add", "q1", pdb.term("text", "epoch")),
+                          (1, "remove", "q0", None)])
+        r.run(epochs)
+        # epoch 0: only q0 emitted; epoch 1: q1 in, q0 retired
+        assert os.path.exists(os.path.join(sink, "q0", "epoch=000000.parquet"))
+        assert not os.path.exists(os.path.join(sink, "q0", "epoch=000001.parquet"))
+        assert os.path.exists(os.path.join(sink, "q1", "epoch=000001.parquet"))
+        m0 = _json.load(open(os.path.join(sink, "metrics", "epoch=000000.json")))
+        m1 = _json.load(open(os.path.join(sink, "metrics", "epoch=000001.json")))
+        assert m0["live_queries"] == ["q0"]
+        assert m1["live_queries"] == ["q1"]
+        assert sum(p["ingested"] for p in m1["partitions"]) == n
+        assert all("watermark" in p for p in m1["partitions"])
+    finally:
+        eng.shutdown()
+
+
 def test_query_parse_string_over_stream(ray_session, turns):
     eng = _engine(parts=2)
     try:
