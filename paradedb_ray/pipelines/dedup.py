@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -64,7 +65,12 @@ def _shingles(tokens: list, k: int) -> set:
 
 class MinHasher:
     """Stateful map_batches callable: 64-perm MinHash over word k-shingles.
-    Permutation parameters derive from a fixed seed (once per actor)."""
+
+    Fully vectorized across the batch: one fixed-key siphash pass over ALL
+    shingles (pandas ``hash_array``), one ``(a·h+b) mod p`` + segmented min
+    (``minimum.reduceat``) per permutation, and a polynomial band combine —
+    no per-document Python loop.  Permutation parameters derive from a
+    fixed seed (once per actor)."""
 
     def __init__(self, text_col: str, key_col: str, num_perm: int = 64,
                  shingle_k: int = 3, bands: int = 16, seed: int = 42):
@@ -78,38 +84,55 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_perm // bands
 
-    def signature(self, text: str) -> Optional[np.ndarray]:
-        toks = (text or "").split()
-        sh = _shingles(toks, self.shingle_k)
-        if not sh:
-            return None
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "little") for s in sh],
-            dtype=np.uint64,
-        )
-        # (a*h + b) mod p, vectorized over perms x shingles
-        vals = (np.outer(self.a, hs) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+    def signatures(self, texts: list):
+        """-> (doc_index ndarray, sig matrix [n_docs_with_shingles, P])."""
+        all_sh, counts, doc_idx = [], [], []
+        for i, text in enumerate(texts):
+            sh = _shingles((text or "").split(), self.shingle_k)
+            if not sh:
+                continue
+            all_sh.extend(sh)
+            counts.append(len(sh))
+            doc_idx.append(i)
+        if not all_sh:
+            return np.empty(0, np.int64), np.empty((0, self.num_perm),
+                                                   np.uint64)
+        hs = pd.util.hash_array(np.asarray(all_sh, dtype=object))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sig = np.empty((len(counts), self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            vals = (self.a[p] * hs + self.b[p]) % _MERSENNE
+            sig[:, p] = np.minimum.reduceat(vals, starts)
+        return np.asarray(doc_idx, dtype=np.int64), sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, bands, bhash = [], [], []
         texts = batch.column(self.text_col).to_pylist()
-        kvals = batch.column(self.key_col).to_pylist()
-        for key, text in zip(kvals, texts):
-            sig = self.signature(text)
-            if sig is None:
-                continue
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                keys.append(key)
-                bands.append(bi)
-                bhash.append(int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF)
+        doc_idx, sig = self.signatures(texts)
+        n = len(doc_idx)
+        if n == 0:
+            return pa.table({
+                self.key_col: pa.array([], batch.column(self.key_col).type),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+            })
+        kvals = batch.column(self.key_col).take(pa.array(doc_idx))
+        # polynomial combine of each band's rows (vectorized per band)
+        C = np.uint64(0x9E3779B97F4A7C15)
+        out_keys, out_band, out_hash = [], [], []
+        for bi in range(self.bands):
+            chunk = sig[:, bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                h = h * C + chunk[:, j]
+            out_keys.append(kvals)
+            out_band.append(np.full(n, bi, dtype=np.int32))
+            out_hash.append((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
         return pa.table({
-            self.key_col: pa.array(keys),
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(bhash, pa.int64()),
+            self.key_col: pa.concat_arrays([pa.concat_arrays(k.chunks)
+                                            if isinstance(k, pa.ChunkedArray)
+                                            else k for k in out_keys]),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
         })
 
 
@@ -129,24 +152,79 @@ def minhash_lsh_duplicates(
         batch_format="pyarrow", batch_size=None,
         concurrency=None,
     )
+    return _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"])
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        ks = sorted(g[key_col].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        canon = ks[0]
-        return pd.DataFrame({key_col: ks[1:], "dup_of": canon})
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket, batch_format="pandas")
+def _lsh_bucket_pairs(sigs: "ray.data.Dataset", key_col: str,
+                      bucket_cols: list,
+                      dedup: bool = True) -> "ray.data.Dataset":
+    """(key, *bucket) rows -> (key, dup_of) pairs, canonical = bucket-min.
 
+    Scale shape: ONE native hash aggregate finds each bucket's min key and
+    size; only COLLIDING buckets (true near-dup candidates, a vanishing
+    fraction of the corpus) are broadcast back and expanded — no per-group
+    Python call over millions of singleton buckets."""
+    from ray.data.aggregate import Count, Min
+
+    agg = sigs.groupby(bucket_cols).aggregate(
+        Min(on=key_col, alias_name="dup_of"), Count(alias_name="__n"))
+    coll = agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("__n"), 1)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(coll) == 0:
+        return ray.data.from_pandas(pd.DataFrame({key_col: [], "dup_of": []}))
+    canon = {tuple(r[c] for c in bucket_cols): r["dup_of"]
+             for _, r in coll.iterrows()}
+    import ray as _ray
+
+    canon_ref = _ray.put(canon)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cmap = _ray.get(canon_ref)
+        cols = [batch.column(c).to_pylist() for c in bucket_cols]
+        keys = batch.column(key_col).to_pylist()
+        out_k, out_d = [], []
+        for i, k in enumerate(keys):
+            d = cmap.get(tuple(c[i] for c in cols))
+            if d is not None and d != k:
+                out_k.append(k)
+                out_d.append(d)
+        return pa.table({key_col: pa.array(out_k, batch.column(key_col).type),
+                         "dup_of": pa.array(out_d,
+                                            batch.column(key_col).type)})
+
+    pairs = sigs.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    if not dedup:
+        return pairs
     # a key may collide in several bands: keep the smallest dup_of per key
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("dup_of").head(1)
+    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
+                                                alias_name="dup_of"))
 
-    return pairs.groupby(key_col).map_groups(dedup_pairs, batch_format="pandas")
+
+def _filter_colliding(sigs: "ray.data.Dataset", bucket_cols: list,
+                      key_col: str) -> "ray.data.Dataset":
+    """Keep only rows whose bucket holds >1 distinct key (the candidate
+    fraction); singleton buckets — the overwhelming majority — never reach
+    the per-bucket verification step."""
+    from ray.data.aggregate import Count
+
+    agg = sigs.groupby(bucket_cols).aggregate(Count(alias_name="__n"))
+    coll = agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("__n"), 1)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    buckets = {tuple(r[c] for c in bucket_cols) for _, r in coll.iterrows()}
+    import ray as _ray
+
+    ref = _ray.put(buckets)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bs = _ray.get(ref)
+        cols = [batch.column(c).to_pylist() for c in bucket_cols]
+        mask = pa.array([tuple(c[i] for c in cols) in bs
+                         for i in range(batch.num_rows)], pa.bool_())
+        return batch.filter(mask)
+
+    return sigs.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
 def simhash64(tokens: list) -> int:
@@ -193,6 +271,7 @@ def simhash_duplicates(
                          "sim": pa.array(out_sim, pa.int64())})
 
     sig = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
+    cand = _filter_colliding(sig, ["band", "chunk"], key_col)
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         if g[key_col].nunique() < 2:
@@ -209,12 +288,12 @@ def simhash_duplicates(
                 out_d.append(canon)
         return pd.DataFrame({key_col: out_k, "dup_of": out_d})
 
-    pairs = sig.groupby(["band", "chunk"]).map_groups(bucket, batch_format="pandas")
+    pairs = cand.groupby(["band", "chunk"]).map_groups(bucket,
+                                                       batch_format="pandas")
+    from ray.data.aggregate import Min
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("dup_of").head(1)
-
-    return pairs.groupby(key_col).map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
+                                                alias_name="dup_of"))
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -246,16 +325,8 @@ def ngram_jaccard_duplicates(
     sigs = ds.map_batches(
         MinHasher(text_col, key_col, num_perm, shingle_k, bands),
         batch_format="pyarrow", batch_size=None)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key_col].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        canon = ks[0]
-        return pd.DataFrame({key_col: ks[1:], "dup_of": canon})
-
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"],
+                              dedup=False)
     cand = pairs.to_pandas().drop_duplicates([key_col, "dup_of"])
     if len(cand) == 0:
         return ray.data.from_pandas(pd.DataFrame(
@@ -350,11 +421,10 @@ def embedding_near_duplicates(
                              "dup_of": keys[0],
                              "cosine": cos[m].astype(float)})
 
-    pairs = sig.groupby(["band", "bucket"]).map_groups(
+    cand = _filter_colliding(sig, ["band", "bucket"], key_col)
+    pairs = cand.groupby(["band", "bucket"]).map_groups(
         bucket, batch_format="pandas")
+    from ray.data.aggregate import Min
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("dup_of").head(1)
-
-    return pairs.groupby(key_col).map_groups(dedup_pairs,
-                                             batch_format="pandas")
+    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
+                                                alias_name="dup_of"))
