@@ -140,6 +140,41 @@ def bench_transcripts_topk(path: str, num_cpus: int) -> dict:
             "result_rows": total_rows}
 
 
+def bench_transcripts_stream(path: str, num_cpus: int) -> dict:
+    """End-to-end streaming: 4-epoch micro-batch run through the sharded
+    BM25 partition actors (ingest + watermark/session windows + standing
+    query top-k + exactly-once sink)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import EpochRunner, StreamConfig, StreamEngine
+
+    t = pads.dataset(path).to_table()
+    idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
+    t = t.take(idx)
+    P = max(4, num_cpus // 2)
+    sink = "/tmp/paradedb_ray_bench/stream_sink"
+    shutil.rmtree(sink, ignore_errors=True)
+    eng = StreamEngine(transcripts_schema(),
+                       StreamConfig(num_partitions=P, mutable_rows=10000))
+    try:
+        r = EpochRunner(eng, sink,
+                        {"q": pdb.term("text", "merge")}, topk=10,
+                        columns=["conv_id", "turn_idx", "score"])
+        n = t.num_rows
+        epochs = [t.slice(i * n // 4, n // 4) for i in range(4)]
+        t0 = time.time()
+        r.run(epochs)
+        sec = time.time() - t0
+    finally:
+        eng.shutdown()
+    return {"sec": sec, "turns": n, "turns_per_s": n / sec}
+
+
 def run_analytics(sf_dir: str) -> dict:
     import __ray_entry__ as entry
 
@@ -174,7 +209,10 @@ def run_once(num_cpus: int, sf_dir: str, transcripts_only: bool = False) -> dict
     topk = min((bench_transcripts_topk(path, num_cpus) for _ in range(2)),
                key=lambda r: r["sec"])
     queries["transcripts_topk"] = round(topk["sec"], 3)
-    if not transcripts_only:
+    stream = None
+    if not transcripts_only:  # skip in the scaling trials (uses index/topk)
+        stream = bench_transcripts_stream(path, num_cpus)
+        queries["transcripts_stream"] = round(stream["sec"], 3)
         queries.update(run_analytics(sf_dir))
 
     total = time.time() - t_all
@@ -188,6 +226,8 @@ def run_once(num_cpus: int, sf_dir: str, transcripts_only: bool = False) -> dict
         "num_cpus": num_cpus,
         "indexing_turns_per_s": round(idx["turns_per_s"], 1),
         "topk_rows_per_s": round(topk["rows_per_s"], 1),
+        **({"streaming_turns_per_s": round(stream["turns_per_s"], 1)}
+           if stream else {}),
     }
 
 
