@@ -191,6 +191,19 @@ def _q_search_topk_field(sf):
     )
 
 
+def _q_search_multi(sf):
+    from paradedb_ray.pipelines.search import search_topk_multi
+    from paradedb_ray.query import builders as pdb
+
+    return search_topk_multi(
+        _docs(sf), _doc_schema(),
+        {"qa": pdb.term("text", "spark"), "qb": pdb.term("text", "vector")},
+        limit=15,
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")],
+        with_score=False,
+        output_columns=["doc_id", "n_chars"])
+
+
 def _q_snippet(sf):
     from paradedb_ray.index.snippet import SnippetConfig
     from paradedb_ray.pipelines.search import search
@@ -722,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_term": _q_search_range_term,
         "search_topk_bm25": _q_search_topk_bm25,
         "search_topk_field": _q_search_topk_field,
+        "search_multi": _q_search_multi,
         "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
         "search_phrase_prefix": _q_search_phrase_prefix,
@@ -817,6 +831,15 @@ def oracle_sql() -> dict[str, str]:
         "search_dismax":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'vector')",
+        "search_multi":
+            "SELECT * FROM ("
+            f"SELECT 'qa' AS query_id, doc_id, n_chars FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark')"
+            " ORDER BY n_chars DESC, doc_id LIMIT 15)"
+            " UNION ALL SELECT * FROM ("
+            f"SELECT 'qb' AS query_id, doc_id, n_chars FROM documents"
+            f" WHERE list_contains({_TOKS}, 'vector')"
+            " ORDER BY n_chars DESC, doc_id LIMIT 15)",
         "search_exists":
             "SELECT event_id FROM events"
             " WHERE json_extract_string(props, '$.k') IS NOT NULL",
