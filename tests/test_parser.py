@@ -1,0 +1,123 @@
+"""Query-string parser tests (tantivy ``query_grammar`` surface,
+`pg_search/src/query/pdb_query.rs:1832-1928`): precedence, occur prefixes,
+phrases with slop, fuzzy, boost, ranges, field scoping, IN sets."""
+
+import pyarrow as pa
+import pytest
+
+from paradedb_ray.index import Searcher, build_segment
+from paradedb_ray.query import ast
+from paradedb_ray.query.parser import parse_query_string
+from paradedb_ray.schema import documents_schema, mock_items_schema
+from paradedb_ray.testing import mock_items_table
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return documents_schema()
+
+
+def _p(s, schema, fields=("text",), conj=False, lenient=False):
+    return parse_query_string(s, schema, list(fields), conj, lenient)
+
+
+def test_bare_term(schema):
+    q = _p("spark", schema)
+    assert isinstance(q, ast.Term) and q.value == "spark"
+
+
+def test_implicit_or_and_explicit_and(schema):
+    q = _p("spark batch", schema)
+    assert isinstance(q, ast.Boolean) and len(q.should) == 2
+    q2 = _p("spark AND batch", schema)
+    assert isinstance(q2, ast.Boolean) and len(q2.must) == 2
+
+
+def test_and_binds_tighter_than_or(schema):
+    q = _p("a OR b AND c", schema)
+    assert isinstance(q, ast.Boolean)
+    assert len(q.should) == 2
+    inner = q.should[1]
+    assert isinstance(inner, ast.Boolean) and len(inner.must) == 2
+
+
+def test_not_and_minus(schema):
+    for s in ("spark NOT batch", "spark -batch"):
+        q = _p(s, schema)
+        assert isinstance(q, ast.Boolean)
+        assert len(q.must_not) == 1, s
+
+
+def test_plus_occur(schema):
+    q = _p("+spark batch", schema)
+    assert isinstance(q, ast.Boolean)
+    assert len(q.must) == 1 and len(q.should) == 1
+
+
+def test_phrase_with_slop(schema):
+    q = _p('"merge join"~2', schema)
+    assert isinstance(q, (ast.Phrase, ast.TokenizedPhrase, ast.PhraseArray))
+    assert q.slop == 2
+
+
+def test_fuzzy_and_boost(schema):
+    q = _p("sparc~1", schema)
+    assert isinstance(q, ast.FuzzyTerm) and q.distance == 1
+    q2 = _p("spark^2.5", schema)
+    assert isinstance(q2, ast.Boost) and q2.factor == 2.5
+
+
+def test_field_scoping(schema):
+    q = _p("lang:en", schema)
+    assert isinstance(q, ast.Term) and q.field == "lang" and q.value == "en"
+    q2 = _p("lang:(en OR de)", schema)
+    assert isinstance(q2, ast.Boolean)
+    assert all(c.field == "lang" for c in q2.should)
+
+
+def test_numeric_range(schema):
+    q = _p("n_chars:[100 TO 300]", schema)
+    assert isinstance(q, ast.Range)
+    assert q.lower_bound.value == 100 and q.lower_bound.kind == "included"
+    assert q.upper_bound.value == 300 and q.upper_bound.kind == "included"
+    q2 = _p("n_chars:{100 TO *}", schema)
+    assert q2.lower_bound.kind == "excluded"
+    assert q2.upper_bound.kind == "unbounded"
+
+
+def test_cmp_shorthand(schema):
+    q = _p("n_chars:>=200", schema)
+    assert isinstance(q, ast.Range)
+    assert q.lower_bound.value == 200 and q.lower_bound.kind == "included"
+
+
+def test_in_set(schema):
+    q = _p("lang:IN [en de]", schema)
+    assert isinstance(q, ast.TermSet)
+    assert sorted(q.terms) == ["de", "en"]
+
+
+def test_conjunction_mode(schema):
+    q = _p("spark batch", schema, conj=True)
+    assert isinstance(q, ast.Boolean) and len(q.must) == 2
+
+
+def test_lenient_swallows_garbage(schema):
+    q = _p("spark AND", schema, lenient=True)
+    assert q is not None
+    with pytest.raises(Exception):
+        _p("n_chars:[1 TO", schema, lenient=False)
+
+
+def test_end_to_end_on_mock_items():
+    """Parsed query evaluates identically to the hand-built AST
+    (regress `operators.sql` shape)."""
+    schema = mock_items_schema()
+    seg = build_segment(mock_items_table(), schema)
+    s = Searcher(seg, schema)
+    parsed = s.eval(ast.ParseWithField("description", "running shoes"))
+    manual = s.eval(ast.Boolean(should=[
+        ast.Term(field="description", value="running"),
+        ast.Term(field="description", value="shoes")]))
+    assert parsed.ids.tolist() == manual.ids.tolist()
+    assert parsed.scores.tolist() == manual.scores.tolist()
