@@ -204,6 +204,16 @@ def _q_search_multi(sf):
         output_columns=["doc_id", "n_chars"])
 
 
+def _q_search_count(sf):
+    import pandas as pd
+
+    from paradedb_ray.pipelines.search import search_count
+    from paradedb_ray.query import builders as pdb
+
+    n = search_count(_docs(sf), _doc_schema(), pdb.term("text", "spark"))
+    return pd.DataFrame({"n": [n]})
+
+
 def _q_snippet(sf):
     from paradedb_ray.index.snippet import SnippetConfig
     from paradedb_ray.pipelines.search import search
@@ -318,7 +328,7 @@ def _q_keyset_paging(sf):
     from paradedb_ray.pipelines.relational import filter_batches
 
     o = _tbl(sf, "orders", columns=["o_orderkey", "o_totalprice"])
-    o = filter_batches(o, lambda b: pc.greater(b.column("o_orderkey"), 5000))
+    o = filter_batches(o, lambda b: pc.greater(b.column("o_orderkey"), 100))
     return o.sort(["o_orderkey"]).limit(20)
 
 
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_bm25": _q_search_topk_bm25,
         "search_topk_field": _q_search_topk_field,
         "search_multi": _q_search_multi,
+        "search_count": _q_search_count,
         "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
         "search_phrase_prefix": _q_search_phrase_prefix,
@@ -831,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         "search_dismax":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'vector')",
+        "search_count":
+            f"SELECT CAST(count(*) AS BIGINT) AS n FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark')",
         "search_multi":
             "SELECT * FROM ("
             f"SELECT 'qa' AS query_id, doc_id, n_chars FROM documents"
@@ -851,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
             " WHERE regexp_matches(' ' || text || ' ', ' sp[^ ]*k ba[^ ]*h ')",
         "keyset_paging":
             "SELECT o_orderkey, o_totalprice FROM orders"
-            " WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 20",
+            " WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 20",
         "heap_filter":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             " AND n_chars > 200",
