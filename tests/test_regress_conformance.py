@@ -131,6 +131,80 @@ def test_proximity_regex_clauses(prox_searcher):
     assert _ids(prox_searcher, h) == []
 
 
+# -- snippets.out -----------------------------------------------------------
+
+_SNIPPET_DOCS = {
+    1: "The quick brown fox jumps over the lazy dog. The dog is very lazy. "
+       "The fox is quick.",
+    2: "A lazy dog is a happy dog. Dogs are the best, especially a lazy one.",
+    3: "Foxes and dogs are not friends. A quick fox is a clever fox.",
+    4: "This text does not contain the search words.",
+    5: "The lazy brown dog, and the quick red fox. The dog and fox are here.",
+    6: "A sentence with no matching words.",
+    7: "A test sentence for testing. Another test sentence.",
+}
+
+
+def _snips(terms, cfg):
+    from paradedb_ray.index.snippet import generate
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    an = tokenizer_from_config(None)
+    out = {}
+    for i, txt in _SNIPPET_DOCS.items():
+        s = generate(txt, an, terms, cfg)
+        if s:
+            out[i] = s
+    return out
+
+
+def test_snippets_multi_golden():
+    from paradedb_ray.index.snippet import SnippetConfig
+
+    cfg = SnippetConfig(field="content", mode="multi")
+    got = _snips({"lazy"}, cfg)
+    assert got == {
+        1: ["The quick brown fox jumps over the <b>lazy</b> dog. The dog is "
+            "very <b>lazy</b>. The fox is quick"],
+        2: ["A <b>lazy</b> dog is a happy dog. Dogs are the best, especially "
+            "a <b>lazy</b> one"],
+        5: ["The <b>lazy</b> brown dog, and the quick red fox. The dog and "
+            "fox are here"],
+    }
+    got2 = _snips({"fox", "dog"}, cfg)
+    assert got2[3] == ["Foxes and dogs are not friends. A quick <b>fox</b> "
+                       "is a clever <b>fox</b>"]
+
+
+def test_snippets_custom_tags_golden():
+    from paradedb_ray.index.snippet import SnippetConfig
+
+    cfg = SnippetConfig(field="content", mode="multi",
+                        start_tag="<em>", end_tag="</em>")
+    got = _snips({"quick"}, cfg)
+    assert got[5] == ["The lazy brown dog, and the <em>quick</em> red fox. "
+                      "The dog and fox are here"]
+
+
+def test_snippets_fragmentation_golden():
+    from paradedb_ray.index.snippet import SnippetConfig
+
+    cfg = SnippetConfig(field="content", mode="multi", max_num_chars=25)
+    got = _snips({"fox"}, cfg)
+    assert got == {
+        1: ["The quick brown <b>fox</b> jumps",
+            "dog is very lazy. The <b>fox</b>"],
+        3: ["friends. A quick <b>fox</b> is a", "clever <b>fox</b>"],
+        5: ["the quick red <b>fox</b>. The", "dog and <b>fox</b> are here"],
+    }
+    cfg1 = SnippetConfig(field="content", mode="multi", max_num_chars=25,
+                         limit=1)
+    got1 = _snips({"fox"}, cfg1)
+    assert got1 == {1: ["The quick brown <b>fox</b> jumps"],
+                    3: ["friends. A quick <b>fox</b> is a"],
+                    5: ["the quick red <b>fox</b>. The"]}
+
+
 # -- fuzzy.out --------------------------------------------------------------
 
 
@@ -151,6 +225,48 @@ def test_fuzzy_array_occurs(mock_searcher):
     # &&& ARRAY (conjunction) -> {3}
     h = mock_searcher.eval(ast.Boolean(must=fz))
     assert _ids(mock_searcher, h) == [3]
+
+
+# -- aggregate.out ----------------------------------------------------------
+
+
+def test_aggregate_pushdown_golden(ray_session):
+    """COUNT/SUM/AVG/MIN/MAX over `description @@@ 'laptop'` on the
+    products fixture (aggregate.out tests 1.1-1.5)."""
+    import ray.data
+
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    schema = IndexSchema.build(
+        "id", description={"type": "text"},
+        category={"type": "keyword"}, rating={"type": "i64"},
+        price={"type": "f64"})
+    t = pa.table({
+        "id": pa.array(range(1, 9), pa.int64()),
+        "description": pa.array([
+            "Laptop with fast processor", "Gaming laptop with RGB",
+            "Toy laptop for kids", "Wireless keyboard and mouse",
+            "Mechanical keyboard RGB", "Running shoes for athletes",
+            "Winter jacket warm", "Summer jacket light"]),
+        "category": pa.array(["Electronics", "Electronics", "Toys",
+                              "Electronics", "Electronics", "Sports",
+                              "Clothing", "Clothing"]),
+        "rating": pa.array([5, 5, 3, 4, 5, 5, 4, 3], pa.int64()),
+        "price": pa.array([999.99, 1299.99, 499.99, 79.99, 149.99, 89.99,
+                           129.99, 59.99], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = sql_aggregate(
+        ds, [], {"count": ("count_star", None), "sum": ("sum", "price"),
+                 "avg": ("avg", "price"), "min": ("min", "price"),
+                 "max": ("max", "price")},
+        schema=schema,
+        filter_query=ast.ParseWithField("description", "laptop"),
+    ).to_pandas().iloc[0]
+    assert out["count"] == 3
+    assert out["sum"] == 2799.9700000000003
+    assert out["avg"] == 933.3233333333334
+    assert out["min"] == 499.99 and out["max"] == 1299.99
 
 
 # -- stopwords.out ----------------------------------------------------------
