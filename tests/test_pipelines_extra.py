@@ -189,6 +189,33 @@ def test_more_like_this(ray_session):
     assert ranked[1] == 1          # two shared terms beat one
 
 
+def test_knn_ivf_recall(ray_session):
+    """IVF (nprobe=half the clusters) must reach >=0.8 recall@10 vs brute
+    force on clustered vectors (the reference benchmarks recall at fixed
+    selectivity, `benchmarks/datasets/cohere/recall.sql`)."""
+    from paradedb_ray.pipelines.knn import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((5, 24)).astype(np.float32) * 4
+    vecs = np.concatenate([
+        c + rng.standard_normal((80, 24)).astype(np.float32)
+        for c in centers])
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    q = vecs[:3] + 0.01
+    exact = knn_brute(ds, "embedding", "vec_id", q, k=10).to_pandas()
+    approx = knn_ivf(ds, "embedding", "vec_id", q, k=10, n_clusters=8,
+                     nprobe=4).to_pandas()
+    recalls = []
+    for qid in range(3):
+        a = set(exact[exact["query_id"] == qid]["vec_id"])
+        b = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
 def test_multimodal_stub_pipeline(ray_session):
     import hashlib
 
