@@ -524,6 +524,19 @@ def _q_terms_agg(sf):
     }})
 
 
+def _q_window_rank(sf):
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = filter_batches(o, lambda b: pc.less(b.column("o_custkey"), 50))
+    out = partitioned_window(
+        o, ["o_custkey"],
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        {"rn": ("row_number", None), "prev_price": ("lag", "o_totalprice")})
+    return out.select_columns(["o_custkey", "o_orderkey", "rn", "prev_price"])
+
+
 def _q_stats_agg(sf):
     # l_quantity is integer-valued: double sums are exact so the result is
     # block-order-independent (bit-stable vs the sequential SQL oracle)
@@ -771,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": _q_distinct,
         "union_all": _q_union_all,
         "window_count_over": _q_window_count_over,
+        "window_rank": _q_window_rank,
         "agg_filter": _q_agg_filter,
         "histogram": _q_histogram,
         "date_histogram": _q_date_histogram,
@@ -907,6 +921,13 @@ def oracle_sql() -> dict[str, str]:
         "window_count_over":
             "SELECT o_orderkey, count(*) OVER () AS total_count FROM orders"
             " WHERE o_orderpriority = '1-URGENT'",
+        "window_rank":
+            "SELECT o_custkey, o_orderkey,"
+            " CAST(row_number() OVER w AS BIGINT) AS rn,"
+            " lag(o_totalprice) OVER w AS prev_price"
+            " FROM orders WHERE o_custkey < 50"
+            " WINDOW w AS (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey)",
         "agg_filter":
             "SELECT count(*) AS n_all,"
             " count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,"

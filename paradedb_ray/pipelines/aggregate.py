@@ -325,6 +325,54 @@ def facet_terms(ds: ray.data.Dataset, field: str, size: Optional[int] = None,
     return out.limit(size) if size else out
 
 
+def partitioned_window(
+    ds: ray.data.Dataset,
+    partition_by: list,
+    order_by: list,
+    funcs: dict,
+) -> ray.data.Dataset:
+    """SQL window functions over partitions:
+    ``row_number() / rank() / dense_rank() / lag(col) / lead(col) /
+    sum(col) OVER (PARTITION BY ... ORDER BY ...)``.
+
+    The reference leaves window functions to vanilla Postgres above its
+    scans (`columnar_advanced_05_union_window_functions.sql`); here each
+    partition is one ``map_groups`` group (one shuffle), ordered in-group
+    and processed vectorized.  ``funcs``: name -> (kind, col|None) with
+    kind in row_number | rank | dense_rank | lag | lead | running_sum.
+    """
+    ob_cols = [c for c, _ in order_by]
+    ob_desc = [d == "descending" for _, d in order_by]
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ob_cols, ascending=[not d for d in ob_desc],
+                          kind="mergesort").reset_index(drop=True)
+        keys = [tuple(r) for r in g[ob_cols].itertuples(index=False)]
+        for name, (kind, col) in funcs.items():
+            if kind == "row_number":
+                g[name] = np.arange(1, len(g) + 1)
+            elif kind in ("rank", "dense_rank"):
+                ranks, dense, prev = [], 0, None
+                for i, k in enumerate(keys):
+                    if k != prev:
+                        dense += 1
+                        prev = k
+                        start = i + 1
+                    ranks.append(start if kind == "rank" else dense)
+                g[name] = ranks
+            elif kind == "lag":
+                g[name] = g[col].shift(1)
+            elif kind == "lead":
+                g[name] = g[col].shift(-1)
+            elif kind == "running_sum":
+                g[name] = g[col].cumsum()
+            else:
+                raise ValueError(kind)
+        return g
+
+    return ds.groupby(partition_by).map_groups(win, batch_format="pandas")
+
+
 def window_aggregate(ds: ray.data.Dataset, aggs: dict,
                      schema=None, filter_query=None) -> ray.data.Dataset:
     """``COUNT(*) OVER ()`` etc. — compute the scalar aggregate once as a
