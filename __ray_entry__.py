@@ -345,6 +345,27 @@ def _q_heap_filter(sf):
                   output_columns=["doc_id"])
 
 
+def _q_search_keyword(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.boolean(must=[pdb.term("lang", "de"),
+                          pdb.regex("source", "src1.*")])
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id", "lang", "source"])
+
+
+def _q_search_ts_range(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import ast
+    from paradedb_ray.schema import events_schema
+
+    q = ast.Range("ts", ast.Bound.included("2024-01-02T00:00:00"),
+                  ast.Bound.excluded("2024-01-05T00:00:00"))
+    return search(_tbl(sf, "events"), events_schema(), q, with_score=False,
+                  output_columns=["event_id"])
+
+
 def _q_more_like_this(sf):
     from paradedb_ray.pipelines.search import search_topk
     from paradedb_ray.query import builders as pdb
@@ -770,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_positions": _q_snippet_positions,
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
+        "search_keyword": _q_search_keyword,
+        "search_ts_range": _q_search_ts_range,
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
@@ -856,6 +879,12 @@ def oracle_sql() -> dict[str, str]:
         "search_dismax":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'vector')",
+        "search_keyword":
+            "SELECT doc_id, lang, source FROM documents WHERE lang = 'de'"
+            " AND regexp_full_match(source, 'src1.*')",
+        "search_ts_range":
+            "SELECT event_id FROM events"
+            " WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'",
         "search_count":
             f"SELECT CAST(count(*) AS BIGINT) AS n FROM documents"
             f" WHERE list_contains({_TOKS}, 'spark')",
