@@ -457,6 +457,17 @@ def _q_join_anti(sf):
                               anti=True)
 
 
+def _q_join_hash(sf):
+    from paradedb_ray.pipelines.joins import hash_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = filter_batches(li, lambda b: pc.greater(b.column("l_quantity"), 45.0))
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, o, on="l_orderkey", right_on="o_orderkey", how="inner")
+    return j.select_columns(["l_orderkey", "l_quantity", "o_orderpriority"])
+
+
 def _q_join_groupby(sf):
     from paradedb_ray.pipelines.aggregate import sql_aggregate
     from paradedb_ray.pipelines.joins import broadcast_join
@@ -804,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_groupby": _q_join_groupby,
+        "join_hash": _q_join_hash,
         "distinct": _q_distinct,
         "union_all": _q_union_all,
         "window_count_over": _q_window_count_over,
@@ -942,6 +954,9 @@ def oracle_sql() -> dict[str, str]:
         "join_groupby":
             "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer"
             " ON o_custkey = c_custkey GROUP BY c_nationkey",
+        "join_hash":
+            "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity > 45",
         "distinct":
             "SELECT DISTINCT o_orderpriority FROM orders",
         "union_all":

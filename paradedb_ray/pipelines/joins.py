@@ -110,6 +110,28 @@ def semi_join_pushdown(
     return left.map_batches(member, batch_format="pyarrow", batch_size=None)
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    right_on=None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Big-big equi-join on Ray Data's native hash-shuffle join (both sides
+    repartitioned by key hash to joining aggregators) — the scale path when
+    neither side fits a broadcast (`JoinScan`,
+    `postgres/customscan/joinscan/mod.rs:20-64`).  Use
+    :func:`broadcast_join` whenever one side is small."""
+    keys = (on,) if isinstance(on, str) else tuple(on)
+    rkeys = keys if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    jt = {"inner": "inner", "left": "left_outer", "right": "right_outer",
+          "outer": "full_outer"}[how]
+    return left.join(right, join_type=jt, num_partitions=num_partitions,
+                     on=keys, right_on=rkeys)
+
+
 def repartition_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -289,6 +289,45 @@ def test_query_stream_join_and_metrics(ray_session, turns, tmp_path):
         eng.shutdown()
 
 
+def test_late_turn_corrects_standing_query(ray_session, tmp_path):
+    """A late-arriving correction (same key, new text) retracts the old
+    copy; the standing query's next emission reflects the corrected text
+    and the superseded emission is superseded BY EPOCH, never rewritten
+    (watermark-bounded retraction + exactly-once, north_rule)."""
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000_000_000
+
+    def turn(conv, idx, text, ts):
+        return pa.table({
+            "conv_id": pa.array([conv]), "turn_idx": pa.array([idx], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array([text]),
+            "tool": pa.array([""]), "ts": pa.array([ts], pa.timestamp("us"))})
+
+    e0 = pa.concat_tables([turn("c1", 0, "alert fired", t0),
+                           turn("c2", 0, "routine message", t0 + 1_000_000)])
+    # epoch 1: late CORRECTION of (c1, 0) — no longer matches 'alert'
+    e1 = pa.concat_tables([turn("c1", 0, "false alarm resolved", t0 + 2),
+                           turn("c3", 0, "alert escalated", t0 + 2_000_000)])
+    sink = str(tmp_path / "sink")
+    eng = _engine(parts=2)
+    try:
+        r = EpochRunner(eng, sink, {"q": pdb.term("text", "alert")}, topk=10,
+                        columns=["conv_id", "turn_idx", "score"])
+        r.run_epoch(0, e0)
+        ep0 = pq.read_table(os.path.join(sink, "q", "epoch=000000.parquet"))
+        assert _result_ids(ep0) == {("c1", 0)}
+        r.run_epoch(1, e1)
+        ep1 = pq.read_table(os.path.join(sink, "q", "epoch=000001.parquet"))
+        # corrected view: c1 retracted, c3 present
+        assert _result_ids(ep1) == {("c3", 0)}
+        # epoch-0 emission is immutable history
+        again = pq.read_table(os.path.join(sink, "q", "epoch=000000.parquet"))
+        assert again.equals(ep0)
+    finally:
+        eng.shutdown()
+
+
 def test_query_parse_string_over_stream(ray_session, turns):
     eng = _engine(parts=2)
     try:
