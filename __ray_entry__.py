@@ -234,6 +234,16 @@ def _q_json_term(sf):
                   with_score=False, output_columns=["event_id"])
 
 
+def _q_json_range(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import ast
+    from paradedb_ray.schema import events_schema
+
+    q = ast.Range("props.k", ast.Bound.included(10), ast.Bound.excluded(20))
+    return search(_tbl(sf, "events"), events_schema(), q, with_score=False,
+                  output_columns=["event_id"])
+
+
 def _q_facet_lang(sf):
     from paradedb_ray.pipelines.aggregate import facet_terms
     from paradedb_ray.query import builders as pdb
@@ -807,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
+        "json_range": _q_json_range,
         "facet_lang": _q_facet_lang,
         "agg_groupby": _q_agg_groupby,
         "filter_project": _q_filter_project,
@@ -927,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
         "json_term":
             "SELECT event_id FROM events"
             " WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 5",
+        "json_range":
+            "SELECT event_id FROM events"
+            " WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10"
+            " AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 20",
         "facet_lang":
             f"SELECT lang, count(*) AS doc_count FROM documents"
             f" WHERE list_contains({_TOKS}, 'spark') GROUP BY lang",

@@ -325,6 +325,26 @@ class Searcher:
         return _mask_to_hits(mask)
 
     def _eval_Range(self, q: ast.Range, boost):
+        if "." in q.field:
+            # JSON dot-path range (`json_range.sql`): extract values,
+            # compare numerically (non-numeric / missing -> no match)
+            base, path = q.field.split(".", 1)
+            vals = self.seg.json_path_values(base, path)
+            x = np.full(len(vals), np.nan)
+            for i, v in enumerate(vals):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    x[i] = v
+            mask = ~np.isnan(x)
+            lb, ub = q.lower_bound, q.upper_bound
+            if lb.kind == "included":
+                mask &= x >= float(lb.value)
+            elif lb.kind == "excluded":
+                mask &= x > float(lb.value)
+            if ub.kind == "included":
+                mask &= x <= float(ub.value)
+            elif ub.kind == "excluded":
+                mask &= x < float(ub.value)
+            return _mask_to_hits(mask)
         col = self.seg.column(q.field)
         mask = None
 

@@ -205,6 +205,32 @@ def test_snippets_fragmentation_golden():
                     5: ["the quick red <b>fox</b>. The"]}
 
 
+# -- json_range.out ---------------------------------------------------------
+
+
+def test_json_nested_range_golden():
+    """range('metadata.attributes.score', int4range(4, NULL, '[)')) ->
+    ids {2,3}; also via the raw JSONB query syntax (ast.from_json)."""
+    schema = IndexSchema.build("id", metadata={"type": "json"})
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "metadata": pa.array([
+            '{"attributes": {"score": 3, "tstz": "2023-05-01T08:12:34Z"}}',
+            '{"attributes": {"score": 4, "tstz": "2023-05-01T09:12:34Z"}}',
+            '{"attributes": {"score": 5, "tstz": "2023-05-01T10:12:34Z"}}',
+        ]),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+    q = ast.Range("metadata.attributes.score", ast.Bound.included(4),
+                  ast.Bound.unbounded())
+    assert _ids(s, s.eval(q)) == [2, 3]
+    # legacy raw-JSON query input (json_range.out second block)
+    qj = ast.from_json({"range": {"field": "metadata.attributes.score",
+                                  "lower_bound": {"included": 4},
+                                  "upper_bound": None}})
+    assert _ids(s, s.eval(qj)) == [2, 3]
+
+
 # -- fuzzy.out --------------------------------------------------------------
 
 
