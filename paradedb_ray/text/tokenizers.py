@@ -95,9 +95,16 @@ _EMOJI_CORE = (
     "✀-➿"
     "©®‼⁉™ℹ"
 )
-_EMOJI_GLUE = "‍️\U0001f3fb-\U0001f3ff\U0001f1e6-\U0001f1ff︎"
+#: modifiers that attach to the preceding emoji: variation selectors +
+#: skin tones; ZWJ joins whole emoji into one sequence; regional
+#: indicators pair up into flags.  Adjacent plain emoji are SEPARATE
+#: tokens (unicode-segmentation word bounds; golden
+#: `pg_regress/expected/unicode_words.out`: 🎂🚨👀 -> three tokens).
+_EMOJI_MOD = "︎️\U0001f3fb-\U0001f3ff"
 _EMOJI_RE = re.compile(
-    rf"(?:[{_EMOJI_CORE}\U0001f1e6-\U0001f1ff][{_EMOJI_CORE}{_EMOJI_GLUE}]*)"
+    rf"(?:[\U0001f1e6-\U0001f1ff]{{2}}"
+    rf"|[{_EMOJI_CORE}][{_EMOJI_MOD}]*"
+    rf"(?:‍[{_EMOJI_CORE}][{_EMOJI_MOD}]*)*)"
 )
 
 

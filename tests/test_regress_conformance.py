@@ -253,6 +253,40 @@ def test_fuzzy_array_occurs(mock_searcher):
     assert _ids(mock_searcher, h) == [3]
 
 
+# -- unicode_words.out ------------------------------------------------------
+
+
+def test_unicode_words_adjacent_emoji_golden():
+    """`'it''s Paul''s birthday today!  🎂🚨👀🥜🛜🫨🫩'::pdb.unicode_words`
+    -> {it's,paul's,birthday,today,🎂,🚨,👀,🥜,🛜,🫨,🫩}: adjacent emoji
+    are separate tokens; ZWJ sequences / flags / skin tones stay joined."""
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    tk = tokenizer_from_config({"type": "unicode_words"})
+    got = tk.tokenize("it's Paul's birthday today!  "
+                      "\U0001f382\U0001f6a8\U0001f440\U0001f95c"
+                      "\U0001f6dc\U0001fae8\U0001fae9")
+    assert got == ["it's", "paul's", "birthday", "today",
+                   "\U0001f382", "\U0001f6a8", "\U0001f440", "\U0001f95c",
+                   "\U0001f6dc", "\U0001fae8", "\U0001fae9"]
+    assert tk.tokenize("family \U0001f468‍\U0001f469‍\U0001f467 "
+                       "flag \U0001f1fa\U0001f1f8 skin \U0001f44d\U0001f3fd") \
+        == ["family", "\U0001f468‍\U0001f469‍\U0001f467",
+            "flag", "\U0001f1fa\U0001f1f8", "skin", "\U0001f44d\U0001f3fd"]
+
+
+def test_unicode_words_emoji_search_golden():
+    # SELECT * FROM unicode_words WHERE t @@@ '🚨' -> the birthday row
+    schema = IndexSchema.build("id", t={"type": "text"})
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "t": pa.array(["it's Paul's birthday today!  "
+                                   "\U0001f382\U0001f6a8\U0001f440\U0001f95c",
+                                   "no emoji here"])})
+    s = Searcher(build_segment(tbl, schema), schema)
+    h = s.eval(ast.ParseWithField("t", "\U0001f6a8"))
+    assert _ids(s, h) == [1]
+
+
 # -- aggregate.out ----------------------------------------------------------
 
 
