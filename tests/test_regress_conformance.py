@@ -287,6 +287,31 @@ def test_unicode_words_emoji_search_golden():
     assert _ids(s, h) == [1]
 
 
+# -- exists_json.out --------------------------------------------------------
+
+
+def test_exists_json_golden():
+    schema = IndexSchema.build("id", description={"type": "text"},
+                               data={"type": "json"})
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "description": pa.array(["Marketing manager", "Sales manager",
+                                 "Engineer", "CEO", "CTO"]),
+        "data": pa.array([
+            '{"last_name": "Smith", "first_name": "John"}',
+            '{"first_name": "Jane"}',
+            '{"last_name": "Wilson"}',
+            None,
+            '{"last_name": "Johnson", "first_name": "Jim"}']),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+    assert _ids(s, s.eval(ast.Exists(field="data.first_name"))) == [1, 2, 5]
+    q = ast.Boolean(should=[ast.Exists(field="data.last_name"),
+                            ast.ParseWithField("description", "CEO")])
+    assert _ids(s, s.eval(q)) == [1, 3, 4, 5]
+    assert _ids(s, s.eval(ast.Exists(field="data"))) == [1, 2, 3, 5]
+
+
 # -- aggregate.out ----------------------------------------------------------
 
 
