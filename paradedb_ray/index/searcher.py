@@ -726,17 +726,48 @@ class Searcher:
                         posmap[d] = arr
             return posmap
 
-        left, right = clause_positions(q.left), clause_positions(q.right)
+        def clause_spans(clause) -> dict:
+            """-> dict doc -> list[(start, end)] token spans matching the
+            clause; nested ProximityClause pairs combine span-wise (the
+            gap is tokens strictly between the two spans; inner pairs are
+            unordered — `query/proximity/mod.rs` Clause semantics)."""
+            if isinstance(clause, ast.ProximityClause):
+                ls, rs = clause_spans(clause.left), clause_spans(clause.right)
+                out = {}
+                for d in set(ls) & set(rs):
+                    spans = set()
+                    for a in ls[d]:
+                        for b in rs[d]:
+                            first, second = (a, b) if a[0] <= b[0] else (b, a)
+                            gap = second[0] - first[1] - 1
+                            if 0 <= gap <= clause.distance:
+                                spans.add((first[0], second[1]))
+                    if spans:
+                        out[d] = sorted(spans)
+                return out
+            return {d: [(int(p), int(p)) for p in ps]
+                    for d, ps in clause_positions(clause).items()}
+
+        left, right = clause_spans(q.left), clause_spans(q.right)
         docs = sorted(set(left) & set(right))
         out = []
         for d in docs:
-            lp, rp = left[d], right[d]
-            # distance = max tokens between the two (inclusive window)
-            diffs = rp[None, :] - lp[:, None]
-            if q.ordered:
-                ok = ((diffs > 0) & (diffs <= q.distance + 1)).any()
-            else:
-                ok = ((np.abs(diffs) <= q.distance + 1) & (diffs != 0)).any()
+            ok = False
+            for a in left[d]:
+                for b in right[d]:
+                    if q.ordered:
+                        gap = b[0] - a[1] - 1
+                        if 0 <= gap <= q.distance:
+                            ok = True
+                            break
+                    else:
+                        first, second = (a, b) if a[0] <= b[0] else (b, a)
+                        gap = second[0] - first[1] - 1
+                        if 0 <= gap <= q.distance:
+                            ok = True
+                            break
+                if ok:
+                    break
             if ok:
                 out.append(d)
         return Hits.const(np.asarray(out, dtype=np.int64))

@@ -399,6 +399,26 @@ class Proximity(Query):
 
 
 @dataclass
+class ProximityClause:
+    """Nested proximity group (`query/proximity/mod.rs` Clause): an inner
+    "left within N of right" pair usable as a side of :class:`Proximity`.
+    Inner pairs are unordered; ordering applies only at the top operator
+    (``pdb.proximity`` vs ``pdb.proximity_in_order``)."""
+
+    left: Any
+    distance: int
+    right: Any
+
+    def to_json(self):
+        def j(x):
+            return x.to_json() if isinstance(x, ProximityClause) else x
+
+        return {"prox_clause": {"left": j(self.left),
+                                "distance": self.distance,
+                                "right": j(self.right)}}
+
+
+@dataclass
 class MoreLikeThis(Query):
     document_fields: Optional[list] = None
     key_value: Any = None

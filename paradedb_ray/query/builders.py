@@ -154,5 +154,20 @@ def proximity(field: str, left, distance: int, right,
     return ast.Proximity(field, left, distance, right, ordered)
 
 
+def prox_clause(left, distance: int, right) -> ast.ProximityClause:
+    """Nested proximity group (``pdb.prox_clause``)."""
+    return ast.ProximityClause(left, distance, right)
+
+
+def prox_array(*alternatives) -> list:
+    """Alternatives for one proximity slot (``pdb.prox_array``)."""
+    return list(alternatives)
+
+
+def prox_regex(pattern: str) -> str:
+    """Regex proximity slot (``pdb.prox_regex``); encoded as ``/pat/``."""
+    return f"/{pattern}/"
+
+
 def more_like_this(**kw) -> ast.Query:
     return ast.MoreLikeThis(**kw)

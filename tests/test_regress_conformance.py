@@ -120,6 +120,17 @@ def test_proximity_array_and_order(prox_searcher):
     assert _ids(prox_searcher, h) == [2, 3]
 
 
+def test_proximity_nested_clause_golden(prox_searcher):
+    # prox(prox_clause(prox_array('chicken','ribs'),0,'will'), 4,
+    #      prox_clause('bbq',0,'party')) -> {4,5} (ordered AND unordered)
+    inner_l = ast.ProximityClause(["chicken", "ribs"], 0, "will")
+    inner_r = ast.ProximityClause("bbq", 0, "party")
+    for ordered in (False, True):
+        h = prox_searcher.eval(ast.Proximity("text", inner_l, 4, inner_r,
+                                             ordered=ordered))
+        assert _ids(prox_searcher, h) == [4, 5], ordered
+
+
 def test_proximity_regex_clauses(prox_searcher):
     # pdb.prox_regex('del...ous') ~1 ['chicken', /r..s/] -> {2,3} unordered,
     # {} in order
