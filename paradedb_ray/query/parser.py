@@ -224,6 +224,28 @@ class _Parser:
         return q
 
     def _word_query(self, fields: list, word: str) -> ast.Query:
+        # trailing-* wildcard: prefix query over the term dictionary
+        # (tantivy grammar wildcard; expressed as an anchored Regex)
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            import re as _re
+
+            prefix = word[:-1]
+            subs = []
+            for f in fields:
+                fdef = self.schema.fields.get(
+                    f.split(".")[0] if "." in f else f)
+                if fdef is None:
+                    continue
+                if fdef.ftype == TEXT:
+                    toks = fdef.analyzer.tokenize(prefix)
+                    if len(toks) != 1:
+                        continue
+                    prefix_n = toks[0]
+                else:
+                    prefix_n = prefix
+                subs.append(ast.Regex(f, _re.escape(prefix_n) + ".*"))
+            if subs:
+                return _field_disjunction(subs)
         # fuzzy suffix is handled in _modifiers (needs the Term shape)
         subs = []
         for f in fields:

@@ -97,6 +97,13 @@ def test_in_set(schema):
     assert sorted(q.terms) == ["de", "en"]
 
 
+def test_wildcard_prefix(schema):
+    q = _p("spar*", schema)
+    assert isinstance(q, ast.Regex) and q.pattern == "spar.*"
+    q2 = _p("lang:e*", schema)
+    assert isinstance(q2, ast.Regex) and q2.field == "lang"
+
+
 def test_conjunction_mode(schema):
     q = _p("spark batch", schema, conj=True)
     assert isinstance(q, ast.Boolean) and len(q.must) == 2
