@@ -282,6 +282,15 @@ class Searcher:
     def _term_docs(self, field: str, value) -> np.ndarray:
         """Matching doc ids for an exact term, unscored (no global-stats df
         dependence — TermSet queries are constant-score, `pdb_query.rs`)."""
+        if "." in field and field not in self.schema.fields:
+            base, path = field.split(".", 1)
+            if base in self.schema.fields \
+                    and self.schema.field(base).ftype == JSON:
+                vals = self.seg.json_path_values(base, path)
+                tv = value.lower() if isinstance(value, str) else value
+                return np.flatnonzero(np.array(
+                    [(v.lower() if isinstance(v, str) else v) == tv
+                     for v in vals], dtype=bool))
         f = self.schema.field(field)
         if f.ftype == TEXT:
             term = self._normalize_query_token(field, value)

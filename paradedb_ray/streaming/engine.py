@@ -260,6 +260,26 @@ class StreamEngine:
             return pa.table({})
         return pa.concat_tables(parts, promote_options="default")
 
+    def facet(self, query: Union[ast.Query, str], field: str) -> pa.Table:
+        """Terms facet over the standing match set: per-partition partials
+        merged on the driver, count desc then value asc (pg_search facet
+        semantics, `aggregate/mod.rs` terms agg)."""
+        if isinstance(query, str):
+            query = ast.Parse(query)
+        stats = self.global_stats(query)
+        qp, sp = pickle.dumps(query), pickle.dumps(stats)
+        partials = ray.get([a.facet_partial.remote(qp, sp, field)
+                            for a in self.actors])
+        counts: dict = {}
+        for p in partials:
+            for v, n in p.items():
+                counts[v] = counts.get(v, 0) + n
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return pa.table({
+            field: pa.array([v for v, _ in items]),
+            "doc_count": pa.array([n for _, n in items], pa.int64()),
+        })
+
     def metrics(self) -> list:
         return ray.get([a.metrics.remote() for a in self.actors])
 
@@ -336,10 +356,12 @@ class EpochRunner:
                  standing_queries: dict,
                  topk: int = 10, columns: Optional[list] = None,
                  checkpoint_every: int = 1,
-                 query_stream: Optional[list] = None):
+                 query_stream: Optional[list] = None,
+                 facets: Optional[dict] = None):
         self.engine = engine
         self.sink_dir = sink_dir
         self.standing = dict(standing_queries)  # name -> Query | str
+        self.facets = dict(facets or {})        # name -> (query, field)
         self.topk = topk
         self.columns = columns
         self.checkpoint_every = checkpoint_every
@@ -391,6 +413,13 @@ class EpochRunner:
             _write_atomic_parquet(
                 res, os.path.join(self.sink_dir, name,
                                   f"epoch={epoch:06d}.parquet"))
+        for name, (fq, ffield) in self.facets.items():
+            ft = eng.facet(fq, ffield)
+            ft = ft.append_column("epoch",
+                                  pa.array([epoch] * ft.num_rows, pa.int64()))
+            _write_atomic_parquet(
+                ft, os.path.join(self.sink_dir, name,
+                                 f"epoch={epoch:06d}.parquet"))
         eng.merge_tick()
         if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
             eng.checkpoint(epoch)

@@ -306,6 +306,25 @@ class Bm25PartitionStore:
         return self.topk(query_pickle, stats_pickle, k=1 << 62,
                          with_score=True, columns=columns)
 
+    def facet_partial(self, query_pickle: bytes, stats_pickle: bytes,
+                      field: str) -> dict:
+        """value -> doc count over this partition's matching docs (the
+        partial side of a terms facet; driver merges partials — the
+        streaming analogue of the groupby facet shuffle)."""
+        query = pickle.loads(query_pickle)
+        stats = pickle.loads(stats_pickle)
+        counts: dict = {}
+        for seg in self._all_segments():
+            s = Searcher(seg, self.schema, stats)
+            hits = s.eval(query)
+            if len(hits) == 0:
+                continue
+            sub = seg.table.take(pa.array(hits.ids, pa.int64()))
+            sub = self._visible_only(sub)
+            for v in sub.column(field).to_pylist():
+                counts[v] = counts.get(v, 0) + 1
+        return counts
+
     # -- checkpoint / restore ----------------------------------------------
 
     def checkpoint(self, ckpt_dir: str, epoch: int) -> str:

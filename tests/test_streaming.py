@@ -328,6 +328,36 @@ def test_late_turn_corrects_standing_query(ray_session, tmp_path):
         eng.shutdown()
 
 
+def test_streaming_facets(ray_session, turns, tmp_path):
+    """Per-role facet over the standing match set (per-partition partial
+    counts merged driver-side), emitted exactly-once per epoch."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    eng = _engine(parts=3)
+    try:
+        r = EpochRunner(eng, str(tmp_path / "s"),
+                        {"q": pdb.term("text", "merge")},
+                        facets={"facet_role": (pdb.term("text", "merge"),
+                                               "role")},
+                        topk=5, columns=["conv_id", "turn_idx", "score"])
+        r.run_epoch(0, turns)
+        got = pq.read_table(os.path.join(str(tmp_path / "s"), "facet_role",
+                                         "epoch=000000.parquet"))
+        want = collections.Counter(
+            ro for ro, tx in zip(turns.column("role").to_pylist(),
+                                 turns.column("text").to_pylist())
+            if "merge" in tx.split(" "))
+        assert dict(zip(got.column("role").to_pylist(),
+                        got.column("doc_count").to_pylist())) == dict(want)
+        # sorted count desc
+        counts = got.column("doc_count").to_pylist()
+        assert counts == sorted(counts, reverse=True)
+    finally:
+        eng.shutdown()
+
+
 def test_query_parse_string_over_stream(ray_session, turns):
     eng = _engine(parts=2)
     try:
