@@ -355,6 +355,18 @@ def _q_heap_filter(sf):
                   output_columns=["doc_id"])
 
 
+def _q_search_neq(sf):
+    # term_with_operator(field,'<>',v): NOT term AND Exists (NULL rows
+    # excluded — `api/builder_fns/paradedb.rs:109-267` NULL semantics)
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.boolean(must=[pdb.exists("lang")],
+                    must_not=[pdb.term("lang", "en")])
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id", "lang"])
+
+
 def _q_search_keyword(sf):
     from paradedb_ray.pipelines.search import search
     from paradedb_ray.query import builders as pdb
@@ -812,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_positions": _q_snippet_positions,
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
+        "search_neq": _q_search_neq,
         "search_keyword": _q_search_keyword,
         "search_ts_range": _q_search_ts_range,
         "keyset_paging": _q_keyset_paging,
@@ -902,6 +915,9 @@ def oracle_sql() -> dict[str, str]:
         "search_dismax":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'vector')",
+        "search_neq":
+            "SELECT doc_id, lang FROM documents"
+            " WHERE lang IS NOT NULL AND lang <> 'en'",
         "search_keyword":
             "SELECT doc_id, lang, source FROM documents WHERE lang = 'de'"
             " AND regexp_full_match(source, 'src1.*')",
