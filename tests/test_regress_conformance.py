@@ -264,6 +264,40 @@ def test_fuzzy_array_occurs(mock_searcher):
     assert _ids(mock_searcher, h) == [3]
 
 
+# -- term_set_dispatch.out (search-driven JoinScan) -------------------------
+
+
+def test_search_join_limit_golden(ray_session):
+    """ts_outer (100 rows, all 'doc') search + range, joined to ts_unique
+    (10k rows, fk=i) ORDER BY id LIMIT 10 -> matched ids in order
+    (term_set_dispatch.out: JoinScan TermSet-pushdown path)."""
+    import ray.data
+
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.search import search
+
+    schema = IndexSchema.build("id", val={"type": "text"},
+                               id={"type": "i64"})
+    outer = pa.table({"id": pa.array(range(1, 101), pa.int64()),
+                      "val": pa.array(["doc"] * 100)})
+    unique = pa.table({"id": pa.array(range(1, 10001), pa.int64()),
+                       "fk": pa.array(range(1, 10001), pa.int64()),
+                       "val": pa.array(["doc"] * 10000)})
+    for cap, want_n in ((4, 4), (5, 5), (100, 10)):
+        q = ast.Boolean(must=[
+            ast.ParseWithField("val", "doc"),
+            ast.Range("id", ast.Bound.unbounded(), ast.Bound.included(cap))])
+        matched = search(ray.data.from_arrow(outer), schema, q,
+                         with_score=False)
+        # small matched side broadcast into the big probe side
+        j = broadcast_join(ray.data.from_arrow(unique).repartition(4),
+                           matched, on="fk", right_on="id",
+                           right_columns=["id"], how="inner")
+        got = j.sort(["id"]).limit(10).to_pandas()["id"].tolist()
+        assert got == list(range(1, min(cap, 10) + 1))[:10]
+        assert len(got) == want_n
+
+
 # -- unicode_words.out ------------------------------------------------------
 
 
