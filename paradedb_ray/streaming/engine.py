@@ -228,12 +228,14 @@ class StreamEngine:
 
     def query_topk(self, query: Union[ast.Query, str], k: int = 10,
                    columns: Optional[list] = None,
-                   with_score: bool = True) -> pa.Table:
+                   with_score: bool = True,
+                   snippet_cfg=None) -> pa.Table:
         if isinstance(query, str):
             query = ast.Parse(query)
         stats = self.global_stats(query)
         qp, sp = pickle.dumps(query), pickle.dumps(stats)
-        parts = ray.get([a.topk.remote(qp, sp, k, with_score, columns)
+        scp = pickle.dumps(snippet_cfg) if snippet_cfg is not None else None
+        parts = ray.get([a.topk.remote(qp, sp, k, with_score, columns, scp)
                          for a in self.actors])
         parts = [p for p in parts if p.num_rows]
         if not parts:
@@ -357,11 +359,13 @@ class EpochRunner:
                  topk: int = 10, columns: Optional[list] = None,
                  checkpoint_every: int = 1,
                  query_stream: Optional[list] = None,
-                 facets: Optional[dict] = None):
+                 facets: Optional[dict] = None,
+                 snippet_cfg=None):
         self.engine = engine
         self.sink_dir = sink_dir
         self.standing = dict(standing_queries)  # name -> Query | str
         self.facets = dict(facets or {})        # name -> (query, field)
+        self.snippet_cfg = snippet_cfg          # SnippetConfig | None
         self.topk = topk
         self.columns = columns
         self.checkpoint_every = checkpoint_every
@@ -404,7 +408,8 @@ class EpochRunner:
                 sessions, os.path.join(self.sink_dir, "sessions",
                                        f"epoch={epoch:06d}.parquet"))
         for name, q in self.standing.items():
-            res = eng.query_topk(q, self.topk, columns=self.columns)
+            res = eng.query_topk(q, self.topk, columns=self.columns,
+                                 snippet_cfg=self.snippet_cfg)
             if res.num_rows == 0:
                 res = pa.table({"epoch": pa.array([], pa.int64())})
             else:

@@ -261,11 +261,20 @@ class Bm25PartitionStore:
         return pickle.dumps(g)
 
     def topk(self, query_pickle: bytes, stats_pickle: bytes, k: int,
-             with_score: bool = True, columns=None) -> pa.Table:
+             with_score: bool = True, columns=None,
+             snippet_cfg_pickle: bytes = None) -> pa.Table:
         """Local top-k by score desc then key asc (merge-rank happens on the
-        driver across partitions, like per-segment collectors)."""
+        driver across partitions, like per-segment collectors); optional
+        highlighted snippet column for the emitted hits."""
         query = pickle.loads(query_pickle)
         stats = pickle.loads(stats_pickle)
+        snip_cfg = (pickle.loads(snippet_cfg_pickle)
+                    if snippet_cfg_pickle else None)
+        if snip_cfg is not None:
+            from paradedb_ray.index.snippet import query_terms_for_field
+
+            snip_terms = query_terms_for_field(query, self.schema,
+                                               snip_cfg.field)
         parts = []
         for seg in self._all_segments():
             s = Searcher(seg, self.schema, stats)
@@ -276,6 +285,12 @@ class Bm25PartitionStore:
             if with_score:
                 sub = sub.append_column(
                     "score", pa.array(hits.scores, pa.float32()))
+            if snip_cfg is not None:
+                from paradedb_ray.index.snippet import snippet_column
+
+                sub = sub.append_column(
+                    snip_cfg.output_name,
+                    snippet_column(s, hits, snip_cfg, snip_terms))
             sub = self._visible_only(sub)
             if sub.num_rows:
                 parts.append(sub)

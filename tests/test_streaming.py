@@ -328,6 +328,24 @@ def test_late_turn_corrects_standing_query(ray_session, tmp_path):
         eng.shutdown()
 
 
+def test_streaming_topk_with_snippets(ray_session, turns):
+    from paradedb_ray.index.snippet import SnippetConfig
+
+    eng = _engine(parts=2)
+    try:
+        eng.ingest(turns)
+        cfg = SnippetConfig(field="text", mode="single", max_num_chars=60)
+        out = eng.query_topk(pdb.term("text", "checkpoint"), k=5,
+                             columns=["conv_id", "turn_idx", "score",
+                                      "snippet"],
+                             snippet_cfg=cfg)
+        assert out.num_rows == 5
+        snips = out.column("snippet").to_pylist()
+        assert all(s and "<b>checkpoint</b>" in s for s in snips)
+    finally:
+        eng.shutdown()
+
+
 def test_streaming_facets(ray_session, turns, tmp_path):
     """Per-role facet over the standing match set (per-partition partial
     counts merged driver-side), emitted exactly-once per epoch."""
