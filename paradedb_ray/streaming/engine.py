@@ -175,6 +175,66 @@ class StreamEngine:
         drain(block=True)
         return {"epoch": epoch, "rows": total}
 
+    def ingest_files(self, paths: list, epoch: Optional[int] = None,
+                     batch_rows: int = 16384) -> dict:
+        """Shard-parallel ingest: one router TASK per parquet shard file;
+        each reads its shard and routes batches straight to the partition
+        actors (the multi-node shape: routers live wherever the shards
+        are, the driver only joins the per-shard acks — no driver-side
+        data path)."""
+        if epoch is None:
+            epoch = self.epoch
+        cfg = self.cfg
+        actors = self.actors
+        hot = frozenset(self.hot)
+
+        # routers mostly wait on actor acks: reserve a fraction of a CPU so
+        # blocked routers don't starve the partition actors of slots
+        @ray.remote(num_cpus=0.25)
+        def route_shard(path: str) -> int:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            total = 0
+            pend = []
+            for off in range(0, t.num_rows, batch_rows):
+                batch = t.slice(off, batch_rows)
+                conv = batch.column(cfg.key_cols[0]).to_numpy(
+                    zero_copy_only=False)
+                turn = batch.column(cfg.key_cols[1]).to_numpy(
+                    zero_copy_only=False)
+                h = _stable_hash_strings(conv)
+                base = (h % np.uint64(cfg.num_partitions)).astype(np.int64)
+                part = base.copy()
+                if hot:
+                    hm = np.fromiter((c in hot for c in conv), dtype=bool,
+                                     count=len(conv))
+                    if hm.any():
+                        salt = turn.astype(np.int64) % cfg.salt_k
+                        part[hm] = ((h[hm].astype(np.int64)
+                                     + salt[hm] * np.int64(2654435761))
+                                    % cfg.num_partitions)
+                moved = part != base
+                if moved.any():
+                    kh = _key_hash(conv[moved], turn[moved])
+                    for b in np.unique(base[moved]):
+                        pend.append(actors[b].retract_keys.remote(
+                            kh[base[moved] == b].tolist()))
+                for p in np.unique(part):
+                    sub = batch.filter(pa.array(part == p))
+                    pend.append(actors[p].ingest.remote(sub, epoch))
+                while len(pend) > 8:
+                    r = ray.get(pend.pop(0))
+                    if isinstance(r, dict):
+                        total += r["n"]
+            for r in ray.get(pend):
+                if isinstance(r, dict):
+                    total += r["n"]
+            return total
+
+        counts = ray.get([route_shard.remote(p) for p in paths])
+        return {"epoch": epoch, "rows": sum(counts)}
+
     def refresh_hot(self):
         """Pull per-conversation counts and update the hot set (salting
         takes effect for subsequent epochs; already-ingested rows stay

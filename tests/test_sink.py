@@ -37,6 +37,36 @@ def test_write_partitioned_by_column(ray_session, tmp_path):
     assert len(back) == 60
 
 
+def test_stream_ingest_files_sharded(ray_session, tmp_path):
+    """Shard-parallel routers (one task per file) produce the same index
+    as driver-side routing."""
+    import pyarrow.parquet as pq
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    t = transcript_turns(2000, seed=17)
+    files = []
+    for i in range(4):
+        f = str(tmp_path / f"shard-{i}.parquet")
+        pq.write_table(t.slice(i * 500, 500), f)
+        files.append(f)
+    eng = StreamEngine(transcripts_schema(), StreamConfig(num_partitions=3))
+    try:
+        info = eng.ingest_files(files)
+        assert info["rows"] == 2000
+        assert eng.num_docs() == 2000
+        got = eng.query_matches(pdb.term("text", "watermark"),
+                                columns=["conv_id", "turn_idx"])
+        brute = sum(1 for x in t.column("text").to_pylist()
+                    if "watermark" in x.split(" "))
+        assert got.num_rows == brute
+    finally:
+        eng.shutdown()
+
+
 def test_stream_ingest_dataset_path(ray_session):
     """StreamEngine.ingest accepts a ray Dataset: routing runs inside
     map_batches tasks, not on the driver."""
