@@ -99,38 +99,27 @@ def session_window(
     gap_us = _parse_fixed_interval(gap)
     aggs = aggs or {}
 
+    _PD_AGG = {"count": "count", "sum": "sum", "avg": "mean",
+               "min": "min", "max": "max"}
+
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(ts_col, kind="mergesort")
         t = g[ts_col].astype("int64").to_numpy()
         new = np.ones(len(t), dtype=bool)
         new[1:] = (t[1:] - t[:-1]) > gap_us
         sid = np.cumsum(new) - 1
-        out = {key: [], "session_start": [], "session_end": [], "n_events": []}
-        for name in aggs:
-            out[name] = []
-        for s in range(sid[-1] + 1 if len(sid) else 0):
-            m = sid == s
-            out[key].append(g[key].iloc[0])
-            out["session_start"].append(pd.Timestamp(t[m].min(), unit="us"))
-            out["session_end"].append(pd.Timestamp(t[m].max(), unit="us"))
-            out["n_events"].append(int(m.sum()))
-            for name, (kind, col) in aggs.items():
-                vals = g.loc[m, col]
-                out[name].append(_pd_agg(vals, kind))
-        return pd.DataFrame(out)
+        g = g.assign(__sid=sid, __ts_us=t)
+        spec = {"session_start": ("__ts_us", "min"),
+                "session_end": ("__ts_us", "max"),
+                "n_events": ("__ts_us", "count")}
+        for name, (kind, col) in aggs.items():
+            spec[name] = (col, _PD_AGG[kind])
+        out = g.groupby("__sid", sort=True).agg(**spec).reset_index(drop=True)
+        for c in ("session_start", "session_end"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        out.insert(0, key, g[key].iloc[0])
+        return out
 
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
 
 
-def _pd_agg(vals: pd.Series, kind: str):
-    if kind == "count":
-        return int(vals.count())
-    if kind == "sum":
-        return vals.sum()
-    if kind == "avg":
-        return vals.mean()
-    if kind == "min":
-        return vals.min()
-    if kind == "max":
-        return vals.max()
-    raise ValueError(kind)
