@@ -22,6 +22,47 @@ from paradedb_ray.stages.search_stages import BatchScorer, compute_global_stats
 SortKey = tuple  # (column, "ascending"|"descending"); "score" allowed
 
 
+def _prune_columns(ds, schema: IndexSchema, query: ast.Query,
+                   output_columns, snippet_cfgs=None,
+                   extra: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Projection pushdown: select only the columns the query evaluates +
+    the requested outputs ("prune at the read").  Skipped when outputs are
+    unconstrained or the query carries an opaque HeapFilter predicate."""
+    if not output_columns:
+        return ds
+
+    def walk(q, acc: set) -> bool:
+        if isinstance(q, ast.HeapFilter):
+            return False  # opaque predicate: unknown column needs
+        for attr in ("must", "should", "must_not", "disjuncts"):
+            for c in getattr(q, attr, None) or ():
+                if not walk(c, acc):
+                    return False
+        sub = getattr(q, "query", None)
+        if isinstance(sub, ast.Query) and not walk(sub, acc):
+            return False
+        f = getattr(q, "field", None)
+        if isinstance(f, str):
+            acc.add(f.split(".")[0])
+        if isinstance(q, (ast.Parse, ast.MoreLikeThis)):
+            acc.update(schema.default_search_fields)
+        if isinstance(q, ast.TermSetMulti):
+            acc.update(fld.split(".")[0] for fld, _ in q.terms)
+        return True
+
+    need: set = set(extra)
+    if not walk(query, need):
+        return ds
+    need |= {c for c in output_columns if c != "score"}
+    for cfg in snippet_cfgs or ():
+        need.add(cfg.field)
+    need |= set(schema.key_fields)
+    cols = [c for c in ds.schema().names if c in need]
+    if len(cols) < len(ds.schema().names):
+        return ds.select_columns(cols)
+    return ds
+
+
 def _needs_stats(q: ast.Query) -> bool:
     return True
 
@@ -86,6 +127,7 @@ def search(
     if isinstance(query, str):
         query = ast.Parse(query)
     query = resolve_more_like_this(ds, schema, query)
+    ds = _prune_columns(ds, schema, query, output_columns, snippet_cfgs)
     if stats is None:
         stats = compute_global_stats(ds, schema, query)
     scorer = BatchScorer(schema, query, stats, with_score=with_score,
@@ -119,6 +161,8 @@ def search_topk(
     if order_by is None:
         order_by = [("score", "descending")]
     order_by = list(order_by)
+    ds = _prune_columns(ds, schema, query, output_columns, snippet_cfgs,
+                        extra=[k for k, _ in order_by if k != "score"])
     if stats is None:
         stats = compute_global_stats(ds, schema, query)
     need = limit + offset
