@@ -51,17 +51,23 @@ def _stable_hash_strings(vals: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(vals, dtype=object))
 
 
+from paradedb_ray.config import DEFAULT as _CFG
+
+
 @dataclass
 class StreamConfig:
-    num_partitions: int = 8
-    mutable_rows: int = 1000
-    session_gap_us: int = 1_800_000_000       # 30 min
-    lateness_us: int = 3_600_000_000          # 1 h allowed lateness
+    """Streaming knobs; defaults come from the engine-wide
+    :mod:`paradedb_ray.config` (the GUC mirror, SURVEY §2.13)."""
+
+    num_partitions: int = _CFG.num_partitions
+    mutable_rows: int = _CFG.mutable_rows
+    session_gap_us: int = _CFG.session_gap_us
+    lateness_us: int = _CFG.lateness_us
     key_cols: tuple = ("conv_id", "turn_idx")
     ts_col: str = "ts"
-    salt_k: int = 4                            # sub-partitions for hot convs
-    hot_threshold: int = 5000                  # turns seen before salting
-    merge_max_segments: int = 8
+    salt_k: int = _CFG.salt_k
+    hot_threshold: int = _CFG.hot_threshold
+    merge_max_segments: int = _CFG.merge_max_segments
 
 
 class StreamEngine:
