@@ -438,10 +438,20 @@ class Searcher:
         keep = np.ones(len(h.ids), dtype=bool)
         for lo_hi in q.bounds:
             lo, hi = lo_hi
-            if lo is not None:
-                keep &= h.scores >= _F32(lo)
-            if hi is not None:
-                keep &= h.scores <= _F32(hi)
+            # bounds may be raw values (inclusive) or the reference's
+            # {"Included": v} / {"Excluded": v} / "Unbounded" encoding
+            for bound, is_lower in ((lo, True), (hi, False)):
+                if bound is None or bound == "Unbounded":
+                    continue
+                excl = isinstance(bound, dict) and "Excluded" in bound
+                v = (list(bound.values())[0] if isinstance(bound, dict)
+                     else bound)
+                if is_lower:
+                    keep &= (h.scores > _F32(v)) if excl \
+                        else (h.scores >= _F32(v))
+                else:
+                    keep &= (h.scores < _F32(v)) if excl \
+                        else (h.scores <= _F32(v))
         return Hits(h.ids[keep], h.scores[keep])
 
     def _eval_DisjunctionMax(self, q: ast.DisjunctionMax, boost):

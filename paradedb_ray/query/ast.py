@@ -143,7 +143,17 @@ class ScoreFilter(Query):
     query: Optional[Query] = None
 
     def to_json(self):
-        return {"score_filter": {"bounds": self.bounds,
+        # reference encoding (`expected/score_filter.out`):
+        # bounds = [[{"Included": lo} | {"Excluded": lo} | "Unbounded", ...]]
+        def b(v, included=True):
+            if v is None:
+                return "Unbounded"
+            if isinstance(v, dict):  # already encoded
+                return v
+            return {"Included" if included else "Excluded": float(v)}
+
+        enc = [[b(lo), b(hi)] for lo, hi in self.bounds]
+        return {"score_filter": {"bounds": enc,
                                  "query": self.query.to_json() if self.query else None}}
 
 
@@ -474,8 +484,13 @@ def from_json(j: Any) -> Query:
         return DisjunctionMax([from_json(q) for q in body["disjuncts"]],
                               body.get("tie_breaker"))
     if kind == "score_filter":
+        # keep the reference's Included/Excluded dict encoding — the
+        # evaluator understands it (raw numbers mean inclusive)
+        bounds = [(None if lo == "Unbounded" else lo,
+                   None if hi == "Unbounded" else hi)
+                  for lo, hi in body["bounds"]]
         q = body.get("query")
-        return ScoreFilter(body["bounds"], from_json(q) if q else None)
+        return ScoreFilter(bounds, from_json(q) if q else None)
     if kind == "parse":
         return Parse(body["query_string"], body.get("lenient"),
                      body.get("conjunction_mode"))

@@ -30,6 +30,30 @@ def _ids(searcher, hits):
     return sorted(searcher.seg.table.column("id").to_numpy()[hits.ids].tolist())
 
 
+# -- AST JSON serialization parity (the EXPLAIN `Tantivy Query:` shapes) ----
+
+
+def test_ast_json_matches_reference_explain():
+    import json
+
+    # slop.out: description ### 'running shoes'::pdb.slop(2)
+    assert ast.TokenizedPhrase("description", "running shoes", 2).to_json() \
+        == json.loads('{"tokenized_phrase":{"field":"description",'
+                      '"phrase":"running shoes","slop":2}}')
+    # score_filter.out: paradedb.score(id) >= 0
+    sf = ast.ScoreFilter(bounds=[(0.0, None)],
+                         query=ast.Term(field="f", value="x"))
+    assert sf.to_json()["score_filter"]["bounds"] == \
+        [[{"Included": 0.0}, "Unbounded"]]
+    rt = ast.from_json(sf.to_json())
+    assert rt.to_json() == sf.to_json()
+    # json_range.out legacy raw-JSONB query syntax round-trips
+    j = {"range": {"field": "metadata.attributes.score",
+                   "lower_bound": {"included": 4}, "upper_bound": None}}
+    assert ast.from_json(j).to_json()["range"]["lower_bound"] == \
+        {"included": 4}
+
+
 # -- slop.out ---------------------------------------------------------------
 
 
