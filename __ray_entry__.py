@@ -591,6 +591,19 @@ def _q_window_rank(sf):
     return out.select_columns(["o_custkey", "o_orderkey", "rn", "prev_price"])
 
 
+def _q_nested_agg(sf):
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events", columns=["event_type", "ts", "value"])
+    return pdb_agg(ev, {"types": {
+        "terms": {"field": "event_type"},
+        "aggs": {"days": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"vmax": {"max": {"field": "value"}}},
+        }},
+    }})
+
+
 def _q_stats_agg(sf):
     # l_quantity is integer-valued: double sums are exact so the result is
     # block-order-independent (bit-stable vs the sequential SQL oracle)
@@ -848,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": _q_histogram,
         "date_histogram": _q_date_histogram,
         "terms_agg": _q_terms_agg,
+        "nested_agg": _q_nested_agg,
         "stats_agg": _q_stats_agg,
         "cardinality": _q_cardinality,
         "percentiles": _q_percentiles,
@@ -1016,6 +1030,10 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",
+        "nested_agg":
+            "SELECT event_type, date_trunc('day', ts) AS days_key,"
+            " count(*) AS doc_count, max(value) AS vmax"
+            " FROM events GROUP BY event_type, days_key",
         "stats_agg":
             "SELECT l_returnflag, count(*) AS doc_count,"
             " count(l_quantity) AS v_count, min(l_quantity) AS v_min,"

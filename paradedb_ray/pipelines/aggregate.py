@@ -193,6 +193,35 @@ def pdb_agg(
 
     body = spec[kind]
     sub = spec.get("aggs", {})
+
+    # nested bucket sub-agg (ES multi-level nesting,
+    # `aggregate/mod.rs:380-570` sub-aggregation tree): derive every
+    # level's bucket key as a column, then ONE groupby over all keys —
+    # flat output with one key column per level, keys ascending
+    nested = {n: s for n, s in sub.items()
+              if any(k in s for k in bucket_kinds)}
+    if nested:
+        key_cols = []
+        level_name, level_spec = name, spec
+        metric_aggs = {"doc_count": ("count_star", None)}
+        while True:
+            lkind = next(k for k in level_spec if k in bucket_kinds)
+            ds, kc = _bucket_key_column(ds, lkind, level_name,
+                                        level_spec[lkind])
+            key_cols.append(kc)
+            lsub = level_spec.get("aggs", {})
+            lnested = {n: s for n, s in lsub.items()
+                       if any(k in s for k in bucket_kinds)}
+            for mname, mspec in lsub.items():
+                if mname not in lnested:
+                    _expand_metric(metric_aggs, mname, mspec)
+            if not lnested:
+                break
+            if len(lnested) > 1:
+                raise ValueError("one nested bucket agg per level")
+            [(level_name, level_spec)] = lnested.items()
+        return sql_aggregate(ds, key_cols, metric_aggs).sort(key_cols)
+
     aggs = {"doc_count": ("count_star", None)}
     for mname, mspec in sub.items():
         _expand_metric(aggs, mname, mspec)
@@ -244,6 +273,55 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
     raise ValueError(f"unsupported bucket kind {kind}")
+
+
+def _bucket_key_column(ds: ray.data.Dataset, kind: str, name: str,
+                       body: dict):
+    """Append the bucket-key column for one agg level; -> (ds, key_col)."""
+    field = body["field"]
+    if kind == "terms":
+        return ds, field
+    if kind == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+
+        def bk(batch: pa.Table) -> pa.Table:
+            x = batch.column(field).to_numpy(zero_copy_only=False).astype(float)
+            b = np.floor((x - offset) / interval) * interval + offset
+            return batch.append_column(f"{name}_key", pa.array(b))
+
+        return ds.map_batches(bk, batch_format="pyarrow",
+                              batch_size=None), f"{name}_key"
+    if kind == "date_histogram":
+        us = _parse_fixed_interval(body.get("fixed_interval",
+                                            body.get("calendar_interval",
+                                                     "1h")))
+
+        def bk(batch: pa.Table) -> pa.Table:
+            t = batch.column(field).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            arr = pa.array((t // us) * us).cast(pa.timestamp("us"))
+            return batch.append_column(f"{name}_key", arr)
+
+        return ds.map_batches(bk, batch_format="pyarrow",
+                              batch_size=None), f"{name}_key"
+    if kind == "range":
+        ranges = body["ranges"]
+
+        def bk(batch: pa.Table) -> pa.Table:
+            x = batch.column(field).to_numpy(zero_copy_only=False).astype(float)
+            lab = np.full(len(x), None, dtype=object)
+            for r in ranges:
+                lo = r.get("from", -np.inf)
+                hi = r.get("to", np.inf)
+                m = (x >= lo) & (x < hi)
+                lab[m] = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+            return batch.append_column(f"{name}_key",
+                                       pa.array(lab, pa.string()))
+
+        return ds.map_batches(bk, batch_format="pyarrow",
+                              batch_size=None), f"{name}_key"
+    raise ValueError(kind)
 
 
 def _expand_metric(aggs: dict, mname: str, mspec: dict):
