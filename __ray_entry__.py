@@ -244,6 +244,21 @@ def _q_json_range(sf):
                   output_columns=["event_id"])
 
 
+def _q_score_agg(sf):
+    # aggregate over BM25 scores (`agg-score.sql`): AVG/MAX(paradedb.score)
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    matched = search(_docs(sf), _doc_schema(),
+                     pdb.match_disjunction("text", "spark stream"),
+                     output_columns=["doc_id", "score"])
+    return sql_aggregate(matched, [],
+                         {"n": ("count_star", None),
+                          "avg_score": ("avg", "score"),
+                          "max_score": ("max", "score")})
+
+
 def _q_facet_lang(sf):
     from paradedb_ray.pipelines.aggregate import facet_terms
     from paradedb_ray.query import builders as pdb
@@ -845,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_term": _q_json_term,
         "json_range": _q_json_range,
         "facet_lang": _q_facet_lang,
+        "score_agg": _q_score_agg,
         "agg_groupby": _q_agg_groupby,
         "filter_project": _q_filter_project,
         "topk_orders": _q_topk_orders,
