@@ -376,6 +376,83 @@ class Searcher:
             mask = np.asarray(pc.is_valid(col))
         return _mask_to_hits(mask)
 
+    # -- range-typed columns (`query/range.rs:1-309`) -----------------------
+
+    def _range_cells(self, field: str):
+        """Parse a range column — cells like
+        ``[["inclusive", 2], ["exclusive", 10]]`` (or the JSON string) —
+        into vectorized bound arrays (±inf for unbounded)."""
+        key = ("__range__", field)
+        cached = self.seg._json_cache.get(key)
+        if cached is not None:
+            return cached
+        import json as _json
+
+        col = self.seg.column(field).to_pylist()
+        n = len(col)
+        lo = np.full(n, -np.inf)
+        hi = np.full(n, np.inf)
+        lo_inc = np.ones(n, dtype=bool)
+        hi_inc = np.ones(n, dtype=bool)
+        valid = np.zeros(n, dtype=bool)
+        for i, v in enumerate(col):
+            if v is None:
+                continue
+            if isinstance(v, str):
+                try:
+                    v = _json.loads(v)
+                except Exception:
+                    continue
+            try:
+                (lk, lv), (uk, uv) = v
+            except Exception:
+                continue
+            valid[i] = True
+            if lv is not None:
+                lo[i] = float(lv)
+                lo_inc[i] = lk == "inclusive"
+            if uv is not None:
+                hi[i] = float(uv)
+                hi_inc[i] = uk == "inclusive"
+        out = (lo, hi, lo_inc, hi_inc, valid)
+        self.seg._json_cache[key] = out
+        return out
+
+    @staticmethod
+    def _arg_bounds(q):
+        lb, ub = q.lower_bound, q.upper_bound
+        alo = -np.inf if lb.kind == "unbounded" else float(lb.value)
+        ahi = np.inf if ub.kind == "unbounded" else float(ub.value)
+        return alo, lb.kind != "excluded", ahi, ub.kind != "excluded"
+
+    def _eval_RangeTerm(self, q: ast.RangeTerm, boost):
+        lo, hi, lo_inc, hi_inc, valid = self._range_cells(q.field)
+        v = float(q.value)
+        mask = valid & ((lo < v) | ((lo == v) & lo_inc)) \
+            & ((hi > v) | ((hi == v) & hi_inc))
+        return _mask_to_hits(mask)
+
+    def _eval_RangeContains(self, q: ast.RangeContains, boost):
+        lo, hi, lo_inc, hi_inc, valid = self._range_cells(q.field)
+        alo, alinc, ahi, ahinc = self._arg_bounds(q)
+        cover_lo = (lo < alo) | ((lo == alo) & (lo_inc | ~alinc))
+        cover_hi = (hi > ahi) | ((hi == ahi) & (hi_inc | ~ahinc))
+        return _mask_to_hits(valid & cover_lo & cover_hi)
+
+    def _eval_RangeWithin(self, q: ast.RangeWithin, boost):
+        lo, hi, lo_inc, hi_inc, valid = self._range_cells(q.field)
+        alo, alinc, ahi, ahinc = self._arg_bounds(q)
+        in_lo = (lo > alo) | ((lo == alo) & (alinc | ~lo_inc))
+        in_hi = (hi < ahi) | ((hi == ahi) & (ahinc | ~hi_inc))
+        return _mask_to_hits(valid & in_lo & in_hi)
+
+    def _eval_RangeIntersects(self, q: ast.RangeIntersects, boost):
+        lo, hi, lo_inc, hi_inc, valid = self._range_cells(q.field)
+        alo, alinc, ahi, ahinc = self._arg_bounds(q)
+        disjoint_r = (lo > ahi) | ((lo == ahi) & ~(lo_inc & ahinc))
+        disjoint_l = (hi < alo) | ((hi == alo) & ~(hi_inc & alinc))
+        return _mask_to_hits(valid & ~disjoint_l & ~disjoint_r)
+
     def _eval_Boolean(self, q: ast.Boolean, boost):
         must = [self.eval(c, boost) for c in q.must]
         should = [self.eval(c, boost) for c in q.should]

@@ -391,6 +391,51 @@ class RangeTerm(Query):
 
 
 @dataclass
+class RangeContains(Query):
+    """``range_field @> [lower, upper]`` — the stored range contains the
+    argument range (`pdb_query.rs` RangeContains, `query/range.rs`)."""
+
+    field: str
+    lower_bound: Bound = dfield(default_factory=Bound.unbounded)
+    upper_bound: Bound = dfield(default_factory=Bound.unbounded)
+
+    def to_json(self):
+        return {"range_contains": {"field": self.field,
+                                   "lower_bound": self.lower_bound.to_json(),
+                                   "upper_bound": self.upper_bound.to_json()}}
+
+
+@dataclass
+class RangeIntersects(Query):
+    """``range_field && [lower, upper]`` — ranges overlap."""
+
+    field: str
+    lower_bound: Bound = dfield(default_factory=Bound.unbounded)
+    upper_bound: Bound = dfield(default_factory=Bound.unbounded)
+
+    def to_json(self):
+        return {"range_intersects": {
+            "field": self.field,
+            "lower_bound": self.lower_bound.to_json(),
+            "upper_bound": self.upper_bound.to_json()}}
+
+
+@dataclass
+class RangeWithin(Query):
+    """``range_field <@ [lower, upper]`` — the stored range lies within
+    the argument range."""
+
+    field: str
+    lower_bound: Bound = dfield(default_factory=Bound.unbounded)
+    upper_bound: Bound = dfield(default_factory=Bound.unbounded)
+
+    def to_json(self):
+        return {"range_within": {"field": self.field,
+                                 "lower_bound": self.lower_bound.to_json(),
+                                 "upper_bound": self.upper_bound.to_json()}}
+
+
+@dataclass
 class Proximity(Query):
     """Ordered/unordered "left within N tokens of right"
     (`query/proximity/mod.rs`).  left/right are term strings or lists of
@@ -535,6 +580,18 @@ def from_json(j: Any) -> Query:
                      Bound.from_json(body.get("upper_bound")))
     if kind == "range_term":
         return RangeTerm(body["field"], body["value"])
+    if kind == "range_contains":
+        return RangeContains(body["field"],
+                             Bound.from_json(body.get("lower_bound")),
+                             Bound.from_json(body.get("upper_bound")))
+    if kind == "range_intersects":
+        return RangeIntersects(body["field"],
+                               Bound.from_json(body.get("lower_bound")),
+                               Bound.from_json(body.get("upper_bound")))
+    if kind == "range_within":
+        return RangeWithin(body["field"],
+                           Bound.from_json(body.get("lower_bound")),
+                           Bound.from_json(body.get("upper_bound")))
     if kind == "proximity":
         return Proximity(body["field"], body["left"], body["distance"],
                          body["right"], body.get("ordered", False))

@@ -140,6 +140,34 @@ def range(field: str, lower=None, upper=None,
     return ast.Range(field, lb, ub)
 
 
+def range_contains(field: str, lower=None, upper=None,
+                   lower_inclusive: bool = True,
+                   upper_inclusive: bool = False) -> ast.Query:
+    """``range_field @> [lower, upper)`` (`api/builder_fns` range_contains)."""
+    return ast.RangeContains(field, _bound(lower, lower_inclusive),
+                             _bound(upper, upper_inclusive))
+
+
+def range_intersects(field: str, lower=None, upper=None,
+                     lower_inclusive: bool = True,
+                     upper_inclusive: bool = False) -> ast.Query:
+    return ast.RangeIntersects(field, _bound(lower, lower_inclusive),
+                               _bound(upper, upper_inclusive))
+
+
+def range_within(field: str, lower=None, upper=None,
+                 lower_inclusive: bool = True,
+                 upper_inclusive: bool = False) -> ast.Query:
+    return ast.RangeWithin(field, _bound(lower, lower_inclusive),
+                           _bound(upper, upper_inclusive))
+
+
+def _bound(v, inclusive: bool) -> ast.Bound:
+    if v is None:
+        return ast.Bound.unbounded()
+    return ast.Bound.included(v) if inclusive else ast.Bound.excluded(v)
+
+
 def range_term(field: str, value: Any) -> ast.Query:
     return ast.RangeTerm(field, value)
 

@@ -356,6 +356,78 @@ def test_unicode_words_emoji_search_golden():
     assert _ids(s, h) == [1]
 
 
+# -- range-type operators (`query/range.rs`) over mock_items weight_range ---
+
+
+def _brute_ranges():
+    import json
+
+    rows = json.load(open(
+        "/root/repo/paradedb_ray/testing/mock_data.json"))["items"]
+    out = {}
+    for r in rows:
+        wr = r.get("weight_range")
+        if not wr:
+            continue
+        (lk, lv), (uk, uv) = wr
+        out[r["id"]] = (lv, lk == "inclusive", uv, uk == "inclusive")
+    return out
+
+
+def _contains_point(b, v):
+    lv, li, uv, ui = b
+    lo_ok = lv is None or v > lv or (v == lv and li)
+    hi_ok = uv is None or v < uv or (v == uv and ui)
+    return lo_ok and hi_ok
+
+
+def test_range_term_vs_brute(mock_searcher):
+    ranges = _brute_ranges()
+    for v in (2, 3, 5, 10, 11, 0):
+        h = mock_searcher.eval(ast.RangeTerm(field="weight_range", value=v))
+        got = _ids(mock_searcher, h)
+        want = sorted(i for i, b in ranges.items() if _contains_point(b, v))
+        assert got == want, v
+
+
+def test_range_contains_within_intersects(mock_searcher):
+    ranges = _brute_ranges()
+    q_lo, q_hi = 3, 9  # argument range [3, 9)
+
+    def covers(b):  # field range contains [3,9)
+        lv, li, uv, ui = b
+        lo_ok = lv is None or lv < q_lo or (lv == q_lo and li)
+        # arg upper is EXCLUSIVE at 9, so a field upper of 9 covers it
+        # regardless of the field's own upper inclusivity
+        hi_ok = uv is None or uv >= q_hi
+        return lo_ok and hi_ok
+
+    def within(b):
+        lv, li, uv, ui = b
+        lo_ok = lv is not None and (lv > q_lo or lv == q_lo)
+        hi_ok = uv is not None and (uv < q_hi or (uv == q_hi and not ui))
+        return lo_ok and hi_ok
+
+    def intersects(b):
+        lv, li, uv, ui = b
+        left_dis = uv is not None and (uv < q_lo or (uv == q_lo and not ui))
+        right_dis = lv is not None and lv >= q_hi
+        return not (left_dis or right_dis)
+
+    h = mock_searcher.eval(ast.RangeContains(
+        "weight_range", ast.Bound.included(q_lo), ast.Bound.excluded(q_hi)))
+    assert _ids(mock_searcher, h) == sorted(
+        i for i, b in ranges.items() if covers(b))
+    h = mock_searcher.eval(ast.RangeWithin(
+        "weight_range", ast.Bound.included(q_lo), ast.Bound.excluded(q_hi)))
+    assert _ids(mock_searcher, h) == sorted(
+        i for i, b in ranges.items() if within(b))
+    h = mock_searcher.eval(ast.RangeIntersects(
+        "weight_range", ast.Bound.included(q_lo), ast.Bound.excluded(q_hi)))
+    assert _ids(mock_searcher, h) == sorted(
+        i for i, b in ranges.items() if intersects(b))
+
+
 # -- exists_json.out --------------------------------------------------------
 
 
