@@ -49,10 +49,13 @@ def idf_f32(doc_freq: int, num_docs: int) -> np.float32:
     return _F32(np.log(np.float64(_ONE + x)))
 
 
-def bm25_norm_cache(avg_fieldnorm: np.float32) -> np.ndarray:
+def bm25_norm_cache(avg_fieldnorm: np.float32, k1: np.float32 = None,
+                    b: np.float32 = None) -> np.ndarray:
     """cache[id] = k1 * (1 - b + b * decoded_norm(id) / avg), f32[256]."""
     decoded = FIELD_NORMS_TABLE.astype(np.float32)
-    return (K1 * (_ONE - B + B * decoded / _F32(avg_fieldnorm))).astype(np.float32)
+    k1 = K1 if k1 is None else np.float32(k1)
+    b = B if b is None else np.float32(b)
+    return (k1 * (_ONE - b + b * decoded / _F32(avg_fieldnorm))).astype(np.float32)
 
 
 @dataclass
@@ -139,10 +142,18 @@ class Searcher:
 
     # -- scoring helpers ----------------------------------------------------
 
+    def _field_k1(self, field: str) -> np.float32:
+        f = self.schema.fields.get(field.split(".")[0])
+        v = getattr(f, "k1", None) if f is not None else None
+        return K1 if v is None else np.float32(v)
+
     def _norm_cache(self, field: str) -> np.ndarray:
         c = self._norm_caches.get(field)
         if c is None:
-            c = bm25_norm_cache(self.stats.avg_fieldnorm(field))
+            f = self.schema.fields.get(field.split(".")[0])
+            b = getattr(f, "b", None) if f is not None else None
+            c = bm25_norm_cache(self.stats.avg_fieldnorm(field),
+                                self._field_k1(field), b)
             self._norm_caches[field] = c
         return c
 
@@ -151,7 +162,7 @@ class Searcher:
         if df <= 0 or len(docs) == 0:
             return Hits.empty()
         idf = idf_f32(df, self.stats.num_docs)
-        weight = idf * _F32(boost) * (_ONE + K1)
+        weight = idf * _F32(boost) * (_ONE + self._field_k1(field))
         cache = self._norm_cache(field)
         norms = cache[ti.fieldnorm_ids[docs]]
         tf = tfs.astype(np.float32)
@@ -631,7 +642,7 @@ class Searcher:
             df = self.stats.df(field, t)
             if df > 0:
                 idf = _F32(idf + idf_f32(df, self.stats.num_docs))
-        weight = idf * _F32(boost) * (_ONE + K1)
+        weight = idf * _F32(boost) * (_ONE + self._field_k1(field))
         cache = self._norm_cache(field)
         norms = cache[ti.fieldnorm_ids[docs]]
         tff = tfs.astype(np.float32)
@@ -739,7 +750,7 @@ class Searcher:
             if df > 0:
                 idf = _F32(idf + idf_f32(min(df, self.stats.num_docs),
                                          self.stats.num_docs))
-        weight = idf * _F32(boost) * (_ONE + K1)
+        weight = idf * _F32(boost) * (_ONE + self._field_k1(q.field))
         cache = self._norm_cache(q.field)
         norms = cache[ti.fieldnorm_ids[docs]]
         tff = tfs.astype(np.float32)

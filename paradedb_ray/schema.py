@@ -34,6 +34,10 @@ class Field:
     fast: bool = False
     positions: bool = True  # record positions (needed for phrase/proximity)
     is_key: bool = False
+    #: per-field BM25 parameters (``pdb.simple('k1=0.0')`` etc.,
+    #: `bm25-params.sql`); None = tantivy defaults k1=1.2, b=0.75
+    k1: Optional[float] = None
+    b: Optional[float] = None
 
     @cached_property
     def analyzer(self) -> Tokenizer:
@@ -67,6 +71,8 @@ class IndexSchema:
                 fast=d.get("fast", d.get("type") in NUMERIC_TYPES),
                 positions=d.get("positions", True),
                 is_key=name in keys,
+                k1=d.get("k1"),
+                b=d.get("b"),
             )
         for k in keys:
             if k not in fields:

@@ -428,6 +428,43 @@ def test_range_contains_within_intersects(mock_searcher):
         i for i, b in ranges.items() if intersects(b))
 
 
+# -- bm25-params.out --------------------------------------------------------
+
+
+def _bm25_params_scores(tokenizer_opts):
+    texts = ["search search search", "search engine",
+             "postgres database", "search"]
+    schema = IndexSchema.build("id", short_text=dict(
+        {"type": "text", "tokenizer": {"type": "default"}}, **tokenizer_opts))
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "short_text": pa.array(texts)})
+    s = Searcher(build_segment(t, schema), schema)
+    h = s.eval(ast.ParseWithField("short_text", "search"))
+    return {int(i): round(float(sc), 4)
+            for i, sc in zip(s.seg.table.column("id").take(
+                h.ids.tolist()).to_pylist(), h.scores.tolist())}
+
+
+def test_bm25_default_params_golden():
+    # bm25-params.out default index: 1->0.5062, 4->0.4484, 2->0.3567
+    got = _bm25_params_scores({})
+    assert got == {1: 0.5062, 2: 0.3567, 4: 0.4484}
+
+
+def test_bm25_k1_zero_golden():
+    # k1=0: tf and length vanish -> every match scores idf-flat 0.3567
+    got = _bm25_params_scores({"k1": 0.0})
+    assert got == {1: 0.3567, 2: 0.3567, 4: 0.3567}
+
+
+def test_bm25_b_zero_no_length_norm():
+    # b=0: no length normalization -> doc 2 (2 tokens) scores same as
+    # doc 4 (1 token); doc 1 still wins on tf
+    got = _bm25_params_scores({"b": 0.0})
+    assert got[2] == got[4]
+    assert got[1] > got[4]
+
+
 # -- exists_json.out --------------------------------------------------------
 
 
