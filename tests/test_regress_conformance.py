@@ -428,6 +428,39 @@ def test_range_contains_within_intersects(mock_searcher):
         i for i, b in ranges.items() if intersects(b))
 
 
+# -- ascii_folding_filter.out / phrase_tokenization.out ---------------------
+
+
+def test_ascii_folding_golden():
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    on = tokenizer_from_config({"type": "default", "ascii_folding": True})
+    assert on.tokenize("café") == ["cafe"]
+    off = tokenizer_from_config({"type": "default", "ascii_folding": False})
+    assert off.tokenize("café") == ["café"]
+    default = tokenizer_from_config({"type": "default"})
+    assert default.tokenize("café") == ["café"]
+
+
+def test_phrase_raw_json_query_golden():
+    # phrase_tokenization.out: raw JSONB phrase query, query words
+    # normalized by the field analyzer ("BANANA" -> banana), slop 2 skips
+    # the intervening token
+    schema = IndexSchema.build("id", flavour={"type": "text"})
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "flavour": pa.array(["apple, with, banana",
+                                       "banana apple pie"])})
+    s = Searcher(build_segment(t, schema), schema)
+    q = ast.from_json({"phrase": {"field": "flavour",
+                                  "phrases": ["apple", "BANANA"],
+                                  "slop": 2}})
+    assert _ids(s, s.eval(q)) == [1, 2]  # slop 2 also admits the reversal
+    q0 = ast.from_json({"phrase": {"field": "flavour",
+                                   "phrases": ["apple", "BANANA"],
+                                   "slop": 1}})
+    assert _ids(s, s.eval(q0)) == [1]
+
+
 # -- bm25-params.out --------------------------------------------------------
 
 
