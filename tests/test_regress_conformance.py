@@ -428,6 +428,36 @@ def test_range_contains_within_intersects(mock_searcher):
         i for i, b in ranges.items() if intersects(b))
 
 
+# -- columnar_edgecases_02_null_handling.out --------------------------------
+
+
+def test_null_handling_golden():
+    """Search matches docs whose OTHER columns are NULL; nulls survive to
+    the output and Exists distinguishes them."""
+    schema = IndexSchema.build("id", content={"type": "text"},
+                               string_field={"type": "keyword"},
+                               numeric_field={"type": "i64"})
+    t = pa.table({
+        "id": pa.array(["null1", "null2", "full1"], pa.string()),
+        "content": pa.array(["all about null values",
+                             "null values with data", "no match here"]),
+        "string_field": pa.array([None, "not null", "x"], pa.string()),
+        "numeric_field": pa.array([None, 42, 7], pa.int64()),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+    h = s.eval(ast.ParseWithField("content", "null"))
+    got = s.seg.table.take(pa.array(sorted(h.ids.tolist()), pa.int64()))
+    assert got.column("id").to_pylist() == ["null1", "null2"]
+    assert got.column("string_field").to_pylist() == [None, "not null"]
+    assert got.column("numeric_field").to_pylist() == [None, 42]
+    # Exists excludes the null rows
+    h2 = s.eval(ast.Boolean(must=[ast.ParseWithField("content", "null"),
+                                  ast.Exists(field="numeric_field")]))
+    ids2 = s.seg.table.column("id").take(
+        pa.array(h2.ids, pa.int64())).to_pylist()
+    assert ids2 == ["null2"]
+
+
 # -- ascii_folding_filter.out / phrase_tokenization.out ---------------------
 
 
