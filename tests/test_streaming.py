@@ -376,6 +376,35 @@ def test_streaming_facets(ray_session, turns, tmp_path):
         eng.shutdown()
 
 
+def test_stream_matches_batch_pipeline_bitwise(ray_session, turns):
+    """The sharded streaming engine and the stateless batch pipeline must
+    produce IDENTICAL rows and bit-identical f32 scores for the same query
+    over the same corpus — the searcher-global stats exchange makes
+    partitioning invisible (SURVEY §5 BM25 parity)."""
+    import ray.data
+
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.schema import transcripts_schema
+
+    q = pdb.match_disjunction("text", "merge checkpoint")
+    batch = search(ray.data.from_arrow(turns), transcripts_schema(), q,
+                   output_columns=["conv_id", "turn_idx", "score"]).to_pandas()
+    eng = _engine(parts=3)
+    try:
+        eng.ingest(turns)
+        stream = eng.query_matches(
+            q, columns=["conv_id", "turn_idx", "score"]).to_pandas()
+    finally:
+        eng.shutdown()
+    b = batch.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s = stream.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(b) == len(s)
+    assert (b["conv_id"] == s["conv_id"]).all()
+    assert (b["turn_idx"].to_numpy() == s["turn_idx"].to_numpy()).all()
+    assert (b["score"].to_numpy(np.float32)
+            == s["score"].to_numpy(np.float32)).all()
+
+
 def test_query_parse_string_over_stream(ray_session, turns):
     eng = _engine(parts=2)
     try:
