@@ -405,6 +405,24 @@ def test_stream_matches_batch_pipeline_bitwise(ray_session, turns):
             == s["score"].to_numpy(np.float32)).all()
 
 
+def test_partition_count_invariance(ray_session, turns):
+    """Top-k emissions are identical regardless of the partition count
+    (N-vs-4N clusters must agree row-for-row — the north rule's
+    exactly-once-under-scaling requirement)."""
+    outs = []
+    for parts in (1, 2, 5):
+        eng = _engine(parts=parts)
+        try:
+            eng.ingest(turns)
+            t = eng.query_topk(pdb.match_disjunction("text", "epoch scan"),
+                               k=20, columns=["conv_id", "turn_idx", "score"])
+            outs.append(t.to_pandas().reset_index(drop=True))
+        finally:
+            eng.shutdown()
+    for other in outs[1:]:
+        assert outs[0].equals(other)
+
+
 def test_query_parse_string_over_stream(ray_session, turns):
     eng = _engine(parts=2)
     try:
