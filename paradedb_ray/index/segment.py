@@ -209,6 +209,14 @@ def build_segment(
     """
     if isinstance(table, (pa.RecordBatch,)):
         table = pa.Table.from_batches([table])
+    # derive indexed-expression alias columns (`operators.sql:17-20`,
+    # `(lower(description)::pdb.simple('alias=description_lower'))`)
+    for f in schema.fields.values():
+        if (f.expr_source is not None and f.name not in table.column_names
+                and f.expr_source in table.column_names):
+            col = table.column(f.expr_source)
+            derived = f.expr_fn(col) if f.expr_fn is not None else col
+            table = table.append_column(f.name, derived)
     seg = Segment(num_docs=table.num_rows, table=table, schema=schema)
     for f in schema.fields.values():
         if f.ftype == TEXT and f.indexed and f.name in table.column_names:

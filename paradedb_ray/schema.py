@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
 from functools import cached_property
-from typing import Optional
+from typing import Any, Optional
 
 from paradedb_ray.text.tokenizers import Tokenizer, tokenizer_from_config
 
@@ -38,6 +38,12 @@ class Field:
     #: `bm25-params.sql`); None = tantivy defaults k1=1.2, b=0.75
     k1: Optional[float] = None
     b: Optional[float] = None
+    #: indexed expression (`(lower(description)::pdb.simple(
+    #: 'alias=description_lower'))`, `operators.sql:17-20`): this field is
+    #: DERIVED from ``expr_source`` via ``expr_fn`` (callable
+    #: pa.Array -> pa.Array) at segment-build time
+    expr_source: Optional[str] = None
+    expr_fn: Optional[Any] = None
 
     @cached_property
     def analyzer(self) -> Tokenizer:
@@ -73,6 +79,8 @@ class IndexSchema:
                 is_key=name in keys,
                 k1=d.get("k1"),
                 b=d.get("b"),
+                expr_source=d.get("expr_source"),
+                expr_fn=d.get("expr_fn"),
             )
         for k in keys:
             if k not in fields:

@@ -428,6 +428,35 @@ def test_range_contains_within_intersects(mock_searcher):
         i for i, b in ranges.items() if intersects(b))
 
 
+# -- indexed expression aliases (`operators.sql:17-20`) ---------------------
+
+
+def test_indexed_expression_alias():
+    """`(lower(description)::pdb.simple('alias=description_lower'))` — a
+    derived column indexed under an alias, queried by alias name, with its
+    own tokenizer (simple, no lowercase filter needed post-transform)."""
+    import pyarrow.compute as pc_
+
+    schema = IndexSchema.build(
+        "id",
+        description={"type": "text"},
+        description_lower={
+            "type": "text",
+            "tokenizer": {"type": "default", "lowercase": False},
+            "expr_source": "description",
+            "expr_fn": lambda col: pc_.utf8_lower(col),
+        })
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "description": pa.array(["Sleek RUNNING Shoes",
+                                           "Plain keyboard"])})
+    s = Searcher(build_segment(t, schema), schema)
+    h = s.eval(ast.Term(field="description_lower", value="running"))
+    assert _ids(s, h) == [1]
+    # the UPPERCASE form does not exist in the lowered alias index
+    h2 = s.eval(ast.Term(field="description_lower", value="RUNNING"))
+    assert _ids(s, h2) == []
+
+
 # -- columnar_edgecases_02_null_handling.out --------------------------------
 
 
