@@ -104,6 +104,16 @@ def _q_match_disjunction(sf):
                   with_score=False, output_columns=["doc_id"])
 
 
+def _q_match_fuzzy(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    q = pdb.match_conjunction("text", "sparc batc", distance=1,
+                              transposition_cost_one=False)
+    return search(_docs(sf), _doc_schema(), q, with_score=False,
+                  output_columns=["doc_id"])
+
+
 def _q_search_parse(sf):
     from paradedb_ray.pipelines.search import search
     from paradedb_ray.query import builders as pdb
@@ -831,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean": _q_search_boolean,
         "search_match_conjunction": _q_match_conjunction,
         "search_match_disjunction": _q_match_disjunction,
+        "search_match_fuzzy": _q_match_fuzzy,
         "search_parse": _q_search_parse,
         "search_phrase": _q_search_phrase,
         "search_phrase_slop": _q_search_phrase_slop,
@@ -921,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
         "search_match_disjunction":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'batch')",
+        "search_match_fuzzy":
+            f"SELECT doc_id FROM documents WHERE"
+            f" len(list_filter({_TOKS}, t -> levenshtein(t, 'sparc') <= 1)) > 0"
+            f" AND len(list_filter({_TOKS}, t -> levenshtein(t, 'batc') <= 1)) > 0",
         "search_parse":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR (list_contains({_TOKS}, 'batch') AND list_contains({_TOKS}, 'window'))",
