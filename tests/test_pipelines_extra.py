@@ -189,6 +189,29 @@ def test_more_like_this(ray_session):
     assert ranked[1] == 1          # two shared terms beat one
 
 
+def test_dedup_block_layout_invariance(ray_session):
+    """MinHash dedup results are identical regardless of how the input is
+    split into blocks (deterministic hashing + min-canonicalization) —
+    the cluster-size invariance the dedup family promises."""
+    from paradedb_ray.pipelines.dedup import minhash_lsh_duplicates
+
+    base = ("many words that repeat in a long document about engines and "
+            "data processing at very large scale with ray and arrow")
+    texts = [base, base.replace("ray", "spark"), base + " extra tail",
+             "completely unrelated text with nothing in common at all"]
+    texts = texts * 3  # 12 docs incl. exact triplicates
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    outs = []
+    for nblocks in (1, 3, 6):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = minhash_lsh_duplicates(ds, "text", "doc_id").to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    assert len(outs[0]) > 0
+    for other in outs[1:]:
+        assert outs[0].equals(other)
+
+
 def test_knn_ivf_recall(ray_session):
     """IVF (nprobe=half the clusters) must reach >=0.8 recall@10 vs brute
     force on clustered vectors (the reference benchmarks recall at fixed
