@@ -130,6 +130,85 @@ class FeatureStage:
             "features", pa.array(feats, pa.list_(pa.float32(), self.dim)))
 
 
+class ResizeStage:
+    """Actor-pool stage: resize payloads to fit a bounding box.  The fake
+    codec rewrites the header dimensions preserving aspect ratio and keeps
+    the body; a real codec would re-encode pixels (PIL thumbnail)."""
+
+    def __init__(self, max_side: int = 64, media_col: str = "media"):
+        self.max_side = max_side
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column(self.media_col).to_pylist():
+            d = _decode_fake(p)
+            if d is None:
+                out.append(p)
+                continue
+            scale = min(1.0, self.max_side / max(d["width"], d["height"]))
+            w = max(1, int(d["width"] * scale))
+            h = max(1, int(d["height"] * scale))
+            body = p[len(_MAGIC) + 5:]
+            out.append(_MAGIC + struct.pack("<HHB", w, h, d["channels"])
+                       + body)
+        i = batch.column_names.index(self.media_col)
+        return batch.set_column(i, self.media_col,
+                                pa.array(out, pa.binary()))
+
+
+class FrameSampleStage:
+    """Actor-pool stage for video-like payloads: emit every ``stride``-th
+    frame as its own row (flat_map expansion).  The fake treats the body
+    as fixed-size frames; a real codec would demux (pyav)."""
+
+    def __init__(self, key_col: str, media_col: str = "media",
+                 frame_bytes: int = 64, stride: int = 4):
+        self.key_col = key_col
+        self.media_col = media_col
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, frame_idx, frames = [], [], []
+        kvals = batch.column(self.key_col).to_pylist()
+        for k, p in zip(kvals, batch.column(self.media_col).to_pylist()):
+            d = _decode_fake(p)
+            if d is None:
+                continue
+            body = p[len(_MAGIC) + 5:]
+            n_frames = max(1, len(body) // self.frame_bytes)
+            for fi in range(0, n_frames, self.stride):
+                keys.append(k)
+                frame_idx.append(fi)
+                frames.append(body[fi * self.frame_bytes:
+                                   (fi + 1) * self.frame_bytes])
+        return pa.table({
+            self.key_col: pa.array(keys,
+                                   batch.column(self.key_col).type),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def resize_media(ds: ray.data.Dataset, max_side: int = 64,
+                 media_col: str = "media",
+                 concurrency=2, batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(ResizeStage(max_side, media_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds: ray.data.Dataset, key_col: str,
+                  media_col: str = "media", frame_bytes: int = 64,
+                  stride: int = 4,
+                  concurrency=2, batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage(key_col, media_col, frame_bytes, stride),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def decode_media(ds: ray.data.Dataset, media_col: str = "media",
                  concurrency: Optional[int] = 2,
                  batch_size: int = 256) -> ray.data.Dataset:

@@ -263,3 +263,24 @@ def test_multimodal_stub_pipeline(ray_session):
     feat2 = extract_features(ds).to_pandas().sort_values("doc_id")
     assert [list(a) for a in feat["features"]] == \
         [list(a) for a in feat2["features"]]
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        resize_media,
+        sample_frames,
+        synthesize_payloads,
+    )
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["x" * 400])})
+    ds = synthesize_payloads(ray.data.from_arrow(t), "text", "doc_id")
+    resized = decode_media(resize_media(ds, max_side=32)).to_pandas()
+    assert max(resized.iloc[0]["width"], resized.iloc[0]["height"]) <= 32
+    assert resized.iloc[0]["n_bytes"] == 400  # body preserved
+    frames = sample_frames(ds, "doc_id", frame_bytes=64,
+                           stride=2).to_pandas()
+    # 400 bytes -> 6 frames, stride 2 -> frames 0,2,4
+    assert frames["frame_idx"].tolist() == [0, 2, 4]
+    assert all(len(f) == 64 for f in frames["frame"][:2])
