@@ -302,6 +302,87 @@ def reciprocal_rank_fusion(
                       descending=[True] + [False] * len(key_cols)).limit(limit)
 
 
+def search_topk_with_facet(
+    ds: ray.data.Dataset,
+    schema: IndexSchema,
+    query: Union[ast.Query, str],
+    limit: int,
+    facet_field: str,
+    order_by: Optional[Sequence[SortKey]] = None,
+    output_columns: Optional[list] = None,
+):
+    """ONE scoring pass producing BOTH the global top-k hits and a terms
+    facet over the full match set (the reference's single-pass
+    `TopKAuxiliaryCollector`, `index/reader/index.rs:330-343` +
+    `topk-agg-facet.sql`): each block emits its pruned candidates AND its
+    facet partial as tagged rows; both outputs are tiny, so the fan-out is
+    a driver-side split, not a second scan.  Returns
+    ``(topk pa.Table, facet pa.Table)``."""
+    import pickle
+
+    import pyarrow as pa
+
+    from paradedb_ray.index.searcher import GlobalStats
+    from paradedb_ray.index.segment import build_segment
+    from paradedb_ray.index.searcher import Searcher
+    from paradedb_ray.stages.search_stages import needs_positions
+
+    if isinstance(query, str):
+        query = ast.Parse(query)
+    query = resolve_more_like_this(ds, schema, query)
+    if order_by is None:
+        order_by = [("score", "descending")]
+    order_by = list(order_by)
+    ds = _prune_columns(ds, schema, query, output_columns,
+                        extra=[k for k, _ in order_by if k != "score"]
+                        + [facet_field])
+    stats = compute_global_stats(ds, schema, query)
+    out_cols = output_columns
+    store_pos = needs_positions(query, schema)
+    sort_keys = order_by
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        seg = build_segment(batch, schema, store_positions=store_pos)
+        s = Searcher(seg, schema, stats)
+        hits = s.eval(query)
+        sub = batch.take(pa.array(hits.ids, pa.int64()))
+        sub = sub.append_column("score", pa.array(hits.scores, pa.float32()))
+        # facet partial over ALL matches of this block
+        counts: dict = {}
+        for v in sub.column(facet_field).to_pylist():
+            counts[v] = counts.get(v, 0) + 1
+        if out_cols:
+            sub = sub.select([c for c in out_cols if c in sub.column_names])
+        if sub.num_rows > limit:
+            import pyarrow.compute as pc2
+
+            idx = pc2.sort_indices(sub, sort_keys=sort_keys)
+            sub = sub.take(idx.slice(0, limit))
+        payload = pa.array([pickle.dumps((sub, counts))], pa.binary())
+        return pa.table({"part": payload})
+
+    parts = [pickle.loads(r["part"]) for r in ds.map_batches(
+        score_block, batch_format="pyarrow", batch_size=None).take_all()]
+    hit_tables = [t for t, _ in parts if t.num_rows]
+    facet_counts: dict = {}
+    for _, c in parts:
+        for v, n in c.items():
+            facet_counts[v] = facet_counts.get(v, 0) + n
+    import pyarrow.compute as pc2
+
+    if hit_tables:
+        allhits = pa.concat_tables(hit_tables, promote_options="default")
+        idx = pc2.sort_indices(allhits, sort_keys=sort_keys)
+        topk = allhits.take(idx.slice(0, limit))
+    else:
+        topk = pa.table({})
+    items = sorted(facet_counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    facet = pa.table({facet_field: pa.array([v for v, _ in items]),
+                      "doc_count": pa.array([n for _, n in items],
+                                            pa.int64())})
+    return topk, facet
+
+
 def search_count(
     ds: ray.data.Dataset,
     schema: IndexSchema,

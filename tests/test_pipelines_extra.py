@@ -189,6 +189,42 @@ def test_more_like_this(ray_session):
     assert ranked[1] == 1          # two shared terms beat one
 
 
+def test_topk_with_facet_single_pass(ray_session):
+    """One pass yields the same top-k as search_topk AND the same facet as
+    facet_terms (`topk-agg-facet.sql` single-pass semantics)."""
+    import pyarrow.parquet as pq
+
+    from paradedb_ray.pipelines.aggregate import facet_terms
+    from paradedb_ray.pipelines.search import (
+        search_topk,
+        search_topk_with_facet,
+    )
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = pdb.term("text", "spark")
+    topk, facet = search_topk_with_facet(
+        ds, documents_schema(), q, limit=10, facet_field="lang",
+        order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "score"])
+    want_topk = search_topk(
+        ray.data.from_arrow(t).repartition(4), documents_schema(), q,
+        limit=10, order_by=[("score", "descending"), ("doc_id", "ascending")],
+        output_columns=["doc_id", "score"]).to_pandas()
+    got = topk.to_pandas()
+    assert got["doc_id"].tolist() == want_topk["doc_id"].tolist()
+    assert (got["score"].to_numpy(np.float32)
+            == want_topk["score"].to_numpy(np.float32)).all()
+    want_facet = facet_terms(ray.data.from_arrow(t).repartition(4), "lang",
+                             schema=documents_schema(),
+                             filter_query=q).to_pandas()
+    fc = dict(zip(facet.column("lang").to_pylist(),
+                  facet.column("doc_count").to_pylist()))
+    assert fc == dict(zip(want_facet["lang"], want_facet["doc_count"]))
+
+
 def test_dedup_block_layout_invariance(ray_session):
     """MinHash dedup results are identical regardless of how the input is
     split into blocks (deterministic hashing + min-canonicalization) —
