@@ -465,9 +465,13 @@ class EpochRunner:
         eng = self.engine
         eng.epoch = epoch
         info = eng.ingest(table, epoch=epoch)
-        ts_max = int(pa.compute.max(
-            table.column(eng.cfg.ts_col).cast(pa.int64())).as_py())
-        wm = ts_max - eng.cfg.lateness_us
+        ts_max = pa.compute.max(
+            table.column(eng.cfg.ts_col).cast(pa.int64())).as_py()
+        if ts_max is None:  # empty epoch: watermark holds
+            wm = max(ray.get([a.metrics.remote() for a in eng.actors]),
+                     key=lambda m: m["watermark"])["watermark"]
+        else:
+            wm = int(ts_max) - eng.cfg.lateness_us
         sessions = eng.advance_watermark(wm, epoch=epoch)
         if sessions.num_rows:
             _write_atomic_parquet(

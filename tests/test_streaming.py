@@ -405,6 +405,23 @@ def test_stream_matches_batch_pipeline_bitwise(ray_session, turns):
             == s["score"].to_numpy(np.float32)).all()
 
 
+def test_empty_epoch(ray_session, turns, tmp_path):
+    """An empty micro-batch commits cleanly: watermark holds, standing
+    queries still emit, the epoch is marked done."""
+    eng = _engine(parts=2)
+    try:
+        r = EpochRunner(eng, str(tmp_path / "s"),
+                        {"q": pdb.term("text", "merge")}, topk=3,
+                        columns=["conv_id", "turn_idx", "score"])
+        r.run_epoch(0, turns)
+        empty = turns.slice(0, 0)
+        out = r.run_epoch(1, empty)
+        assert out["epoch"] == 1 and out["rows"] == 0
+        assert r.epoch_done(1)
+    finally:
+        eng.shutdown()
+
+
 def test_partition_count_invariance(ray_session, turns):
     """Top-k emissions are identical regardless of the partition count
     (N-vs-4N clusters must agree row-for-row — the north rule's
