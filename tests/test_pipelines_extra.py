@@ -189,6 +189,22 @@ def test_more_like_this(ray_session):
     assert ranked[1] == 1          # two shared terms beat one
 
 
+def test_null_group_keys(ray_session):
+    """NULL group keys form their own bucket (the reference's terms-agg
+    ``missing`` sentinel rewritten back to SQL NULL,
+    `aggregate/mod.rs:576-705`; Arrow groupby gives it natively)."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    t = pa.table({"g": pa.array(["a", None, "b", None, "a"]),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+    out = sql_aggregate(ray.data.from_arrow(t), ["g"],
+                        {"n": ("count_star", None),
+                         "s": ("sum", "v")}).to_pandas()
+    by = {row["g"]: (row["n"], row["s"]) for _, row in out.iterrows()}
+    assert by["a"] == (2, 6.0) and by["b"] == (1, 3.0)
+    assert by[None] == (2, 6.0)
+
+
 def test_topk_with_facet_single_pass(ray_session):
     """One pass yields the same top-k as search_topk AND the same facet as
     facet_terms (`topk-agg-facet.sql` single-pass semantics)."""
