@@ -288,6 +288,62 @@ def test_fuzzy_array_occurs(mock_searcher):
     assert _ids(mock_searcher, h) == [3]
 
 
+# -- join_scoring.out (BM25 scores carried through a join) ------------------
+
+
+def test_join_scoring_golden(ray_session):
+    """`p.description @@@ 'wireless'` JOIN suppliers ORDER BY score LIMIT 5
+    -> exact f32 scores 0.96774966 / 0.9080427 survive the join
+    (join_scoring.out TEST 1)."""
+    import ray.data
+
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.search import search_topk
+
+    pschema = IndexSchema.build(
+        "id", name={"type": "text"}, description={"type": "text"},
+        supplier_id={"type": "i64"}, price={"type": "f64"})
+    products = pa.table({
+        "id": pa.array([201, 202, 203, 204, 205, 206, 207, 208], pa.int64()),
+        "name": pa.array(["Wireless Mouse", "USB Cable", "Keyboard",
+                          "Monitor Stand", "Webcam", "Headphones",
+                          "Mouse Pad", "Cable Organizer"]),
+        "description": pa.array([
+            "Ergonomic wireless mouse with Bluetooth connectivity",
+            "High-speed USB-C cable for fast data transfer",
+            "Mechanical keyboard with RGB lighting",
+            "Adjustable monitor stand for ergonomic setup",
+            "HD webcam for video conferencing",
+            "Wireless noise-canceling headphones with premium sound",
+            "Large gaming mouse pad with wireless charging",
+            "Desktop cable organizer for clean setup"]),
+        "supplier_id": pa.array([151, 152, 151, 153, 154, 151, 152, 153],
+                                pa.int64()),
+        "price": pa.array([29.99, 9.99, 89.99, 49.99, 59.99, 199.99, 39.69,
+                           14.99]),
+    })
+    suppliers = pa.table({
+        "sid": pa.array([151, 152, 153, 154], pa.int64()),
+        "supplier_name": pa.array(["TechCorp", "GlobalSupply", "FastParts",
+                                   "QualityFirst"]),
+    })
+    hits = search_topk(
+        ray.data.from_arrow(products).repartition(2), pschema,
+        ast.ParseWithField("description", "wireless"), limit=5,
+        order_by=[("score", "descending"), ("id", "ascending")],
+        output_columns=["id", "name", "supplier_id", "score"])
+    joined = broadcast_join(hits, suppliers, on="supplier_id",
+                            right_on="sid", how="inner")
+    df = joined.to_pandas().sort_values(
+        ["score", "id"], ascending=[False, True]).reset_index(drop=True)
+    assert df["id"].tolist() == [201, 206, 207]
+    assert df["supplier_name"].tolist() == ["TechCorp", "TechCorp",
+                                            "GlobalSupply"]
+    golden = [0.96774966, 0.9080427, 0.9080427]
+    for got, want in zip(df["score"], golden):
+        assert np.float32(got) == np.float32(want), (got, want)
+
+
 # -- term_set_dispatch.out (search-driven JoinScan) -------------------------
 
 
