@@ -296,6 +296,13 @@ class _Parser:
         if kind == "quoted":
             return val[1:-1]
         if kind == "word":
+            # reassemble colon-containing values (ISO timestamps:
+            # `[2024-01-02T00:00:00Z TO ...}`, datetime_stability.sql)
+            while (self.sc.peek()[0] == "colon"
+                   and self.sc.peek(1)[0] == "word"):
+                self.sc.next()
+                _, w = self.sc.next()
+                val += ":" + w
             return val
         raise ValueError(f"bad range value {val!r}")
 

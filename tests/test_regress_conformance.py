@@ -288,6 +288,31 @@ def test_fuzzy_array_occurs(mock_searcher):
     assert _ids(mock_searcher, h) == [3]
 
 
+# -- datetime_stability.out -------------------------------------------------
+
+
+def test_timestamp_range_query_string_golden():
+    """`occurred_at @@@ '[2024-01-02T00:00:00Z TO 2024-01-04T00:00:00Z}'`
+    -> ids {2,3}: ISO timestamps inside query-string ranges with mixed
+    bracket inclusivity."""
+    import datetime as dt
+
+    from paradedb_ray.query.parser import parse_query_string
+
+    schema = IndexSchema.build("id", occurred_at={"type": "date"})
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "occurred_at": pa.array(
+            [dt.datetime(2024, 1, d, 10 + d - 1) for d in range(1, 6)],
+            pa.timestamp("us")),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+    q = parse_query_string(
+        "occurred_at:[2024-01-02T00:00:00 TO 2024-01-04T00:00:00}",
+        schema, ["occurred_at"], False, False)
+    assert _ids(s, s.eval(q)) == [2, 3]
+
+
 # -- join_scoring.out (BM25 scores carried through a join) ------------------
 
 
