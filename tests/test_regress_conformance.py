@@ -638,6 +638,26 @@ def test_bm25_b_zero_no_length_norm():
     assert got[1] > got[4]
 
 
+# -- json_term_set.out ------------------------------------------------------
+
+
+def test_json_term_set_golden():
+    """TermSetMulti over a JSON dot-path (string-valued tstz) -> ids {2,3}
+    (json_term_set.out; values compared as stored strings)."""
+    schema = IndexSchema.build("id", metadata={"type": "json"})
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "metadata": pa.array([
+            '{"attributes": {"tstz": "2023-05-01T08:12:34Z"}}',
+            '{"attributes": {"tstz": "2023-05-01T09:12:34Z"}}',
+            '{"attributes": {"tstz": "2023-05-01T10:12:34Z"}}']),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+    q = ast.TermSet(field="metadata.attributes.tstz",
+                    terms=["2023-05-01T09:12:34Z", "2023-05-01T10:12:34Z"])
+    assert _ids(s, s.eval(q)) == [2, 3]
+
+
 # -- exists_json.out --------------------------------------------------------
 
 
