@@ -101,6 +101,14 @@ def test_score_filter_bounds(score_searcher):
     assert _ids(score_searcher, keep) == [1]
     over = score_searcher.eval(ast.ScoreFilter(bounds=[(10.0, None)], query=base))
     assert _ids(score_searcher, over) == []
+    # boundary inclusivity at the exact golden score 1.0226655
+    exact = np.float32(1.0226655)
+    incl = score_searcher.eval(ast.ScoreFilter(
+        bounds=[({"Included": float(exact)}, None)], query=base))
+    assert _ids(score_searcher, incl) == [1]
+    excl = score_searcher.eval(ast.ScoreFilter(
+        bounds=[({"Excluded": float(exact)}, None)], query=base))
+    assert _ids(score_searcher, excl) == []
 
 
 # -- proximity.out ----------------------------------------------------------
