@@ -389,6 +389,29 @@ def search_count(
     query: Union[ast.Query, str],
     stats=None,
 ) -> int:
-    """COUNT(*) of matching rows (aggregate pushdown fast path)."""
-    matched = search(ds, schema, query, with_score=False, stats=stats)
-    return matched.count()
+    """COUNT(*) of matching rows (aggregate pushdown fast path,
+    `aggregatescan` COUNT(*): only per-block counts leave the workers,
+    never the matched rows)."""
+    import pyarrow as pa
+
+    from paradedb_ray.index.searcher import Searcher
+    from paradedb_ray.index.segment import build_segment
+    from paradedb_ray.stages.search_stages import needs_positions
+
+    if isinstance(query, str):
+        query = ast.Parse(query)
+    query = resolve_more_like_this(ds, schema, query)
+    ds = _prune_columns(ds, schema, query,
+                        output_columns=list(schema.key_fields) or None)
+    if stats is None:
+        stats = compute_global_stats(ds, schema, query)
+    store_pos = needs_positions(query, schema)
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        seg = build_segment(batch, schema, store_positions=store_pos)
+        hits = Searcher(seg, schema, stats).eval(query)
+        return pa.table({"n": pa.array([len(hits)], pa.int64())})
+
+    rows = ds.map_batches(count_block, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    return int(sum(r["n"] for r in rows))
