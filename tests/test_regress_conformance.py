@@ -609,6 +609,28 @@ def test_phrase_raw_json_query_golden():
     assert _ids(s, s.eval(q0)) == [1]
 
 
+# -- ngram-field search (substring semantics via the index) -----------------
+
+
+def test_ngram_field_substring_search():
+    """A field indexed with ngram(3,3) matches substring grams: querying a
+    3-gram finds every doc whose text contains it (`tokenizers/` ngram;
+    how pg_search serves LIKE-ish lookups through the index)."""
+    schema = IndexSchema.build("id", sku={
+        "type": "text",
+        "tokenizer": {"type": "ngram", "min_gram": 3, "max_gram": 3}})
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "sku": pa.array(["ABC-1234", "XYZ-1299", "ABD-7777"])})
+    s = Searcher(build_segment(t, schema), schema)
+    got = _ids(s, s.eval(ast.Term(field="sku", value="abc")))
+    assert got == [1]
+    got = _ids(s, s.eval(ast.Term(field="sku", value="129")))
+    assert got == [2]
+    # shared gram across docs
+    got = _ids(s, s.eval(ast.Term(field="sku", value="ab")))
+    assert got == []  # 2-gram never indexed at min_gram=3
+
+
 # -- bm25-params.out --------------------------------------------------------
 
 
