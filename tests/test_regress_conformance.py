@@ -631,6 +631,21 @@ def test_ngram_field_substring_search():
     assert got == []  # 2-gram never indexed at min_gram=3
 
 
+def test_edge_ngram_autocomplete():
+    """edge_ngram(2,5) serves prefix/autocomplete lookups: typing 'sea'
+    matches 'search' and 'seattle' but not 'asea'."""
+    schema = IndexSchema.build("id", title={
+        "type": "text",
+        "tokenizer": {"type": "edge_ngram", "min_gram": 2, "max_gram": 5}})
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "title": pa.array(["search engine", "seattle rain",
+                                     "asea drift"])})
+    s = Searcher(build_segment(t, schema), schema)
+    assert _ids(s, s.eval(ast.Term(field="title", value="sea"))) == [1, 2]
+    assert _ids(s, s.eval(ast.Term(field="title", value="se"))) == [1, 2]
+    assert _ids(s, s.eval(ast.Term(field="title", value="as"))) == [3]
+
+
 # -- bm25-params.out --------------------------------------------------------
 
 
