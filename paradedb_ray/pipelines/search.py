@@ -44,8 +44,27 @@ def _prune_columns(ds, schema: IndexSchema, query: ast.Query,
         f = getattr(q, "field", None)
         if isinstance(f, str):
             acc.add(f.split(".")[0])
-        if isinstance(q, (ast.Parse, ast.MoreLikeThis)):
+        if isinstance(q, (ast.Parse, ast.ParseWithField)):
+            # a query STRING can scope any field (``category:electronics``),
+            # so parse it and walk the resulting AST — adding only the
+            # default search fields would prune a scoped KEYWORD/numeric
+            # column and crash the stats/scoring pass
+            from paradedb_ray.query.parser import parse_query_string
+
+            dfs = ([q.field] if isinstance(q, ast.ParseWithField)
+                   else schema.default_search_fields)
+            try:
+                parsed = parse_query_string(q.query_string, schema, dfs,
+                                            bool(q.conjunction_mode),
+                                            bool(q.lenient))
+            except Exception:
+                return False  # unparseable here: skip pruning entirely
+            if not walk(parsed, acc):
+                return False
+        if isinstance(q, ast.MoreLikeThis):
             acc.update(schema.default_search_fields)
+            for fld, _ in (q.document_fields or ()):
+                acc.add(fld.split(".")[0])
         if isinstance(q, ast.TermSetMulti):
             acc.update(fld.split(".")[0] for fld, _ in q.terms)
         return True

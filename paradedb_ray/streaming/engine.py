@@ -440,6 +440,13 @@ class EpochRunner:
         # live query set against the indexed turn stream (the stateful
         # query-stream ⋈ turn-stream join of the north rule)
         self.query_stream = sorted(query_stream or [], key=lambda e: e[0])
+        # highest epoch known to be reflected in the ENGINE state (ingested
+        # this session, or restored from checkpoint via resume()).  A commit
+        # marker alone is not enough: with checkpoint_every > 1 an epoch can
+        # be committed on disk yet absent from the restored state — such
+        # epochs replay their ingest (idempotent upsert) while their sink
+        # emissions stay untouched (ADVICE r1 #2).
+        self._state_epoch = -1
         os.makedirs(sink_dir, exist_ok=True)
 
     def _apply_query_stream(self, epoch: int):
@@ -458,20 +465,39 @@ class EpochRunner:
     def epoch_done(self, epoch: int) -> bool:
         return os.path.exists(self._commit_marker(epoch))
 
+    def _watermark_for(self, table: pa.Table) -> int:
+        eng = self.engine
+        ts_max = pa.compute.max(
+            table.column(eng.cfg.ts_col).cast(pa.int64())).as_py()
+        if ts_max is None:  # empty epoch: watermark holds
+            return max(ray.get([a.metrics.remote() for a in eng.actors]),
+                       key=lambda m: m["watermark"])["watermark"]
+        return int(ts_max) - eng.cfg.lateness_us
+
     def run_epoch(self, epoch: int, table: pa.Table) -> dict:
         self._apply_query_stream(epoch)  # deterministic: replayed on resume
         if self.epoch_done(epoch):
+            if epoch > self._state_epoch:
+                # committed but newer than the engine state (crash landed
+                # between the commit marker and the next checkpoint):
+                # replay ingest + watermark so later epochs see these rows;
+                # the epoch's own emissions are immutable history — no sink
+                # writes (ADVICE r1 #2)
+                eng = self.engine
+                eng.epoch = epoch
+                info = eng.ingest(table, epoch=epoch)
+                eng.advance_watermark(self._watermark_for(table), epoch=epoch)
+                eng.merge_tick()
+                if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
+                    eng.checkpoint(epoch)
+                self._state_epoch = epoch
+                return {"epoch": epoch, "skipped": True, "replayed": True,
+                        "rows": info["rows"]}
             return {"epoch": epoch, "skipped": True}
         eng = self.engine
         eng.epoch = epoch
         info = eng.ingest(table, epoch=epoch)
-        ts_max = pa.compute.max(
-            table.column(eng.cfg.ts_col).cast(pa.int64())).as_py()
-        if ts_max is None:  # empty epoch: watermark holds
-            wm = max(ray.get([a.metrics.remote() for a in eng.actors]),
-                     key=lambda m: m["watermark"])["watermark"]
-        else:
-            wm = int(ts_max) - eng.cfg.lateness_us
+        wm = self._watermark_for(table)
         sessions = eng.advance_watermark(wm, epoch=epoch)
         if sessions.num_rows:
             _write_atomic_parquet(
@@ -492,8 +518,10 @@ class EpochRunner:
             ft = eng.facet(fq, ffield)
             ft = ft.append_column("epoch",
                                   pa.array([epoch] * ft.num_rows, pa.int64()))
+            # facets live under their own namespace: a facet named like a
+            # standing query must NOT overwrite its emissions (ADVICE r1 #4)
             _write_atomic_parquet(
-                ft, os.path.join(self.sink_dir, name,
+                ft, os.path.join(self.sink_dir, "facets", name,
                                  f"epoch={epoch:06d}.parquet"))
         eng.merge_tick()
         if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
@@ -513,6 +541,7 @@ class EpochRunner:
         # deterministic content) -> effectively exactly-once.
         with open(self._commit_marker(epoch), "w") as f:
             f.write(json.dumps({"rows": info["rows"]}))
+        self._state_epoch = epoch
         return {"epoch": epoch, "rows": info["rows"], "watermark": wm}
 
     def run(self, epoch_tables: list, start_epoch: int = 0) -> list:
@@ -523,12 +552,23 @@ class EpochRunner:
 
     def resume(self) -> int:
         """Restore engine state; next call to ``run`` with the same source
-        skips committed epochs and replays the rest."""
-        return self.engine.restore()
+        re-ingests committed epochs newer than the restored checkpoint
+        (sink untouched) and replays the rest in full."""
+        e = self.engine.restore()
+        self._state_epoch = e
+        return e
 
     def read_result(self, name: str) -> pa.Table:
         """Latest-epoch view of a standing query's emissions."""
         d = os.path.join(self.sink_dir, name)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pq.read_table(os.path.join(d, files[-1]))
+
+    def read_facet(self, name: str) -> pa.Table:
+        """Latest-epoch view of a facet's emissions."""
+        d = os.path.join(self.sink_dir, "facets", name)
         files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         if not files:
             return pa.table({})

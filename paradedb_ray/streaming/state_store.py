@@ -238,26 +238,63 @@ class Bm25PartitionStore:
         return segs
 
     def stats_partial(self, requests_pickle: bytes) -> bytes:
-        """Partial GlobalStats for the driver's stats exchange barrier."""
+        """Partial GlobalStats for the driver's stats exchange barrier.
+
+        Text-field dfs come from the postings; KEYWORD / numeric / JSON
+        terms are counted by column equality over the segment rows
+        (mirroring the batch ``StatsCollector``) so keyword-term idf — and
+        thus BM25 ranking — is identical across partitions and identical
+        to the stateless batch pipeline (ADVICE r1 #3)."""
+        import pyarrow.compute as pc
+
+        from paradedb_ray.schema import JSON, KEYWORD, TEXT
+
         req = pickle.loads(requests_pickle)
         g = GlobalStats()
+        need_fields = req["fields"] | {f.split(".")[0]
+                                       for f, _ in req["terms"]}
         for seg in self._all_segments():
             g.num_docs += seg.num_docs
-            for fname in req["fields"] | {f.split(".")[0]
-                                          for f, _ in req["terms"]}:
+            for fname in need_fields:
                 ti = seg.text.get(fname)
-                if ti is None:
+                if ti is not None:
+                    g.field_total_tokens[fname] = (
+                        g.field_total_tokens.get(fname, 0) + ti.total_tokens)
+                    g.field_doc_count[fname] = (
+                        g.field_doc_count.get(fname, 0) + ti.doc_count)
                     continue
-                g.field_total_tokens[fname] = (
-                    g.field_total_tokens.get(fname, 0) + ti.total_tokens)
+                fdef = self.schema.fields.get(fname)
+                if fdef is None or fname not in seg.table.column_names:
+                    continue
                 g.field_doc_count[fname] = (
-                    g.field_doc_count.get(fname, 0) + ti.doc_count)
+                    g.field_doc_count.get(fname, 0)
+                    + int(pc.count(seg.table.column(fname)).as_py()))
             for (f, t) in req["terms"]:
                 base = f.split(".")[0]
                 ti = seg.text.get(base)
                 if ti is not None:
                     g.term_df[(f, t)] = (g.term_df.get((f, t), 0)
                                          + ti.doc_freq(t))
+                    continue
+                fdef = self.schema.fields.get(base)
+                if fdef is None or base not in seg.table.column_names:
+                    continue
+                col = seg.table.column(base)
+                if fdef.ftype == JSON and "." in f:
+                    vals = seg.json_path_values(base, f.split(".", 1)[1])
+                    tv = t.lower() if isinstance(t, str) else t
+                    cnt = sum(
+                        1 for v in vals
+                        if (v.lower() if isinstance(v, str) else v) == tv)
+                else:
+                    if fdef.ftype == KEYWORD and fdef.analyzer.filters.lowercase:
+                        col = pc.utf8_lower(col)
+                    try:
+                        cnt = int(pc.sum(
+                            pc.equal(col, t).fill_null(False)).as_py() or 0)
+                    except Exception:
+                        cnt = 0
+                g.term_df[(f, t)] = g.term_df.get((f, t), 0) + cnt
         return pickle.dumps(g)
 
     def topk(self, query_pickle: bytes, stats_pickle: bytes, k: int,

@@ -1,0 +1,183 @@
+"""Round-2 regression tests for the advisor's findings (ADVICE.md r1):
+
+1. projection pushdown must parse Parse/ParseWithField query strings
+   (a string-scoped KEYWORD/numeric column must not be pruned away);
+2. EpochRunner resume must not lose committed-but-not-checkpointed epochs
+   when ``checkpoint_every > 1``;
+3. keyword-term doc-freqs in the streaming stats exchange must be global
+   (stream == batch BM25 score parity for keyword fields);
+4. facets and standing queries must not collide in the sink namespace.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from paradedb_ray.query import ast, builders as pdb
+from paradedb_ray.schema import mock_items_schema
+from paradedb_ray.testing.fixtures import mock_items_table
+
+
+def test_prune_keeps_parse_scoped_keyword_column(ray_session):
+    """Parse("category:... AND description:...") with a narrow
+    output_columns must still read the scoped KEYWORD column
+    (ADVICE r1 #1: the walk was blind to fields inside query strings)."""
+    from paradedb_ray.pipelines.search import search, search_topk
+
+    schema = mock_items_schema()
+    ds = ray.data.from_arrow(mock_items_table())
+    out = search(ds, schema,
+                 ast.Parse("category:electronics AND description:keyboard"),
+                 output_columns=["id"], with_score=False).to_pandas()
+    assert set(out.columns) == {"id"}
+    assert len(out) > 0
+    # cross-check against an unpruned run
+    full = search(ds, schema,
+                  ast.Parse("category:electronics AND description:keyboard"),
+                  with_score=False).to_pandas()
+    assert sorted(out["id"]) == sorted(full["id"])
+
+    # top-k path takes the same pruning code
+    topk = search_topk(
+        ds, schema, ast.Parse("category:electronics"), limit=5,
+        order_by=[("score", "descending"), ("id", "ascending")],
+        output_columns=["id", "score"]).to_pandas()
+    assert len(topk) == 5
+
+
+def test_prune_parse_with_field(ray_session):
+    from paradedb_ray.pipelines.search import search
+
+    schema = mock_items_schema()
+    ds = ray.data.from_arrow(mock_items_table())
+    q = ast.ParseWithField("category", "electronics")
+    out = search(ds, schema, q, output_columns=["id"],
+                 with_score=False).to_pandas()
+    assert len(out) > 0
+
+
+def test_stream_keyword_scores_match_batch(ray_session):
+    """Keyword-term idf must come from GLOBAL df, not the per-segment
+    fallback — stream scores must be bit-identical to the batch pipeline
+    even when the keyword's distribution is skewed across partitions
+    (ADVICE r1 #3)."""
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    turns = transcript_turns(2000, seed=11)
+    q = ast.Boolean(must=[pdb.term("role", "user"),
+                          pdb.term("text", "merge")])
+    batch = search(ray.data.from_arrow(turns), transcripts_schema(), q,
+                   output_columns=["conv_id", "turn_idx", "score"]).to_pandas()
+    eng = StreamEngine(transcripts_schema(),
+                       StreamConfig(num_partitions=3, mutable_rows=500))
+    try:
+        eng.ingest(turns)
+        stream = eng.query_matches(
+            q, columns=["conv_id", "turn_idx", "score"]).to_pandas()
+    finally:
+        eng.shutdown()
+    b = batch.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s = stream.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(b) == len(s) and len(b) > 0
+    assert list(b["conv_id"]) == list(s["conv_id"])
+    assert np.array_equal(b["score"].to_numpy().view(np.uint32),
+                          s["score"].to_numpy().view(np.uint32))
+
+
+def _mini_engine(tmp=None, parts=2):
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+
+    return StreamEngine(transcripts_schema(),
+                        StreamConfig(num_partitions=parts, mutable_rows=500),
+                        checkpoint_dir=tmp)
+
+
+def test_resume_replays_committed_uncheckpointed_epochs(ray_session,
+                                                        tmp_path):
+    """checkpoint_every=2: epoch 1 is committed but only epoch 0 is in the
+    checkpoint.  A crash + resume must REPLAY epoch 1's ingest (sink
+    untouched) so epoch 2's emissions still see its rows (ADVICE r1 #2)."""
+    import pyarrow.parquet as pq
+
+    from paradedb_ray.streaming import EpochRunner
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    turns = transcript_turns(1200, seed=3)
+    idx = pa.compute.sort_indices(turns, sort_keys=[("ts", "ascending")])
+    ordered = turns.take(idx)
+    n = ordered.num_rows
+    epochs = [ordered.slice(0, n // 3), ordered.slice(n // 3, n // 3),
+              ordered.slice(2 * (n // 3))]
+    standing = {"q": pdb.term("text", "merge")}
+    cols = ["conv_id", "turn_idx", "score"]
+
+    # reference: uninterrupted run
+    sink_a = str(tmp_path / "sa")
+    eng_a = _mini_engine(str(tmp_path / "cka"))
+    try:
+        EpochRunner(eng_a, sink_a, standing, topk=10, columns=cols,
+                    checkpoint_every=2).run(epochs)
+    finally:
+        eng_a.shutdown()
+
+    # interrupted: run epochs 0,1 (checkpoint lands only at epoch 0), crash
+    sink_b, ck_b = str(tmp_path / "sb"), str(tmp_path / "ckb")
+    eng_1 = _mini_engine(ck_b)
+    try:
+        r1 = EpochRunner(eng_1, sink_b, standing, topk=10, columns=cols,
+                         checkpoint_every=2)
+        r1.run_epoch(0, epochs[0])
+        r1.run_epoch(1, epochs[1])
+    finally:
+        eng_1.shutdown()  # crash before epoch 2
+
+    eng_2 = _mini_engine(ck_b)
+    try:
+        r2 = EpochRunner(eng_2, sink_b, standing, topk=10, columns=cols,
+                         checkpoint_every=2)
+        assert r2.resume() == 0  # only epoch 0 was checkpointed
+        out = r2.run(epochs)
+        assert out[0] == {"epoch": 0, "skipped": True}
+        assert out[1].get("replayed")  # committed > checkpoint: re-ingested
+        assert not out[2].get("skipped")
+        assert eng_2.num_docs() == n
+    finally:
+        eng_2.shutdown()
+    for e in range(3):
+        a = pq.read_table(os.path.join(sink_a, "q", f"epoch={e:06d}.parquet"))
+        b = pq.read_table(os.path.join(sink_b, "q", f"epoch={e:06d}.parquet"))
+        assert a.equals(b), f"epoch {e}"
+
+
+def test_facet_and_query_namespaces_disjoint(ray_session, tmp_path):
+    """A facet registered under the SAME name as a standing query must not
+    overwrite the query's emissions (ADVICE r1 #4)."""
+    import pyarrow.parquet as pq
+
+    from paradedb_ray.streaming import EpochRunner
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    turns = transcript_turns(800, seed=9)
+    sink = str(tmp_path / "s")
+    eng = _mini_engine()
+    try:
+        r = EpochRunner(eng, sink, {"q": pdb.term("text", "merge")},
+                        facets={"q": (pdb.term("text", "merge"), "role")},
+                        topk=5, columns=["conv_id", "turn_idx", "score"])
+        r.run_epoch(0, turns)
+        qt = pq.read_table(os.path.join(sink, "q", "epoch=000000.parquet"))
+        ft = pq.read_table(os.path.join(sink, "facets", "q",
+                                        "epoch=000000.parquet"))
+        assert "score" in qt.column_names and qt.num_rows == 5
+        assert "doc_count" in ft.column_names
+        assert r.read_facet("q").equals(ft)
+    finally:
+        eng.shutdown()

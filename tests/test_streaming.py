@@ -361,7 +361,8 @@ def test_streaming_facets(ray_session, turns, tmp_path):
                                                "role")},
                         topk=5, columns=["conv_id", "turn_idx", "score"])
         r.run_epoch(0, turns)
-        got = pq.read_table(os.path.join(str(tmp_path / "s"), "facet_role",
+        got = pq.read_table(os.path.join(str(tmp_path / "s"), "facets",
+                                         "facet_role",
                                          "epoch=000000.parquet"))
         want = collections.Counter(
             ro for ro, tx in zip(turns.column("role").to_pylist(),
