@@ -72,9 +72,16 @@ def broadcast_join(
     if isinstance(right, ray.data.Dataset):
         if right_columns:
             right = right.select_columns(sorted(set(right_columns) | set(rkeys)))
-        small = pa.concat_tables(
-            [ray.get(r) for r in right.to_arrow_refs()]
-        )
+        # shuffle outputs may contain schema-less empty blocks — drop them
+        tables = [t for t in (ray.get(r) for r in right.to_arrow_refs())
+                  if t.num_rows > 0]
+        if tables:
+            small = pa.concat_tables(tables, promote_options="default")
+        else:
+            s = right.schema()
+            base = getattr(s, "base_schema", None)
+            small = (base.empty_table() if isinstance(base, pa.Schema)
+                     else pa.schema(list(zip(s.names, s.types))).empty_table())
     else:
         small = right
         if right_columns:

@@ -178,8 +178,15 @@ def knn_ivf(
                 "score": pa.array(out_score, pa.float32()),
             })
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # autoscaling actor pool up to the cluster width — a hardcoded tiny
+    # pool starves a 32-CPU run (VERDICT r1 #5); centroid/probe state is
+    # fetched once per actor in __init__
     scored = ds.map_batches(IvfScorer, batch_format="pyarrow",
-                            batch_size=None, concurrency=4)
+                            batch_size=None, concurrency=(1, max(2, cpus)))
 
     import pandas as pd
 

@@ -157,6 +157,91 @@ def test_resume_replays_committed_uncheckpointed_epochs(ray_session,
         assert a.equals(b), f"epoch {e}"
 
 
+def _dup_heavy_docs(n_base: int = 60, copies: int = 5):
+    """A dup-heavy corpus: each base doc has ``copies`` exact/near copies."""
+    rng = np.random.RandomState(17)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "merge", "index", "stream", "shard"]
+    texts, keys = [], []
+    k = 0
+    for b in range(n_base):
+        base = " ".join(rng.choice(words, size=30))
+        for c in range(copies):
+            t = base if c == 0 else base + f" tail{c}"
+            texts.append(t)
+            keys.append(k)
+            k += 1
+    return pa.table({"doc_id": pa.array(keys, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_minhash_dup_heavy_no_driver_path(ray_session):
+    """Dup-heavy corpus through the join-based LSH path: every non-canonical
+    copy maps to its group's minimal key (VERDICT r1 #1 done-criterion)."""
+    from paradedb_ray.pipelines.dedup import minhash_lsh_duplicates
+
+    t = _dup_heavy_docs()
+    out = minhash_lsh_duplicates(ray.data.from_arrow(t), "text",
+                                 "doc_id").to_pandas()
+    # each group of 5 has 4 non-canonical members pointing at key % 5 == 0
+    assert len(out) == 60 * 4
+    assert (out["dup_of"] % 5 == 0).all()
+    assert (out["doc_id"] // 5 == out["dup_of"] // 5).all()
+
+
+def test_ngram_jaccard_dup_heavy(ray_session):
+    from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
+
+    t = _dup_heavy_docs(n_base=20, copies=3)
+    out = ngram_jaccard_duplicates(ray.data.from_arrow(t), "text", "doc_id",
+                                   threshold=0.7).to_pandas()
+    assert len(out) == 20 * 2
+    assert (out["jaccard"] >= 0.7).all()
+    assert (out["doc_id"] // 3 == out["dup_of"] // 3).all()
+
+
+def test_simhash_batch_kernel_matches_scalar(ray_session):
+    """The vectorized SimHash kernel must be bit-identical to the scalar
+    per-token blake2b definition (VERDICT r1 #4 done-criterion)."""
+    import hashlib
+
+    from paradedb_ray.pipelines.dedup import simhash64_batch
+
+    rng = np.random.RandomState(4)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    docs = [list(rng.choice(words, size=rng.randint(0, 12)))
+            for _ in range(50)] + [[]]
+
+    def scalar(tokens):
+        if not tokens:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in tokens:
+            h = int.from_bytes(hashlib.blake2b(
+                t.encode(), digest_size=8).digest(), "little")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    got = simhash64_batch(docs)
+    want = [scalar(d) for d in docs]
+    assert [int(g) for g in got] == want
+
+
+def test_simhash_duplicates_dup_heavy(ray_session):
+    from paradedb_ray.pipelines.dedup import simhash_duplicates
+
+    base = " ".join(f"w{i}" for i in range(40))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, base.replace("w3 ", "w3x "),
+                          " ".join(f"z{i}" for i in range(40))])})
+    out = simhash_duplicates(ray.data.from_arrow(t), "text", "doc_id",
+                             hamming_k=8).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert list(out["dup_of"]) == [0]
+
+
 def test_facet_and_query_namespaces_disjoint(ray_session, tmp_path):
     """A facet registered under the SAME name as a standing query must not
     overwrite the query's emissions (ADVICE r1 #4)."""
