@@ -75,6 +75,12 @@ class Bm25PartitionStore:
         # live_seq[key] == row.__seq (MVCC-style visibility, one dict per
         # partition instead of ctid heap checks)
         self.live_seq: dict = {}
+        # key hash -> arrival index (__arr) of the live copy.  __arr is a
+        # deterministic global arrival order stamped by the ROUTER, so
+        # upserts resolve identically whether batches arrive through the
+        # sequential driver path or out-of-order from parallel shard
+        # routers: highest __arr wins, a stale arrival is dead-on-arrival.
+        self.live_arr: dict = {}
         self.row_seq = 0                 # monotone per-partition row counter
         self.n_dead = 0                  # superseded/retracted copies pending
         self.last_ts: dict = {}          # conv_id -> last event ts (us)
@@ -106,15 +112,33 @@ class Bm25PartitionStore:
             return {"part": self.part_id, "n": 0, "late": n_late}
 
         keys = _key_hash(conv, turn).tolist()
-        # upsert: re-arrival of a live key supersedes the earlier copy
-        n_dup = sum(1 for k in keys if k in self.live_seq)
-        if n_dup:
-            self.metrics_["retractions"] += n_dup
-            self.n_dead += n_dup
         seqs = np.arange(self.row_seq, self.row_seq + len(keys),
                          dtype=np.int64)
         self.row_seq += len(keys)
-        self.live_seq.update(zip(keys, seqs.tolist()))
+        arr = (table.column("__arr").to_numpy(zero_copy_only=False)
+               if "__arr" in table.column_names else None)
+        live_seq, live_arr = self.live_seq, self.live_arr
+        n_retract = 0
+        n_doa = 0  # dead on arrival (stale __arr raced a newer copy)
+        if arr is None:
+            # no router stamp: arrival order == call order (legacy path)
+            for k, s in zip(keys, seqs.tolist()):
+                if k in live_seq:
+                    n_retract += 1
+                live_seq[k] = s
+        else:
+            for k, s, a in zip(keys, seqs.tolist(), arr.tolist()):
+                prev = live_arr.get(k)
+                if prev is None or a >= prev:
+                    if prev is not None or k in live_seq:
+                        n_retract += 1  # supersedes an existing live copy
+                    live_seq[k] = s
+                    live_arr[k] = a
+                else:
+                    n_doa += 1
+        if n_retract:
+            self.metrics_["retractions"] += n_retract
+        self.n_dead += n_retract + n_doa
         table = table.append_column("__seq", pa.array(seqs, pa.int64()))
 
         # per-conv last_ts + counts; reopen closed sessions on late arrival
@@ -207,6 +231,7 @@ class Bm25PartitionStore:
         for k in key_hashes:
             if k in self.live_seq:
                 del self.live_seq[k]
+                self.live_arr.pop(k, None)
                 self.n_dead += 1
                 n += 1
         self.metrics_["retractions"] += n
@@ -348,8 +373,11 @@ class Bm25PartitionStore:
         out = out.take(idx.slice(0, k))
         if columns:
             out = out.select([c for c in columns if c in out.column_names])
-        elif "__seq" in out.column_names:
-            out = out.drop_columns(["__seq"])
+        else:
+            internal = [c for c in ("__seq", "__arr")
+                        if c in out.column_names]
+            if internal:
+                out = out.drop_columns(internal)
         return out
 
     def match_table(self, query_pickle: bytes, stats_pickle: bytes,
@@ -390,6 +418,7 @@ class Bm25PartitionStore:
         state = {
             "sealed_tables": [s.table for s in self.sealed],
             "live_seq": self.live_seq,
+            "live_arr": self.live_arr,
             "row_seq": self.row_seq,
             "n_dead": self.n_dead,
             "last_ts": self.last_ts,
@@ -432,6 +461,7 @@ class Bm25PartitionStore:
         self.sealed = [build_segment(t, self.schema)
                        for t in state["sealed_tables"]]
         self.live_seq = state["live_seq"]
+        self.live_arr = state.get("live_arr", {})
         self.row_seq = state["row_seq"]
         self.n_dead = state["n_dead"]
         self.last_ts = state["last_ts"]
