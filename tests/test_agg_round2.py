@@ -1,0 +1,140 @@
+"""Round-2 aggregation coverage: sibling bucket aggs (flat layout),
+calendar date_histogram intervals, distributed ungrouped percentiles."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def events_tbl():
+    rng = np.random.RandomState(12)
+    n = 600
+    t0 = dt.datetime(2023, 11, 20)
+    ts = [t0 + dt.timedelta(hours=int(h)) for h in rng.randint(0, 24 * 90, n)]
+    return pa.table({
+        "event_type": pa.array([f"t{i % 4}" for i in range(n)]),
+        "user_id": pa.array(rng.randint(0, 37, n), pa.int64()),
+        "value": pa.array(rng.randint(0, 50, n).astype(float)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def test_calendar_month_histogram_vs_duckdb(ray_session, events_tbl):
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"per_month": {
+        "date_histogram": {"field": "ts", "calendar_interval": "1M"},
+        "aggs": {"total": {"sum": {"field": "value"}}}}}).to_pandas()
+    exp = duckdb.sql(
+        "SELECT date_trunc('month', ts) AS k, count(*) AS doc_count,"
+        " sum(value) AS total FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+    assert list(got["per_month_key"]) == list(exp["k"])
+    assert list(got["doc_count"]) == list(exp["doc_count"])
+    assert list(got["total"]) == list(exp["total"])
+
+
+def test_calendar_quarter_year(ray_session, events_tbl):
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    for cal, trunc in (("quarter", "quarter"), ("1y", "year")):
+        got = pdb_agg(ds, {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": cal}}}).to_pandas()
+        exp = duckdb.sql(
+            f"SELECT date_trunc('{trunc}', ts) AS k, count(*) AS c"
+            " FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+        assert list(got["h_key"]) == list(exp["k"]), cal
+        assert list(got["doc_count"]) == list(exp["c"]), cal
+
+
+def test_sibling_buckets_flat(ray_session, events_tbl):
+    """Two sibling bucket aggs + a bare metric in one request -> one flat
+    table tagged by agg_name (reference merges arbitrary sub-agg trees,
+    aggregate/mod.rs:503-560)."""
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {
+        "by_type": {"terms": {"field": "event_type"},
+                    "aggs": {"avg_v": {"avg": {"field": "value"}}}},
+        "by_month": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "1M"}},
+        "total_v": {"sum": {"field": "value"}},
+    }).to_pandas()
+
+    bt = got[got["agg_name"] == "by_type"]
+    exp = duckdb.sql(
+        "SELECT event_type, count(*) AS c, avg(value) AS a"
+        " FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+    assert list(bt["key_1"]) == list(exp["event_type"])
+    assert list(bt["doc_count"]) == list(exp["c"])
+    assert list(bt["avg_v"]) == list(exp["a"])
+    assert bt["key_2"].isna().all() if "key_2" in bt else True
+
+    bm = got[got["agg_name"] == "by_month"]
+    expm = duckdb.sql(
+        "SELECT strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS k,"
+        " count(*) AS c FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+    assert list(bm["key_1"]) == list(expm["k"])
+    assert list(bm["doc_count"]) == list(expm["c"])
+    assert bm["avg_v"].isna().all()
+
+    tv = got[got["agg_name"] == "total_v"]
+    assert len(tv) == 1
+    assert tv["total_v"].iloc[0] == duckdb.sql(
+        "SELECT sum(value) FROM events_tbl").fetchone()[0]
+
+
+def test_sibling_buckets_nested_level(ray_session, events_tbl):
+    """Sibling buckets BELOW a terms level: each root-to-leaf chain is its
+    own row group."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {
+            "by_month": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "1M"}},
+            "by_bucket": {"histogram": {"field": "value", "interval": 25.0}},
+        }}}).to_pandas()
+    names = set(got["agg_name"])
+    assert names == {"by_type.by_month", "by_type.by_bucket"}
+    # leaf rows carry both key levels
+    sub = got[got["agg_name"] == "by_type.by_bucket"]
+    assert sub["key_1"].notna().all() and sub["key_2"].notna().all()
+    # doc counts per chain both sum to the corpus size
+    assert int(sub["doc_count"].sum()) == events_tbl.num_rows
+    sub2 = got[got["agg_name"] == "by_type.by_month"]
+    assert int(sub2["doc_count"].sum()) == events_tbl.num_rows
+
+
+def test_ungrouped_percentiles_distributed_bitwise(ray_session, events_tbl):
+    """Ungrouped percentiles must not take_all() the column; the
+    histogram-prune path stays bit-identical to DuckDB quantile_cont."""
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import percentiles_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = percentiles_agg(ds, [], "value",
+                          percents=[25, 50, 90, 99]).to_pandas()
+    exp = duckdb.sql(
+        "SELECT quantile_cont(value, 0.25) AS p25,"
+        " quantile_cont(value, 0.50) AS p50,"
+        " quantile_cont(value, 0.90) AS p90,"
+        " quantile_cont(value, 0.99) AS p99 FROM events_tbl").df()
+    for c in ("p25", "p50", "p90", "p99"):
+        assert got[c].iloc[0].hex() == exp[c].iloc[0].hex(), c
