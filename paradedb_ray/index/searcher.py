@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from paradedb_ray.fieldnorm import FIELD_NORMS_TABLE
 from paradedb_ray.index.segment import Segment, TextFieldIndex
 from paradedb_ray.query import ast
-from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD, JSON
+from paradedb_ray.schema import IndexSchema, NUMERIC, TEXT, KEYWORD, JSON
 
 K1 = np.float32(1.2)
 B = np.float32(0.75)
@@ -199,6 +199,29 @@ class Searcher:
             return np.zeros(self.seg.num_docs, dtype=bool)
         return np.asarray(m.fill_null(False))
 
+    def _numeric_repr(self, field: str):
+        """(representation ndarray, valid mask) for a NUMERIC column —
+        scaled i64 when the field has a scale, NumericBytes otherwise;
+        cached per segment (`query/numeric.rs` Numeric64/NumericBytes)."""
+        key = ("__numeric__", field)
+        cached = self.seg._json_cache.get(key)
+        if cached is None:
+            from paradedb_ray.numeric import numeric_bytes_array, scale_array
+
+            f = self.schema.field(field)
+            col = self.seg.column(field)
+            cached = (scale_array(col, f.scale) if f.scale is not None
+                      else numeric_bytes_array(col))
+            self.seg._json_cache[key] = cached
+        return cached
+
+    def _numeric_query_value(self, field: str, value):
+        from paradedb_ray.numeric import cmp_value, numeric_bytes, scale_i64
+
+        f = self.schema.field(field)
+        return cmp_value(scale_i64(value, f.scale) if f.scale is not None
+                         else numeric_bytes(value))
+
     def _term_hits(self, field: str, value, boost: float = 1.0) -> Hits:
         f = self.schema.field(field)
         if f.ftype == TEXT:
@@ -219,7 +242,15 @@ class Searcher:
         if f.ftype == JSON:
             raise ValueError("JSON term requires a dot path (field.path)")
         # numeric/bool/date term
-        mask = self._fast_term_mask(field, value)
+        if f.ftype == NUMERIC:
+            rep, valid = self._numeric_repr(field)
+            try:
+                qv = self._numeric_query_value(field, value)
+            except Exception:
+                return Hits.empty()
+            mask = valid & (rep == qv)
+        else:
+            mask = self._fast_term_mask(field, value)
         df = self.stats.df(field, value)
         if df <= 0:
             df = int(mask.sum())
@@ -364,6 +395,20 @@ class Searcher:
                 mask &= x <= float(ub.value)
             elif ub.kind == "excluded":
                 mask &= x < float(ub.value)
+            return _mask_to_hits(mask)
+        f = self.schema.fields.get(q.field)
+        if f is not None and f.ftype == NUMERIC:
+            # scaled-i64 / NumericBytes comparison: bounds encode the same
+            # way as the column, so integer/bytes order == numeric order
+            rep, valid = self._numeric_repr(q.field)
+            mask = valid.copy()
+            lb, ub = q.lower_bound, q.upper_bound
+            if lb.kind != "unbounded":
+                bv = self._numeric_query_value(q.field, lb.value)
+                mask &= (rep >= bv) if lb.kind == "included" else (rep > bv)
+            if ub.kind != "unbounded":
+                bv = self._numeric_query_value(q.field, ub.value)
+                mask &= (rep <= bv) if ub.kind == "included" else (rep < bv)
             return _mask_to_hits(mask)
         col = self.seg.column(q.field)
         mask = None
@@ -897,12 +942,15 @@ class Searcher:
         before distributed evaluation (see
         ``pipelines.search.resolve_more_like_this``) — a block-local lookup
         would only see its own partition."""
-        if not q.document_fields:
+        if q.document_fields is None:
             raise ValueError(
                 "MoreLikeThis.key_value must be resolved to document_fields "
                 "before evaluation (resolve_more_like_this)")
+        if not q.document_fields:  # resolved, exemplar absent: no matches
+            return Hits.empty()
         stop = set(q.stop_words or ())
-        scored = []
+        field_order = {n: i for i, n in enumerate(self.schema.fields)}
+        cands = []
         for field, text in q.document_fields:
             f = self.schema.fields.get(field)
             if f is None or text is None:
@@ -913,11 +961,12 @@ class Searcher:
             for t in toks:
                 tf[t] = tf.get(t, 0) + 1
             for t, c in tf.items():
+                ts = t if isinstance(t, str) else str(t)
                 if q.min_term_frequency is not None and c < q.min_term_frequency:
                     continue
-                if q.min_word_length is not None and len(t) < q.min_word_length:
+                if q.min_word_length is not None and len(ts) < q.min_word_length:
                     continue
-                if q.max_word_length is not None and len(t) > q.max_word_length:
+                if q.max_word_length is not None and len(ts) > q.max_word_length:
                     continue
                 if t in stop:
                     continue
@@ -928,13 +977,21 @@ class Searcher:
                     continue
                 if df <= 0:
                     continue
-                scored.append((float(idf_f32(df, self.stats.num_docs)) * c,
-                               field, t))
-        scored.sort(key=lambda x: (-x[0], x[1], x[2]))
-        keep = scored[: (q.max_query_terms or 25)]
+                cands.append((field, t))
+        # deterministic Term order (field schema position, then term
+        # value) — mirrors the reference's per-field term map iteration:
+        # with max_query_terms => 2 over doc 1's 'aaa bbb ccc' the kept
+        # terms are {aaa, bbb}, matching the more_like_this.sql golden
+        # ({1,2,4}), NOT a tf·idf top-k (which would keep the rarer
+        # {bbb, ccc} and return only {1})
+        cands.sort(key=lambda x: (field_order.get(x[0], 1 << 30),
+                                  x[1] if isinstance(x[1], str) else "",
+                                  str(x[1])))
+        keep = cands[: (q.max_query_terms or 25)]
         if not keep:
             return Hits.empty()
-        sub = ast.Boolean(should=[ast.Term(field=f_, value=t) for _, f_, t in keep])
+        sub = ast.Boolean(should=[ast.Term(field=f_, value=t)
+                                  for f_, t in keep])
         b = boost * (q.boost_factor if q.boost_factor is not None else 1.0)
         return self.eval(sub, b)
 

@@ -99,6 +99,17 @@ def resolve_more_like_this(ds: ray.data.Dataset, schema: IndexSchema,
     def walk(q):
         if isinstance(q, ast.MoreLikeThis) and q.key_value is not None \
                 and not q.document_fields:
+            from paradedb_ray.schema import JSON as _JSON
+
+            if q.fields:
+                for fname in q.fields:
+                    fdef = schema.fields.get(fname)
+                    if fdef is not None and fdef.ftype == _JSON:
+                        # reference: ERROR `json fields are not supported
+                        # for more_like_this` (more_like_this.sql regress)
+                        raise ValueError(
+                            "json fields are not supported for "
+                            "more_like_this")
             key = schema.key_fields[0]
             # small pushdown filter: only the exemplar row leaves the read
             matches = ds.map_batches(
@@ -110,12 +121,16 @@ def resolve_more_like_this(ds: ray.data.Dataset, schema: IndexSchema,
                 return q2
             r = matches[0]
             q2 = copy.copy(q)
-            from paradedb_ray.schema import TEXT as _TEXT
-
+            # field-less MLT uses every indexed non-JSON field (numeric /
+            # keyword values count as single terms, JSON and list columns
+            # are skipped — more_like_this.sql regress incl. issue #5826)
+            wanted = (list(q.fields) if q.fields else
+                      [f.name for f in schema.fields.values()
+                       if f.ftype != _JSON and f.indexed
+                       and f.name not in schema.key_fields])
             q2.document_fields = [
-                (f.name, r.get(f.name))
-                for f in schema.fields.values()
-                if f.ftype == _TEXT and r.get(f.name) is not None]
+                (fname, r.get(fname)) for fname in wanted
+                if fname in schema.fields and r.get(fname) is not None]
             return q2
         for attr in ("must", "should", "must_not", "disjuncts"):
             if hasattr(q, attr) and getattr(q, attr):

@@ -477,6 +477,9 @@ class ProximityClause:
 class MoreLikeThis(Query):
     document_fields: Optional[list] = None
     key_value: Any = None
+    #: restrict which columns the exemplar contributes (the reference's
+    #: ``pdb.more_like_this(id, ARRAY['field'])`` second argument)
+    fields: Optional[list] = None
     min_doc_frequency: Optional[int] = None
     max_doc_frequency: Optional[int] = None
     min_term_frequency: Optional[int] = None

@@ -21,8 +21,12 @@ F64 = "f64"
 BOOL = "bool"
 DATE = "date"
 JSON = "json"
+#: NUMERIC(p, s): scaled-i64 fixed point when ``scale`` is set (p <= 18),
+#: order-preserving NumericBytes otherwise (`query/numeric.rs:1-472`,
+#: `schema/mod.rs:73-78`)
+NUMERIC = "numeric"
 
-NUMERIC_TYPES = {I64, U64, F64, BOOL, DATE}
+NUMERIC_TYPES = {I64, U64, F64, BOOL, DATE, NUMERIC}
 
 
 @dataclass
@@ -44,6 +48,9 @@ class Field:
     #: pa.Array -> pa.Array) at segment-build time
     expr_source: Optional[str] = None
     expr_fn: Optional[Any] = None
+    #: NUMERIC(p, s) scale: set -> Numeric64 scaled-i64; None on a NUMERIC
+    #: field -> NumericBytes arbitrary precision
+    scale: Optional[int] = None
 
     @cached_property
     def analyzer(self) -> Tokenizer:
@@ -81,6 +88,7 @@ class IndexSchema:
                 b=d.get("b"),
                 expr_source=d.get("expr_source"),
                 expr_fn=d.get("expr_fn"),
+                scale=d.get("scale"),
             )
         for k in keys:
             if k not in fields:

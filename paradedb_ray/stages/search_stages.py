@@ -28,7 +28,7 @@ import pyarrow as pa
 from paradedb_ray.index.searcher import GlobalStats, Searcher
 from paradedb_ray.index.segment import build_segment
 from paradedb_ray.query import ast
-from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD, JSON
+from paradedb_ray.schema import IndexSchema, NUMERIC, TEXT, KEYWORD, JSON
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +225,10 @@ class StatsCollector:
                             1 for v in vals
                             if (v.lower() if isinstance(v, str) else v) == tv
                         )
+                    elif f.ftype == NUMERIC:
+                        from paradedb_ray.numeric import numeric_term_count
+
+                        cnt = numeric_term_count(col, t, f.scale)
                     else:
                         if f.ftype == KEYWORD and f.analyzer.filters.lowercase:
                             cmpcol = pc.utf8_lower(col)

@@ -272,7 +272,7 @@ class Bm25PartitionStore:
         to the stateless batch pipeline (ADVICE r1 #3)."""
         import pyarrow.compute as pc
 
-        from paradedb_ray.schema import JSON, KEYWORD, TEXT
+        from paradedb_ray.schema import JSON, KEYWORD, NUMERIC, TEXT
 
         req = pickle.loads(requests_pickle)
         g = GlobalStats()
@@ -311,6 +311,10 @@ class Bm25PartitionStore:
                     cnt = sum(
                         1 for v in vals
                         if (v.lower() if isinstance(v, str) else v) == tv)
+                elif fdef.ftype == NUMERIC:
+                    from paradedb_ray.numeric import numeric_term_count
+
+                    cnt = numeric_term_count(col, t, fdef.scale)
                 else:
                     if fdef.ftype == KEYWORD and fdef.analyzer.filters.lowercase:
                         col = pc.utf8_lower(col)

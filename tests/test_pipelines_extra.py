@@ -178,8 +178,10 @@ def test_more_like_this(ray_session):
                   "source": pa.array(["s"] * len(texts)),
                   "n_chars": pa.array([len(x) for x in texts], pa.int64())})
     ds = ray.data.from_arrow(t)
-    q = pdb.more_like_this(key_value=0, min_doc_frequency=1,
-                           min_term_frequency=1)
+    # field-less MLT now uses every indexed non-JSON field (keyword
+    # lang/source would match everything here), so scope to text
+    q = pdb.more_like_this(key_value=0, fields=["text"],
+                           min_doc_frequency=1, min_term_frequency=1)
     out = search(ds, documents_schema(), q,
                  output_columns=["doc_id", "score"]).to_pandas()
     # docs sharing terms with doc 0 match; unrelated docs don't
