@@ -104,6 +104,17 @@ def _q_match_disjunction(sf):
                   with_score=False, output_columns=["doc_id"])
 
 
+def _q_match_array(sf):
+    # pre-split tokens bypass the field tokenizer (`pdb_query.rs:222-228`)
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    return search(_docs(sf), _doc_schema(),
+                  pdb.match_array("text", ["spark", "batch"],
+                                  conjunction_mode=True),
+                  with_score=False, output_columns=["doc_id"])
+
+
 def _q_match_fuzzy(sf):
     from paradedb_ray.pipelines.search import search
     from paradedb_ray.query import builders as pdb
@@ -981,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_term_set": _q_search_term_set,
         "search_match_conjunction": _q_match_conjunction,
         "search_match_disjunction": _q_match_disjunction,
+        "search_match_array": _q_match_array,
         "search_match_fuzzy": _q_match_fuzzy,
         "search_phrase_slop": _q_search_phrase_slop,
         "search_phrase_prefix": _q_search_phrase_prefix,
@@ -1016,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
         "search_match_disjunction":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
             f" OR list_contains({_TOKS}, 'batch')",
+        "search_match_array":
+            f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')"
+            f" AND list_contains({_TOKS}, 'batch')",
         "search_match_fuzzy":
             f"SELECT doc_id FROM documents WHERE"
             f" len(list_filter({_TOKS}, t -> levenshtein(t, 'sparc') <= 1)) > 0"

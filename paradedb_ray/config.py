@@ -26,9 +26,11 @@ class EngineConfig:
     #: mutable-segment rows before freeze (default 1000, max 10k —
     #: `postgres/options.rs:73-74`)
     mutable_rows: int = 1000
-    #: sealed segments per partition before a layered merge
-    #: (layer ladder 100KB..10GB — `options.rs:61-71`)
+    #: sealed segments per partition before the count-cap backstop merge
     merge_max_segments: int = 8
+    #: size-tiered merge ladder; None = the reference default 100KB..10GB
+    #: (`options.rs:64-71`, `index/merge_policy.rs:103-330`)
+    layer_sizes: tuple = None
 
     # -- streaming semantics ----------------------------------------------
     #: session gap: close a conversation idle this long (µs)

@@ -629,6 +629,25 @@ class Searcher:
         occur = "must" if q.conjunction_mode else "should"
         return self._eval_Boolean(ast.Boolean(**{occur: subs}), boost)
 
+    def _eval_MatchArray(self, q: ast.MatchArray, boost):
+        """Pre-split Match (`pdb_query.rs:222-228`): tokens are used as
+        terms verbatim (normalized like any query term), never re-run
+        through the field tokenizer."""
+        toks = list(q.tokens)
+        if not toks:
+            return Hits.empty()
+        if q.conjunction_mode:
+            toks = list(dict.fromkeys(toks))
+        subs = []
+        for t in toks:
+            if q.distance > 0:
+                subs.append(ast.FuzzyTerm(q.field, t, q.distance,
+                                          q.transposition_cost_one, q.prefix))
+            else:
+                subs.append(ast.Term(q.field, t))
+        occur = "must" if q.conjunction_mode else "should"
+        return self._eval_Boolean(ast.Boolean(**{occur: subs}), boost)
+
     def _eval_ParseWithField(self, q: ast.ParseWithField, boost):
         from paradedb_ray.query.parser import parse_query_string
 

@@ -279,6 +279,28 @@ class Match(Query):
 
 
 @dataclass
+class MatchArray(Query):
+    """Match over PRE-SPLIT tokens — the caller already tokenized, so the
+    field analyzer is bypassed (`pdb_query.rs:222-228`; fuzzy query-string
+    rewrites produce this shape, `pdb_query.rs:389-395`)."""
+
+    field: str
+    tokens: Sequence[str] = ()
+    distance: int = 0
+    transposition_cost_one: bool = True
+    prefix: bool = False
+    conjunction_mode: bool = False
+
+    def to_json(self):
+        return {"match_array": {
+            "field": self.field, "tokens": list(self.tokens),
+            "distance": self.distance,
+            "transposition_cost_one": self.transposition_cost_one,
+            "prefix": self.prefix,
+            "conjunction_mode": self.conjunction_mode}}
+
+
+@dataclass
 class ParseWithField(Query):
     """Query-string scoped to one field — the ``@@@`` operator."""
 
@@ -564,6 +586,12 @@ def from_json(j: Any) -> Query:
                      body.get("transposition_cost_one", True),
                      body.get("prefix", False),
                      body.get("conjunction_mode") or False)
+    if kind == "match_array":
+        return MatchArray(body["field"], body["tokens"],
+                          body.get("distance") or 0,
+                          body.get("transposition_cost_one", True),
+                          body.get("prefix", False),
+                          body.get("conjunction_mode") or False)
     if kind == "phrase":
         return Phrase(body["field"], body["phrases"], body.get("slop") or 0)
     if kind == "phrase_array":

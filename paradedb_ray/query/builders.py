@@ -14,7 +14,7 @@ __all__ = [
     "exists", "fuzzy_term", "match_query", "match_conjunction",
     "match_disjunction", "phrase", "phrase_string", "phrase_array",
     "phrase_prefix", "regex", "regex_phrase", "range", "range_term",
-    "score_filter", "proximity", "more_like_this",
+    "score_filter", "proximity", "more_like_this", "match_array",
 ]
 
 
@@ -199,3 +199,9 @@ def prox_regex(pattern: str) -> str:
 
 def more_like_this(**kw) -> ast.Query:
     return ast.MoreLikeThis(**kw)
+
+
+def match_array(field: str, tokens, **kw) -> ast.Query:
+    """Pre-split Match (`pdb.match` with a token array,
+    `pdb_query.rs:222-228`)."""
+    return ast.MatchArray(field, list(tokens), **kw)

@@ -80,6 +80,11 @@ def collect_stat_requests(q: ast.Query, schema: IndexSchema,
                 if q.distance == 0:
                     terms.add((q.field, t))
             fields.add(q.field)
+        elif isinstance(q, ast.MatchArray):
+            if q.distance == 0:
+                for t in q.tokens:
+                    terms.add((q.field, norm_token(q.field, t)))
+            fields.add(q.field)
         elif isinstance(q, (ast.Phrase, ast.TokenizedPhrase, ast.PhraseArray)):
             fields.add(q.field)
             if isinstance(q, ast.PhraseArray):

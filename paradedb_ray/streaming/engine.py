@@ -68,6 +68,9 @@ class StreamConfig:
     salt_k: int = _CFG.salt_k
     hot_threshold: int = _CFG.hot_threshold
     merge_max_segments: int = _CFG.merge_max_segments
+    #: size-tiered merge ladder (None = reference default 100KB..10GB,
+    #: `postgres/options.rs:64-71`)
+    layer_sizes: tuple = _CFG.layer_sizes
 
 
 def _route_table(table: pa.Table, arr_base: int, actors: list,
@@ -163,6 +166,7 @@ class StreamEngine:
                 lateness_us=self.cfg.lateness_us,
                 key_cols=self.cfg.key_cols,
                 ts_col=self.cfg.ts_col,
+                layer_sizes=self.cfg.layer_sizes,
             )
             for p in range(self.cfg.num_partitions)
         ]

@@ -59,7 +59,8 @@ class Bm25PartitionStore:
                  session_gap_us: int = 1_800_000_000,
                  lateness_us: int = 3_600_000_000,
                  key_cols=("conv_id", "turn_idx"),
-                 ts_col: str = "ts"):
+                 ts_col: str = "ts",
+                 layer_sizes=None):
         self.part_id = part_id
         self.schema: IndexSchema = pickle.loads(schema_pickle)
         self.mutable_rows = mutable_rows
@@ -67,6 +68,7 @@ class Bm25PartitionStore:
         self.lateness_us = lateness_us
         self.key_cols = tuple(key_cols)
         self.ts_col = ts_col
+        self.layer_sizes = tuple(layer_sizes) if layer_sizes else None
 
         self.mutable: list = []          # list[pa.Table]
         self.mutable_count = 0
@@ -192,20 +194,53 @@ class Bm25PartitionStore:
     # -- compaction ---------------------------------------------------------
 
     def merge_tick(self, max_segments: int = 8) -> int:
-        """Layered LSM merge: when more than ``max_segments`` sealed
-        segments exist, merge the smallest tier into one (and vacuum
-        superseded copies away).  Returns the number of segments merged."""
-        if len(self.sealed) <= max_segments:
-            return 0
-        by_size = sorted(self.sealed, key=lambda s: s.num_docs)
-        merge_n = len(self.sealed) - max_segments + 1
-        victims = by_size[:merge_n]
-        keepers = by_size[merge_n:]
-        tbl = pa.concat_tables([s.table for s in victims]).combine_chunks()
-        tbl = self._visible_only(tbl, force=True)
-        self.sealed = keepers + [build_segment(tbl, self.schema)]
-        self.metrics_["merges"] += 1
-        return merge_n
+        """Size-tiered LSM merge (`pg_search/src/index/merge_policy.rs:
+        103-330`): the layered policy packs same-rung segments into merge
+        candidates (layer + 1/3 fudge, min 2 segments); superseded copies
+        are vacuumed away during each merge rewrite.  A count cap backstop
+        (``max_segments``, the foreground analogue of merge_on_insert)
+        bounds per-partition segment count for query cost even when every
+        segment is below the smallest layer."""
+        from paradedb_ray.streaming.merge_policy import (
+            DEFAULT_LAYER_SIZES,
+            LayeredMergePolicy,
+            SegmentInfo,
+        )
+
+        layer_sizes = self.layer_sizes or DEFAULT_LAYER_SIZES
+        infos = [SegmentInfo(seg_id=i, byte_size=s.table.nbytes,
+                             num_docs=s.num_docs)
+                 for i, s in enumerate(self.sealed)]
+        candidates = LayeredMergePolicy(layer_sizes).compute_merge_candidates(
+            infos)
+        merged_ids: set = set()
+        new_segments = []
+        n_merged = 0
+        for ids in candidates:
+            tbl = pa.concat_tables(
+                [self.sealed[i].table for i in ids]).combine_chunks()
+            tbl = self._visible_only(tbl, force=True)
+            if tbl.num_rows:
+                new_segments.append(build_segment(tbl, self.schema))
+            merged_ids.update(ids)
+            n_merged += len(ids)
+            self.metrics_["merges"] += 1
+        keepers = [s for i, s in enumerate(self.sealed)
+                   if i not in merged_ids]
+        self.sealed = keepers + new_segments
+        # count-cap backstop: sub-layer segments still compact eventually
+        if len(self.sealed) > max_segments:
+            by_size = sorted(self.sealed, key=lambda s: s.num_docs)
+            merge_n = len(self.sealed) - max_segments + 1
+            victims, keepers = by_size[:merge_n], by_size[merge_n:]
+            tbl = pa.concat_tables(
+                [s.table for s in victims]).combine_chunks()
+            tbl = self._visible_only(tbl, force=True)
+            self.sealed = keepers + ([build_segment(tbl, self.schema)]
+                                     if tbl.num_rows else [])
+            self.metrics_["merges"] += 1
+            n_merged += merge_n
+        return n_merged
 
     def vacuum(self) -> int:
         """Rewrite every segment dropping superseded copies (exact stats)."""

@@ -157,6 +157,35 @@ def test_resume_replays_committed_uncheckpointed_epochs(ray_session,
         assert a.equals(b), f"epoch {e}"
 
 
+def test_match_array_pre_split(ray_session):
+    """MatchArray uses pre-split tokens verbatim (`pdb_query.rs:222-228`):
+    identical to Match when the split matches the analyzer, and the
+    multi-word string stays ONE term (never re-tokenized)."""
+    from paradedb_ray.index import Searcher, build_segment
+
+    schema = mock_items_schema()
+    seg = build_segment(mock_items_table(), schema)
+    s = Searcher(seg, schema)
+    via_match = s.eval(pdb.match_disjunction("description",
+                                             "running shoes"))
+    via_array = s.eval(pdb.match_array("description",
+                                       ["running", "shoes"]))
+    assert list(via_match.ids) == list(via_array.ids)
+    assert np.array_equal(
+        np.asarray(via_match.scores, np.float32).view(np.uint32),
+        np.asarray(via_array.scores, np.float32).view(np.uint32))
+    # an unsplit multi-word token is a single (absent) term
+    assert len(s.eval(pdb.match_array("description",
+                                      ["running shoes"]))) == 0
+    # conjunction + fuzzy variants
+    conj = s.eval(pdb.match_array("description", ["running", "shoes"],
+                                  conjunction_mode=True))
+    assert len(conj) > 0 and len(conj) <= len(via_array)
+    fuzz = s.eval(pdb.match_array("description", ["runing"], distance=1))
+    assert set(fuzz.ids) == set(
+        s.eval(pdb.fuzzy_term("description", "runing", 1)).ids)
+
+
 def test_parallel_ingest_matches_sequential(ray_session):
     """Shard-parallel routed ingest must produce identical query results
     (rows AND bit-identical scores) to the sequential driver path
