@@ -381,10 +381,12 @@ def search_topk_with_facet(
         hits = s.eval(query)
         sub = batch.take(pa.array(hits.ids, pa.int64()))
         sub = sub.append_column("score", pa.array(hits.scores, pa.float32()))
-        # facet partial over ALL matches of this block
-        counts: dict = {}
-        for v in sub.column(facet_field).to_pylist():
-            counts[v] = counts.get(v, 0) + 1
+        # facet partial over ALL matches of this block (vectorized)
+        import pyarrow.compute as pcf
+
+        vc = pcf.value_counts(sub.column(facet_field).combine_chunks())
+        counts = dict(zip(vc.field("values").to_pylist(),
+                          vc.field("counts").to_pylist()))
         if out_cols:
             sub = sub.select([c for c in out_cols if c in sub.column_names])
         if sub.num_rows > limit:

@@ -182,6 +182,19 @@ class StreamEngine:
         self._arr_next = base + n_rows
         return base
 
+    def _threshold_actor(self):
+        """Lazy shared top-k threshold actor (`shared_threshold.rs:1-250`
+        analogue): one per engine, reused across queries via query ids."""
+        if getattr(self, "_thr_actor", None) is None:
+            from paradedb_ray.streaming.state_store import TopKThresholdActor
+
+            self._thr_actor = TopKThresholdActor.remote()
+        return self._thr_actor
+
+    def _next_qid(self) -> int:
+        self._qid = getattr(self, "_qid", 0) + 1
+        return self._qid
+
     # -- partitioning -------------------------------------------------------
 
     def _partition_of(self, conv: np.ndarray, turn: np.ndarray):
@@ -341,8 +354,13 @@ class StreamEngine:
         stats = self.global_stats(query)
         qp, sp = pickle.dumps(query), pickle.dumps(stats)
         scp = pickle.dumps(snippet_cfg) if snippet_cfg is not None else None
-        parts = ray.get([a.topk.remote(qp, sp, k, with_score, columns, scp)
+        thr = self._threshold_actor() if with_score else None
+        qid = self._next_qid()
+        parts = ray.get([a.topk.remote(qp, sp, k, with_score, columns, scp,
+                                       thr, qid)
                          for a in self.actors])
+        if thr is not None:
+            thr.clear.remote(qid)
         parts = [p for p in parts if p.num_rows]
         if not parts:
             return pa.table({})
@@ -430,6 +448,9 @@ class StreamEngine:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+        if getattr(self, "_thr_actor", None) is not None:
+            ray.kill(self._thr_actor)
+            self._thr_actor = None
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,34 @@ def _key_hash(conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
     return h * np.int64(1_000_003) + turn.astype(np.int64)
 
 
+@ray.remote(num_cpus=0)
+class TopKThresholdActor:
+    """Cooperative top-k threshold shared by the partition stores during
+    one query — the analogue of pg_search's shared threshold between
+    parallel workers (`postgres/shared_threshold.rs:1-250`).  Each store
+    offers its candidate scores after scoring a segment and gets back the
+    current global k-th-best score; subsequent segments drop hits below
+    it BEFORE materializing rows/snippets.  Keyed by query id so
+    concurrent queries don't interfere."""
+
+    def __init__(self):
+        self.state: dict = {}
+
+    def offer(self, qid: int, k: int, scores: list) -> float:
+        import heapq
+
+        h = self.state.setdefault(qid, [])
+        for s in scores:
+            if len(h) < k:
+                heapq.heappush(h, s)
+            elif s > h[0]:
+                heapq.heapreplace(h, s)
+        return h[0] if len(h) >= k else float("-inf")
+
+    def clear(self, qid: int):
+        self.state.pop(qid, None)
+
+
 @ray.remote
 class Bm25PartitionStore:
     def __init__(self, part_id: int, schema_pickle: bytes,
@@ -363,10 +391,18 @@ class Bm25PartitionStore:
 
     def topk(self, query_pickle: bytes, stats_pickle: bytes, k: int,
              with_score: bool = True, columns=None,
-             snippet_cfg_pickle: bytes = None) -> pa.Table:
+             snippet_cfg_pickle: bytes = None,
+             threshold=None, threshold_qid: int = 0) -> pa.Table:
         """Local top-k by score desc then key asc (merge-rank happens on the
         driver across partitions, like per-segment collectors); optional
-        highlighted snippet column for the emitted hits."""
+        highlighted snippet column for the emitted hits.
+
+        ``threshold`` (a :class:`TopKThresholdActor` handle) enables the
+        cooperative cross-partition prune: hits strictly below the global
+        k-th-best score never materialize (ties kept for the key-ordered
+        tie-break in the driver merge)."""
+        import numpy as np
+
         query = pickle.loads(query_pickle)
         stats = pickle.loads(stats_pickle)
         snip_cfg = (pickle.loads(snippet_cfg_pickle)
@@ -382,6 +418,20 @@ class Bm25PartitionStore:
             hits = s.eval(query)
             if len(hits) == 0:
                 continue
+            if threshold is not None and with_score and len(hits) and \
+                    k < (1 << 30):
+                top = np.sort(np.asarray(hits.scores))[::-1][:k]
+                thr = ray.get(threshold.offer.remote(
+                    threshold_qid, k, [float(x) for x in top]))
+                if thr > float("-inf"):
+                    keep = np.asarray(hits.scores) >= np.float32(thr)
+                    if not keep.all():
+                        from paradedb_ray.index.searcher import Hits
+
+                        hits = Hits(np.asarray(hits.ids)[keep],
+                                    np.asarray(hits.scores)[keep])
+                    if len(hits) == 0:
+                        continue
             sub = seg.table.take(pa.array(hits.ids, pa.int64()))
             if with_score:
                 sub = sub.append_column(
@@ -440,8 +490,12 @@ class Bm25PartitionStore:
                 continue
             sub = seg.table.take(pa.array(hits.ids, pa.int64()))
             sub = self._visible_only(sub)
-            for v in sub.column(field).to_pylist():
-                counts[v] = counts.get(v, 0) + 1
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(sub.column(field).combine_chunks())
+            for v, n in zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist()):
+                counts[v] = counts.get(v, 0) + n
         return counts
 
     # -- checkpoint / restore ----------------------------------------------
