@@ -263,6 +263,134 @@ class ChineseCompatibleTokenizer(Tokenizer):
         return [(m.group(), m.start(), m.end()) for m in self._RE.finditer(text)]
 
 
+_CJK_RUN_RE = re.compile(
+    r"[一-鿿㐀-䶿]+"      # Han
+    r"|[぀-ゟ゠-ヿ]+"     # hiragana / katakana
+    r"|[가-힯]+"                  # hangul syllables
+    r"|[A-Za-z0-9_]+"
+)
+
+
+class CjkBigramTokenizer(Tokenizer):
+    """Dictionary-less CJK segmentation: overlapping BIGRAMS over each CJK
+    run (the standard search-engine fallback when no segmentation
+    dictionary is available), Latin/digit runs as whole tokens.
+
+    This is the FALLBACK behind the dictionary tokenizers below
+    (`tokenizers/src/manager.rs:348-425` jieba / lindera / icu): when the
+    real library is importable it is used; otherwise this deterministic
+    approximation keeps recall (every true word of length >= 2 shares a
+    bigram with its query form) at some precision cost — it does NOT
+    reproduce the reference's dictionary segmentations."""
+
+    name = "cjk_bigram"
+    #: scripts that bigram (no word delimiters): Han + kana; hangul is
+    #: space-delimited so its runs stay whole tokens
+    _CJK_ONE = re.compile(r"[一-鿿㐀-䶿぀-ヿ]")
+
+    def _segments(self, text: str):
+        out = []
+        for m in _CJK_RUN_RE.finditer(text):
+            run, s = m.group(), m.start()
+            if self._CJK_ONE.match(run):
+                if len(run) == 1:
+                    out.append((run, s, s + 1))
+                else:
+                    for i in range(len(run) - 1):
+                        out.append((run[i:i + 2], s + i, s + i + 2))
+            else:
+                out.append((run, s, m.end()))
+        return out
+
+
+class JiebaTokenizer(CjkBigramTokenizer):
+    """``pdb.jieba``: real jieba word segmentation when the library is
+    importable (not in this container), CJK-bigram fallback otherwise.
+    ``chinese_convert`` (t2s/s2t/...) applies via OpenCC when importable,
+    else it is a no-op (documented approximation —
+    `jieba_chinese_convert.sql` needs the conversion tables)."""
+
+    name = "jieba"
+
+    def __init__(self, chinese_convert: Optional[str] = None,
+                 filters: Optional[dict] = None):
+        super().__init__(filters)
+        self.chinese_convert = chinese_convert
+        try:  # pragma: no cover - library not in the container
+            import jieba as _jieba
+
+            self._jieba = _jieba
+        except ImportError:
+            self._jieba = None
+        self._cc = None
+        if chinese_convert:
+            try:  # pragma: no cover
+                import opencc
+
+                self._cc = opencc.OpenCC(chinese_convert)
+            except ImportError:
+                pass
+
+    def _segments(self, text: str):
+        if self._cc is not None:  # pragma: no cover
+            text = self._cc.convert(text)
+        if self._jieba is not None:  # pragma: no cover
+            return [(w, s, e) for w, s, e in self._jieba.tokenize(text)
+                    if w.strip()]
+        return super()._segments(text)
+
+
+class IcuTokenizer(Tokenizer):
+    """``pdb.icu``: ICU word-break segmentation when PyICU is importable
+    (not in this container); fallback = UAX#29 words with each Han
+    ideograph its own token (ICU's own dictionary-less behavior for
+    unlisted scripts)."""
+
+    name = "icu"
+    _FALLBACK_RE = re.compile(
+        r"[一-鿿㐀-䶿]"   # one token per Han ideograph
+        r"|[぀-ゟ]+|[゠-ヿ]+|[가-힯]+"
+        r"|\w+", re.UNICODE)
+
+    def __init__(self, filters: Optional[dict] = None):
+        super().__init__(filters)
+        try:  # pragma: no cover - library not in the container
+            import icu as _icu
+
+            self._brk = _icu.BreakIterator.createWordInstance(
+                _icu.Locale.getRoot())
+        except ImportError:
+            self._brk = None
+
+    def _segments(self, text: str):
+        if self._brk is not None:  # pragma: no cover
+            self._brk.setText(text)
+            out, start = [], 0
+            for end in self._brk:
+                tok = text[start:end]
+                if tok.strip() and any(c.isalnum() for c in tok):
+                    out.append((tok, start, end))
+                start = end
+            return out
+        return [(m.group(), m.start(), m.end())
+                for m in self._FALLBACK_RE.finditer(text)
+                if not m.group().isspace() and m.group() != "_"]
+
+
+class LinderaTokenizer(CjkBigramTokenizer):
+    """``pdb.chinese_lindera`` / ``japanese_lindera`` / ``korean_lindera``:
+    morphological segmentation needs the lindera dictionaries (no Python
+    binding in this container); fallback = CJK bigrams (Han/kana) with
+    hangul/Latin runs as whole tokens."""
+
+    name = "lindera"
+
+    def __init__(self, language: str = "unspecified",
+                 filters: Optional[dict] = None):
+        super().__init__(filters)
+        self.language = language
+
+
 class SourceCodeTokenizer(Tokenizer):
     """Split identifiers on non-alnum plus camelCase / letter-digit
     boundaries (pg_search ``source_code``)."""
@@ -408,6 +536,13 @@ _TOKENIZERS = {
     "regex": RegexTokenizer,
     "chinese_compatible": ChineseCompatibleTokenizer,
     "source_code": SourceCodeTokenizer,
+    "cjk_bigram": CjkBigramTokenizer,
+    "jieba": JiebaTokenizer,
+    "icu": IcuTokenizer,
+    "lindera": LinderaTokenizer,
+    "chinese_lindera": LinderaTokenizer,
+    "japanese_lindera": LinderaTokenizer,
+    "korean_lindera": LinderaTokenizer,
 }
 
 _FILTER_KEYS = {
@@ -439,6 +574,11 @@ def tokenizer_from_config(config: Optional[dict]) -> Tokenizer:
         return cls(extra["pattern"], filters)
     if cls is UnicodeWordsTokenizer:
         return cls(extra.get("remove_emojis", False), filters)
+    if cls is JiebaTokenizer:
+        return cls(extra.get("chinese_convert"), filters)
+    if cls is LinderaTokenizer:
+        return cls(extra.get("language", typ.replace("_lindera", "")),
+                   filters)
     return cls(filters=filters)
 
 

@@ -157,6 +157,48 @@ def test_resume_replays_committed_uncheckpointed_epochs(ray_session,
         assert a.equals(b), f"epoch {e}"
 
 
+def test_cjk_tokenizers_fallback():
+    """Dictionary-less CJK tokenizers: bigram fallback (jieba/lindera) and
+    per-ideograph icu fallback are deterministic with correct offsets."""
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    t = tokenizer_from_config({"type": "cjk_bigram"})
+    assert t.tokenize("中文测试 hello") == ["中文", "文测", "测试", "hello"]
+    toks = t.tokenize_tokens("中文测试")
+    assert [(tk.text, tk.offset_from, tk.offset_to) for tk in toks] == [
+        ("中文", 0, 2), ("文测", 1, 3), ("测试", 2, 4)]
+    assert tokenizer_from_config({"type": "icu"}).tokenize(
+        "中文 mixed ラーメン") == ["中", "文", "mixed", "ラーメン"]
+    # jieba / lindera fall back to bigrams when the libs are absent
+    assert tokenizer_from_config({"type": "jieba"}).tokenize(
+        "运动鞋") == ["运动", "动鞋"]
+    assert tokenizer_from_config({"type": "korean_lindera"}).tokenize(
+        "한국어 테스트") == ["한국어", "테스트"]
+
+
+def test_cjk_search_end_to_end(ray_session):
+    """Chinese text through the full index/search path with the jieba
+    (bigram-fallback) tokenizer: query text is tokenized identically, so
+    multi-char words match; unrelated docs don't."""
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.schema import I64, TEXT, IndexSchema
+
+    schema = IndexSchema.build(
+        key_field="id", id={"type": I64, "fast": True},
+        title={"type": TEXT, "tokenizer": {"type": "jieba"}})
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "title": pa.array(["适合跑步和运动的鞋子", "电脑配件",
+                                     "plain english title"])})
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+    hits = s.eval(pdb.match_disjunction("title", "运动"))
+    ids = {seg.table.column("id")[i].as_py() for i in hits.ids}
+    assert ids == {1}
+    hits = s.eval(pdb.match_disjunction("title", "电脑"))
+    assert {seg.table.column("id")[i].as_py() for i in hits.ids} == {2}
+    assert len(s.eval(pdb.match_disjunction("title", "手机"))) == 0
+
+
 def test_match_array_pre_split(ray_session):
     """MatchArray uses pre-split tokens verbatim (`pdb_query.rs:222-228`):
     identical to Match when the split matches the analyzer, and the
