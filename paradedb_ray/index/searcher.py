@@ -33,7 +33,16 @@ import pyarrow.compute as pc
 from paradedb_ray.fieldnorm import FIELD_NORMS_TABLE
 from paradedb_ray.index.segment import Segment, TextFieldIndex
 from paradedb_ray.query import ast
-from paradedb_ray.schema import IndexSchema, NUMERIC, TEXT, KEYWORD, JSON
+from paradedb_ray.schema import (
+    INET,
+    JSON,
+    KEYWORD,
+    LTREE,
+    NUMERIC,
+    TEXT,
+    UUID,
+    IndexSchema,
+)
 
 K1 = np.float32(1.2)
 B = np.float32(0.75)
@@ -241,7 +250,7 @@ class Searcher:
             return Hits.const(np.flatnonzero(mask), float(idf * _F32(boost)))
         if f.ftype == JSON:
             raise ValueError("JSON term requires a dot path (field.path)")
-        # numeric/bool/date term
+        # numeric/bool/date/uuid/inet/ltree term
         if f.ftype == NUMERIC:
             rep, valid = self._numeric_repr(field)
             try:
@@ -249,6 +258,29 @@ class Searcher:
             except Exception:
                 return Hits.empty()
             mask = valid & (rep == qv)
+        elif f.ftype == LTREE:
+            # hierarchical facet: the query node AND its descendants match
+            # (`ltree.sql`: "@@@ on an ltree field is PREFIX/HIERARCHICAL")
+            from paradedb_ray.pg_types import ltree_term_mask
+
+            mask = ltree_term_mask(self.seg.column(field), value)
+        elif f.ftype in (UUID, INET):
+            from paradedb_ray.pg_types import normalize_inet, normalize_uuid
+
+            key = ("__pgtype__", field)
+            cached = self.seg._json_cache.get(key)
+            if cached is None:
+                from paradedb_ray.pg_types import normalized_column
+
+                cached = normalized_column(self.seg.column(field), f.ftype)
+                self.seg._json_cache[key] = cached
+            rep, valid = cached
+            try:
+                qv = (normalize_uuid(value) if f.ftype == UUID
+                      else normalize_inet(value))
+            except (ValueError, TypeError):
+                return Hits.empty()
+            mask = valid & (rep == np.array(qv, dtype=object))
         else:
             mask = self._fast_term_mask(field, value)
         df = self.stats.df(field, value)

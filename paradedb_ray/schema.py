@@ -25,6 +25,11 @@ JSON = "json"
 #: order-preserving NumericBytes otherwise (`query/numeric.rs:1-472`,
 #: `schema/mod.rs:73-78`)
 NUMERIC = "numeric"
+#: canonicalized Postgres types (`postgres/types.rs:1134-1232`) and the
+#: hierarchical ltree facet (`schema/mod.rs:65`, `ltree.sql` regress)
+UUID = "uuid"
+INET = "inet"
+LTREE = "ltree"
 
 NUMERIC_TYPES = {I64, U64, F64, BOOL, DATE, NUMERIC}
 

@@ -234,6 +234,10 @@ class StatsCollector:
                         from paradedb_ray.numeric import numeric_term_count
 
                         cnt = numeric_term_count(col, t, f.scale)
+                    elif f.ftype in ("uuid", "inet", "ltree"):
+                        from paradedb_ray.pg_types import typed_term_count
+
+                        cnt = typed_term_count(col, t, f.ftype)
                     else:
                         if f.ftype == KEYWORD and f.analyzer.filters.lowercase:
                             cmpcol = pc.utf8_lower(col)

@@ -378,6 +378,10 @@ class Bm25PartitionStore:
                     from paradedb_ray.numeric import numeric_term_count
 
                     cnt = numeric_term_count(col, t, fdef.scale)
+                elif fdef.ftype in ("uuid", "inet", "ltree"):
+                    from paradedb_ray.pg_types import typed_term_count
+
+                    cnt = typed_term_count(col, t, fdef.ftype)
                 else:
                     if fdef.ftype == KEYWORD and fdef.analyzer.filters.lowercase:
                         col = pc.utf8_lower(col)
