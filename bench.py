@@ -159,18 +159,12 @@ def bench_transcripts_stream(path: str, num_cpus: int) -> dict:
     P = max(4, num_cpus // 2)
     sink = "/tmp/paradedb_ray_bench/stream_sink"
     shutil.rmtree(sink, ignore_errors=True)
-    # pre-warm the actor worker processes (imports + first-call setup):
-    # a standing deployment's actors are persistent, so the timed run
-    # should not pay process cold-start (hot protocol, BASELINE.md)
-    warm = StreamEngine(transcripts_schema(),
-                        StreamConfig(num_partitions=P, mutable_rows=10000))
-    try:
-        warm.ingest(t.slice(0, 4096), epoch=0, parallel=True)
-        warm.query_topk(pdb.term("text", "merge"), 5)
-    finally:
-        warm.shutdown()
     eng = StreamEngine(transcripts_schema(),
                        StreamConfig(num_partitions=P, mutable_rows=10000))
+    # warm THIS engine's actor processes (spawn + imports) before timing:
+    # a standing deployment's actors are persistent, so the timed run
+    # should not pay process cold-start (hot protocol, BASELINE.md)
+    eng.metrics()
     try:
         r = EpochRunner(eng, sink,
                         {"q": pdb.term("text", "merge")}, topk=10,
