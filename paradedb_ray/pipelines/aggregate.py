@@ -216,11 +216,33 @@ def _date_hist_bucketizer(field: str, key_name: str, body: dict):
     return bucketize
 
 
+def _guard_buckets(out: ray.data.Dataset,
+                   bucket_limit: Optional[int]) -> ray.data.Dataset:
+    """Bucket-count guard (`paradedb.max_term_agg_buckets`,
+    `api/aggregate.rs:70-110` / `aggregate/mod.rs` bucket_limit): raise
+    instead of returning a silently huge bucket table.  The grouped
+    output is materialized first — within the limit it is tiny, and the
+    object store spills past memory, so a runaway cardinality fails with
+    this error rather than an OOM."""
+    if bucket_limit is None:
+        from paradedb_ray.config import DEFAULT
+
+        bucket_limit = DEFAULT.bucket_limit
+    out = out.materialize()
+    n = out.count()
+    if n > bucket_limit:
+        raise ValueError(
+            f"aggregation produced {n} buckets, exceeding the "
+            f"bucket limit {bucket_limit} (max_term_agg_buckets)")
+    return out
+
+
 def pdb_agg(
     ds: ray.data.Dataset,
     agg_json: dict,
     schema: Optional[IndexSchema] = None,
     filter_query: Optional[ast.Query] = None,
+    bucket_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Subset of the tantivy/ES aggregation DSL
     (`api/aggregate.rs:18-120`): one bucket level (terms | histogram |
@@ -238,7 +260,7 @@ def pdb_agg(
 
     entries = list(agg_json.items())
     if len(entries) != 1 or _has_sibling_buckets(entries[0][1]):
-        return _pdb_agg_flat(ds, agg_json)
+        return _pdb_agg_flat(ds, agg_json, bucket_limit)
     [(name, spec)] = entries
     bucket_kinds = {"terms", "histogram", "date_histogram", "range"}
     kind = next((k for k in spec if k in bucket_kinds), None)
@@ -275,7 +297,9 @@ def pdb_agg(
             if not lnested:
                 break
             [(level_name, level_spec)] = lnested.items()
-        return sql_aggregate(ds, key_cols, metric_aggs).sort(key_cols)
+        out = _guard_buckets(sql_aggregate(ds, key_cols, metric_aggs),
+                             bucket_limit)
+        return out.sort(key_cols)
 
     aggs = {"doc_count": ("count_star", None)}
     for mname, mspec in sub.items():
@@ -284,7 +308,8 @@ def pdb_agg(
     field = body["field"]
     if kind == "terms":
         key_col = field
-        grouped = sql_aggregate(ds, [key_col], aggs)
+        grouped = _guard_buckets(sql_aggregate(ds, [key_col], aggs),
+                                 bucket_limit)
         size = body.get("size", 10)
         return grouped.sort(["doc_count", key_col],
                             descending=[True, False]).limit(size)
@@ -298,11 +323,15 @@ def pdb_agg(
             return batch.append_column(f"{name}_key", pa.array(b))
 
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
-        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+        out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
+                             bucket_limit)
+        return out.sort([f"{name}_key"])
     if kind == "date_histogram":
         bucketize = _date_hist_bucketizer(field, f"{name}_key", body)
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
-        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+        out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
+                             bucket_limit)
+        return out.sort([f"{name}_key"])
     if kind == "range":
         ranges = body["ranges"]
 
@@ -317,7 +346,9 @@ def pdb_agg(
             return batch.append_column(f"{name}_key", pa.array(lab, pa.string()))
 
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
-        return sql_aggregate(ds2, [f"{name}_key"], aggs).sort([f"{name}_key"])
+        out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
+                             bucket_limit)
+        return out.sort([f"{name}_key"])
     raise ValueError(f"unsupported bucket kind {kind}")
 
 
@@ -388,7 +419,9 @@ def _key_strings(series):
     return series.astype(str)
 
 
-def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict) -> ray.data.Dataset:
+def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict,
+                  bucket_limit: Optional[int] = None
+                  ) -> ray.data.Dataset:
     """SIBLING bucket aggregations (several independent bucket trees in
     one request — the reference merges arbitrary sub-agg trees,
     `pg_search/src/aggregate/mod.rs:503-560`), flattened to ONE table:
@@ -431,7 +464,8 @@ def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict) -> ray.data.Dataset:
         aggs = {"doc_count": ("count_star", None)}
         for mname, mspec in metrics.items():
             _expand_metric(aggs, mname, mspec)
-        res = sql_aggregate(ds2, key_cols, aggs).to_pandas()
+        res = _guard_buckets(sql_aggregate(ds2, key_cols, aggs),
+                             bucket_limit).to_pandas()
         out = pd.DataFrame({"agg_name": [".".join(names)] * len(res)})
         for i in range(max_depth):
             out[f"key_{i + 1}"] = (_key_strings(res[key_cols[i]])

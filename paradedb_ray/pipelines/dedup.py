@@ -198,6 +198,12 @@ def minhash_lsh_duplicates(
         batch_format="pyarrow", batch_size=None,
         concurrency=None,
     )
+    # the signature stream feeds BOTH the bucket aggregate and the
+    # candidate join: materialize once instead of recomputing MinHash
+    # twice.  Signatures are ~24B x bands per doc (a few % of corpus
+    # bytes) and the object store spills past memory, so this is a
+    # disk-bounded spill, not a RAM pin.
+    sigs = sigs.materialize()
     return _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"])
 
 
@@ -367,7 +373,10 @@ def simhash_duplicates(
                          "chunk": pa.array(chunk, pa.int64()),
                          "sim": pa.array(sim, pa.int64())})
 
-    sig = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
+    # materialized: the blake2b signature stage would otherwise run twice
+    # (bucket aggregate + candidate join)
+    sig = ds.map_batches(sigs, batch_format="pyarrow",
+                         batch_size=None).materialize()
     cand = _filter_colliding(sig, ["band", "chunk"], key_col)
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -427,7 +436,7 @@ def ngram_jaccard_duplicates(
     key_type = _pa_schema(ds).field(key_col).type
     sigs = ds.map_batches(
         MinHasher(text_col, key_col, num_perm, shingle_k, bands),
-        batch_format="pyarrow", batch_size=None)
+        batch_format="pyarrow", batch_size=None).materialize()
     pairs = _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"],
                               dedup=False)
     # distinct (key, dup_of): one groupby — pairs ≈ duplicates only
@@ -524,7 +533,8 @@ def embedding_near_duplicates(
                 "bucket": pa.array(np.concatenate(out_h), pa.int64()),
             })
 
-    sig = ds.map_batches(Planes(), batch_format="pyarrow", batch_size=None)
+    sig = ds.map_batches(Planes(), batch_format="pyarrow",
+                         batch_size=None).materialize()
     # tiny (colliding rows only): pin it so the count gate + vector join
     # don't recompute the LSH pass
     cand = _filter_colliding(sig, ["band", "bucket"], key_col).materialize()

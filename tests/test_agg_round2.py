@@ -121,6 +121,23 @@ def test_sibling_buckets_nested_level(ray_session, events_tbl):
     assert int(sub2["doc_count"].sum()) == events_tbl.num_rows
 
 
+def test_bucket_limit_guard(ray_session, events_tbl):
+    """The reference aborts aggregations that exceed max_term_agg_buckets
+    (`api/aggregate.rs:70-110`); pdb_agg raises rather than returning a
+    silently huge bucket table."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    with pytest.raises(ValueError, match="bucket limit"):
+        pdb_agg(ds, {"by_user": {"terms": {"field": "user_id",
+                                           "size": 1000}}},
+                bucket_limit=10)
+    # within the limit: normal result
+    out = pdb_agg(ds, {"t": {"terms": {"field": "event_type"}}},
+                  bucket_limit=10).to_pandas()
+    assert len(out) == 4
+
+
 def test_ungrouped_percentiles_distributed_bitwise(ray_session, events_tbl):
     """Ungrouped percentiles must not take_all() the column; the
     histogram-prune path stays bit-identical to DuckDB quantile_cont."""
