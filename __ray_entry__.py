@@ -679,6 +679,34 @@ def _q_nested_agg(sf):
     }})
 
 
+def _q_extended_stats(sf):
+    # tantivy extended_stats (sum_of_squares / variance / std_deviation);
+    # l_quantity is integer-valued so every sum is float-exact and the
+    # variance formula is replicated operation-for-operation in the oracle
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    li = _tbl(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return pdb_agg(li, {"rf": {
+        "terms": {"field": "l_returnflag"},
+        "aggs": {"q": {"extended_stats": {"field": "l_quantity"}}}}})
+
+
+def _q_top_hits(sf):
+    # tantivy top_hits metric flattened: top-2 orders per priority
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    o = _tbl(sf, "orders",
+             columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return pdb_agg(o, {"by_prio": {
+        "terms": {"field": "o_orderpriority"},
+        "aggs": {"best": {"top_hits": {
+            "size": 2,
+            "sort": [{"o_totalprice": {"order": "desc"}},
+                     {"o_orderkey": "asc"}],
+            "_source": ["o_orderkey", "o_totalprice"]}}},
+    }})
+
+
 def _q_date_histogram_month(sf):
     # calendar_interval "1M": true calendar month buckets (reference
     # rewrites calendar->histogram only for fixed-length units,
@@ -977,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _q_tokenize,
         "knn_brute": _q_knn_brute,
         # ---- entries past the driver's 50-entry window (locally verified)
+        "extended_stats": _q_extended_stats,
+        "top_hits": _q_top_hits,
         "search_ts_range": _q_search_ts_range,
         "join_anti": _q_join_anti,
         "sliding_1h_30m": _q_sliding_1h_30m,
@@ -1168,6 +1198,27 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",
+        "extended_stats":
+            "SELECT l_returnflag, count(*) AS doc_count,"
+            " count(l_quantity) AS q_count, min(l_quantity) AS q_min,"
+            " max(l_quantity) AS q_max, sum(l_quantity) AS q_sum,"
+            " sum(l_quantity) / count(l_quantity) AS q_avg,"
+            " sum(l_quantity * l_quantity) AS q_sum_of_squares,"
+            " greatest(sum(l_quantity * l_quantity) / count(l_quantity)"
+            "  - (sum(l_quantity) / count(l_quantity))"
+            "    * (sum(l_quantity) / count(l_quantity)), 0) AS q_variance,"
+            " sqrt(greatest(sum(l_quantity * l_quantity) / count(l_quantity)"
+            "  - (sum(l_quantity) / count(l_quantity))"
+            "    * (sum(l_quantity) / count(l_quantity)), 0))"
+            " AS q_std_deviation"
+            " FROM lineitem GROUP BY l_returnflag",
+        "top_hits":
+            "SELECT o_orderpriority, CAST(rk AS BIGINT) AS hit_rank,"
+            " o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice,"
+            " row_number() OVER (PARTITION BY o_orderpriority"
+            " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk"
+            " FROM orders) WHERE rk <= 2",
         "date_histogram_month":
             "SELECT date_trunc('month', ts) AS month_key,"
             " count(*) AS doc_count, min(value) AS vmin, max(value) AS vmax"

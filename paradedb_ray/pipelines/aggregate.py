@@ -267,8 +267,10 @@ def pdb_agg(
     if kind is None:
         # bare metrics
         aggs = {}
-        _expand_metric(aggs, name, spec)
-        return sql_aggregate(ds, [], aggs)
+        ex = _metric_extras()
+        _expand_metric(aggs, name, spec, ex)
+        return _finish_extended(
+            sql_aggregate(_apply_derived(ds, ex), [], aggs), ex)
 
     body = spec[kind]
     sub = spec.get("aggs", {})
@@ -282,6 +284,7 @@ def pdb_agg(
     if nested:
         key_cols = []
         level_name, level_spec = name, spec
+        ex = _metric_extras()
         metric_aggs = {"doc_count": ("count_star", None)}
         while True:
             lkind = next(k for k in level_spec if k in bucket_kinds)
@@ -293,17 +296,40 @@ def pdb_agg(
                        if any(k in s for k in bucket_kinds)}
             for mname, mspec in lsub.items():
                 if mname not in lnested:
-                    _expand_metric(metric_aggs, mname, mspec)
+                    _expand_metric(metric_aggs, mname, mspec, ex)
             if not lnested:
                 break
             [(level_name, level_spec)] = lnested.items()
-        out = _guard_buckets(sql_aggregate(ds, key_cols, metric_aggs),
-                             bucket_limit)
-        return out.sort(key_cols)
+        out = _guard_buckets(
+            sql_aggregate(_apply_derived(ds, ex), key_cols, metric_aggs),
+            bucket_limit)
+        return _finish_extended(out, ex).sort(key_cols)
+
+    th = {n: s for n, s in sub.items() if "top_hits" in s}
+    if th:
+        # tantivy top_hits metric: top-N docs per bucket; flattened shape
+        if len(sub) > 1 or kind != "terms":
+            raise ValueError(
+                "top_hits is supported as the only sub-agg of a terms "
+                "bucket")
+        [(_, tspec)] = th.items()
+        tb = tspec["top_hits"]
+        sort = []
+        for item in tb.get("sort", []):
+            [(col, od)] = item.items()
+            if isinstance(od, dict):
+                od = od.get("order", "asc")
+            sort.append((col, "descending"
+                         if str(od).startswith("desc") else "ascending"))
+        return top_hits_agg(ds, [body["field"]], sort,
+                            size=tb.get("size", 3),
+                            source_cols=tb.get("_source"))
 
     aggs = {"doc_count": ("count_star", None)}
+    ex = _metric_extras()
     for mname, mspec in sub.items():
-        _expand_metric(aggs, mname, mspec)
+        _expand_metric(aggs, mname, mspec, ex)
+    ds = _apply_derived(ds, ex)
 
     field = body["field"]
     if kind == "terms":
@@ -311,8 +337,8 @@ def pdb_agg(
         grouped = _guard_buckets(sql_aggregate(ds, [key_col], aggs),
                                  bucket_limit)
         size = body.get("size", 10)
-        return grouped.sort(["doc_count", key_col],
-                            descending=[True, False]).limit(size)
+        return _finish_extended(grouped, ex).sort(
+            ["doc_count", key_col], descending=[True, False]).limit(size)
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
@@ -325,13 +351,13 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit)
-        return out.sort([f"{name}_key"])
+        return _finish_extended(out, ex).sort([f"{name}_key"])
     if kind == "date_histogram":
         bucketize = _date_hist_bucketizer(field, f"{name}_key", body)
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit)
-        return out.sort([f"{name}_key"])
+        return _finish_extended(out, ex).sort([f"{name}_key"])
     if kind == "range":
         ranges = body["ranges"]
 
@@ -348,7 +374,7 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit)
-        return out.sort([f"{name}_key"])
+        return _finish_extended(out, ex).sort([f"{name}_key"])
     raise ValueError(f"unsupported bucket kind {kind}")
 
 
@@ -462,10 +488,13 @@ def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict,
             ds2, kc = _bucket_key_column(ds2, kind, nm, body)
             key_cols.append(kc)
         aggs = {"doc_count": ("count_star", None)}
+        ex = _metric_extras()
         for mname, mspec in metrics.items():
-            _expand_metric(aggs, mname, mspec)
-        res = _guard_buckets(sql_aggregate(ds2, key_cols, aggs),
-                             bucket_limit).to_pandas()
+            _expand_metric(aggs, mname, mspec, ex)
+        res = _finish_extended(
+            _guard_buckets(
+                sql_aggregate(_apply_derived(ds2, ex), key_cols, aggs),
+                bucket_limit), ex).to_pandas()
         out = pd.DataFrame({"agg_name": [".".join(names)] * len(res)})
         for i in range(max_depth):
             out[f"key_{i + 1}"] = (_key_strings(res[key_cols[i]])
@@ -485,16 +514,80 @@ def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict,
     return ray.data.from_pandas(combined)
 
 
-def _expand_metric(aggs: dict, mname: str, mspec: dict):
+def _expand_metric(aggs: dict, mname: str, mspec: dict,
+                  extras: Optional[dict] = None):
     """One ES metric spec -> sql_aggregate agg entries (``stats`` expands
-    to its five component columns, `aggregate/mod.rs` stats agg)."""
+    to its five component columns, `aggregate/mod.rs` stats agg).
+
+    ``extended_stats`` additionally needs a derived squared-value column
+    before the shuffle and a variance/std post-step after it; both are
+    recorded in ``extras`` (= {"derived": {col: source}, "post": [...]}).
+    """
     [(mk, body)] = mspec.items()
     if mk == "stats":
         f = body["field"]
         for s in ("count", "min", "max", "sum", "avg"):
             aggs[f"{mname}_{s}"] = (s, f)
+    elif mk == "extended_stats":
+        f = body["field"]
+        for s in ("count", "min", "max", "sum", "avg"):
+            aggs[f"{mname}_{s}"] = (s, f)
+        if extras is None:
+            raise ValueError(
+                "extended_stats is not supported in this aggregation "
+                "position")
+        sq = f"__sq_{f}"
+        extras["derived"][sq] = f
+        aggs[f"{mname}_sum_of_squares"] = ("sum", sq)
+        extras["post"].append(mname)
     else:
         aggs[mname] = (_metric_kind(mk), body["field"])
+
+
+def _metric_extras() -> dict:
+    return {"derived": {}, "post": []}
+
+
+def _apply_derived(ds: ray.data.Dataset, extras: dict) -> ray.data.Dataset:
+    """Append derived value columns (x**2 for extended_stats) before the
+    aggregation shuffle — partial aggregation stays one pass."""
+    derived = extras["derived"]
+    if not derived:
+        return ds
+
+    def add(batch: pa.Table) -> pa.Table:
+        for name, src in derived.items():
+            x = batch.column(src).to_numpy(zero_copy_only=False).astype(float)
+            batch = batch.append_column(name, pa.array(x * x))
+        return batch
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+
+
+def _finish_extended(out: ray.data.Dataset, extras: dict) -> ray.data.Dataset:
+    """Derive population variance / std_deviation from the aggregated
+    sum / sum_of_squares / count columns (tantivy extended_stats)."""
+    post = extras["post"]
+    if not post:
+        return out
+
+    def fin(batch: pa.Table) -> pa.Table:
+        for m in post:
+            n = batch.column(f"{m}_count").to_numpy(
+                zero_copy_only=False).astype(float)
+            s = batch.column(f"{m}_sum").to_numpy(
+                zero_copy_only=False).astype(float)
+            sq = batch.column(f"{m}_sum_of_squares").to_numpy(
+                zero_copy_only=False).astype(float)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                var = np.where(n > 0, sq / n - (s / n) ** 2, np.nan)
+                var = np.maximum(var, 0.0)  # clamp float cancellation
+                std = np.sqrt(var)
+            batch = batch.append_column(f"{m}_variance", pa.array(var))
+            batch = batch.append_column(f"{m}_std_deviation", pa.array(std))
+        return batch
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def _metric_kind(mk: str) -> str:
@@ -689,6 +782,36 @@ def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
         return {g: float(lo) for g in ranks}
     resolve(lo, hi, {g: g for g in ranks}, 0, out)
     return out
+
+
+def top_hits_agg(
+    ds: ray.data.Dataset,
+    group_by: list,
+    sort: list,
+    size: int = 3,
+    source_cols: Optional[list] = None,
+) -> ray.data.Dataset:
+    """tantivy ``top_hits`` metric: the top ``size`` documents per bucket
+    under ``sort`` ([(col, "ascending"|"descending"), ...]), flattened to
+    one row per hit with a ``hit_rank`` column (the reference returns the
+    nested ES JSON; the flat layout is the Arrow/SQL-comparable twin).
+
+    One groupby shuffle; each group sorts only its own rows."""
+    cols = [c for c, _ in sort]
+    asc = [d != "descending" for _, d in sort]
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(cols, ascending=asc, kind="mergesort").head(size)
+        g = g.reset_index(drop=True)
+        g["hit_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        keep = (group_by + ["hit_rank"]
+                + [c for c in (source_cols or g.columns)
+                   if c not in group_by and c != "hit_rank"])
+        return g[[c for c in dict.fromkeys(keep) if c in g.columns]]
+
+    import pandas as pd
+
+    return ds.groupby(group_by).map_groups(head, batch_format="pandas")
 
 
 def facet_terms(ds: ray.data.Dataset, field: str, size: Optional[int] = None,

@@ -121,6 +121,64 @@ def test_sibling_buckets_nested_level(ray_session, events_tbl):
     assert int(sub2["doc_count"].sum()) == events_tbl.num_rows
 
 
+def test_extended_stats(ray_session, events_tbl):
+    """tantivy extended_stats: stats + sum_of_squares / variance /
+    std_deviation (population)."""
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"v": {"extended_stats": {"field": "value"}}}}}).to_pandas()
+    exp = duckdb.sql(
+        "SELECT event_type, count(value) AS c, sum(value) AS s,"
+        " sum(value * value) AS sq, var_pop(value) AS vp,"
+        " stddev_pop(value) AS sd"
+        " FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    assert list(got["v_count"]) == list(exp["c"])
+    assert list(got["v_sum"]) == list(exp["s"])
+    assert list(got["v_sum_of_squares"]) == list(exp["sq"])
+    assert np.allclose(got["v_variance"], exp["vp"], rtol=1e-12)
+    assert np.allclose(got["v_std_deviation"], exp["sd"], rtol=1e-12)
+    # ungrouped (bare metric) path
+    got1 = pdb_agg(ds, {"v": {"extended_stats": {"field": "value"}}}
+                   ).to_pandas()
+    assert np.allclose(got1["v_variance"].iloc[0],
+                       duckdb.sql("SELECT var_pop(value) FROM events_tbl"
+                                  ).fetchone()[0], rtol=1e-12)
+
+
+def test_top_hits(ray_session, events_tbl):
+    """tantivy top_hits: top-N docs per bucket under a sort, flattened
+    with hit_rank — equivalent to SQL row_number() <= N per partition."""
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"best": {"top_hits": {
+            "size": 2,
+            "sort": [{"value": {"order": "desc"}},
+                     {"user_id": "asc"}],
+            "_source": ["value", "user_id"]}}},
+    }}).to_pandas()
+    exp = duckdb.sql(
+        "SELECT * FROM (SELECT event_type, value, user_id,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value DESC, user_id ASC) AS rk FROM events_tbl)"
+        " WHERE rk <= 2 ORDER BY event_type, rk").df()
+    got = got.sort_values(["event_type", "hit_rank"]).reset_index(drop=True)
+    assert list(got["event_type"]) == list(exp["event_type"])
+    assert list(got["hit_rank"]) == list(exp["rk"])
+    assert list(got["value"]) == list(exp["value"])
+    assert list(got["user_id"]) == list(exp["user_id"])
+
+
 def test_bucket_limit_guard(ray_session, events_tbl):
     """The reference aborts aggregations that exceed max_term_agg_buckets
     (`api/aggregate.rs:70-110`); pdb_agg raises rather than returning a
