@@ -305,6 +305,33 @@ def pdb_agg(
             bucket_limit)
         return _finish_extended(out, ex).sort(key_cols)
 
+    pcts = {n: s for n, s in sub.items() if "percentiles" in s}
+    if pcts:
+        # percentiles metric inside the DSL: per-bucket exact quantiles
+        # (map_groups) merged with the other metrics' grouped table on the
+        # driver — both sides are bucket-bounded
+        if kind != "terms":
+            raise ValueError(
+                "percentiles sub-agg is supported under terms buckets")
+        import pandas as pd
+
+        rest = {n: s for n, s in sub.items() if n not in pcts}
+        base = pdb_agg(ds, {name: {"terms": dict(body, size=1 << 30),
+                                   "aggs": rest}},
+                       bucket_limit=bucket_limit).to_pandas()
+        key_col = body["field"]
+        for mname, mspec in pcts.items():
+            pb = mspec["percentiles"]
+            pt = percentiles_agg(
+                ds, [key_col], pb["field"],
+                percents=list(pb.get("percents", (25.0, 50.0, 75.0, 95.0))),
+                prefix=f"{mname}_p").to_pandas()
+            base = base.merge(pt, on=key_col, how="left")
+        size = body.get("size", 10)
+        base = base.sort_values(["doc_count", key_col],
+                                ascending=[False, True]).head(size)
+        return ray.data.from_pandas(base.reset_index(drop=True))
+
     th = {n: s for n, s in sub.items() if "top_hits" in s}
     if th:
         # tantivy top_hits metric: top-N docs per bucket; flattened shape

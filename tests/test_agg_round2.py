@@ -151,6 +151,31 @@ def test_extended_stats(ray_session, events_tbl):
                                   ).fetchone()[0], rtol=1e-12)
 
 
+def test_percentiles_in_dsl(ray_session, events_tbl):
+    """percentiles metric inside pdb.agg (per-bucket quantiles merged with
+    the grouped metrics), bit-identical to quantile_cont."""
+    import duckdb
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"by_type": {
+        "terms": {"field": "event_type"},
+        "aggs": {"vmax": {"max": {"field": "value"}},
+                 "q": {"percentiles": {"field": "value",
+                                       "percents": [50, 90]}}}}}).to_pandas()
+    exp = duckdb.sql(
+        "SELECT event_type, count(*) AS c, max(value) AS m,"
+        " quantile_cont(value, 0.50) AS p50,"
+        " quantile_cont(value, 0.90) AS p90"
+        " FROM events_tbl GROUP BY 1 ORDER BY 1").df()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    assert list(got["doc_count"]) == list(exp["c"])
+    assert list(got["vmax"]) == list(exp["m"])
+    for g, e in (("q_p50", "p50"), ("q_p90", "p90")):
+        assert [v.hex() for v in got[g]] == [v.hex() for v in exp[e]], g
+
+
 def test_top_hits(ray_session, events_tbl):
     """tantivy top_hits: top-N docs per bucket under a sort, flattened
     with hit_rank — equivalent to SQL row_number() <= N per partition."""
