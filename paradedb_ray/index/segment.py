@@ -198,6 +198,133 @@ def _build_text_index(
     )
 
 
+def _merge_text_indexes(tis: list, keeps: list) -> TextFieldIndex:
+    """Merge per-segment text indexes WITHOUT re-tokenization — the
+    LSM-compaction analogue of tantivy's segment merge (postings-list
+    merge, `pg_search/src/index/` merge path): vocabularies union-sort,
+    per-(term, doc) groups remap through the visibility masks and new doc
+    ids, position runs are gathered (never re-derived).  Fully
+    vectorized; output is bit-identical to rebuilding from the merged
+    rows."""
+    store_positions = all(ti.g_pos_off is not None for ti in tis)
+    merged_vocab = np.unique(np.concatenate([ti.vocab for ti in tis])) \
+        if tis else np.empty(0, dtype=object)
+
+    all_codes, all_docs, all_tf = [], [], []
+    pos_cat, lens_cat = [], []
+    fieldnorms, has_values = [], []
+    base = 0
+    total_tokens = 0
+    doc_count = 0
+    for ti, keep in zip(tis, keeps):
+        keep = np.asarray(keep, dtype=bool)
+        n_kept = int(keep.sum())
+        remap = np.cumsum(keep) - 1  # new doc id for kept docs
+        fieldnorms.append(ti.fieldnorm_ids[keep])
+        has_values.append(ti.has_value[keep])
+        doc_count += int((ti.has_value & keep).sum())
+        n_groups = len(ti.g_doc)
+        if n_groups:
+            g_code = np.repeat(np.arange(len(ti.vocab), dtype=np.int64),
+                               np.diff(ti.term_offsets))
+            gmask = keep[ti.g_doc]
+            code_map = np.searchsorted(merged_vocab, ti.vocab)
+            all_codes.append(code_map[g_code[gmask]])
+            all_docs.append(remap[ti.g_doc[gmask]].astype(np.int64) + base)
+            tf_kept = ti.g_tf[gmask]
+            all_tf.append(tf_kept)
+            total_tokens += int(tf_kept.sum())
+            if store_positions:
+                lens = np.diff(ti.g_pos_off)
+                pmask = np.repeat(gmask, lens)
+                pos_cat.append(ti.pos_flat[pmask])
+                lens_cat.append(lens[gmask])
+        base += n_kept
+
+    if not all_codes or sum(len(c) for c in all_codes) == 0:
+        return TextFieldIndex(
+            vocab=np.empty(0, dtype=object),
+            term_offsets=np.zeros(1, dtype=np.int64),
+            g_doc=np.empty(0, dtype=np.int32),
+            g_tf=np.empty(0, dtype=np.int32),
+            g_pos_off=np.zeros(1, dtype=np.int64) if store_positions else None,
+            pos_flat=np.empty(0, dtype=np.int32) if store_positions else None,
+            fieldnorm_ids=np.concatenate(fieldnorms)
+            if fieldnorms else np.empty(0, np.uint8),
+            total_tokens=0,
+            doc_count=doc_count,
+            has_value=np.concatenate(has_values)
+            if has_values else np.empty(0, bool),
+        )
+
+    codes = np.concatenate(all_codes)
+    docs = np.concatenate(all_docs)
+    tfs = np.concatenate(all_tf)
+    order = np.lexsort((docs, codes))
+    g_code_s = codes[order]
+    g_doc_s = docs[order].astype(np.int32)
+    g_tf_s = tfs[order].astype(np.int32)
+
+    term_counts = np.bincount(g_code_s, minlength=len(merged_vocab))
+    term_offsets = np.zeros(len(merged_vocab) + 1, dtype=np.int64)
+    np.cumsum(term_counts, out=term_offsets[1:])
+
+    if store_positions:
+        lens = np.concatenate(lens_cat).astype(np.int64)
+        pos = np.concatenate(pos_cat)
+        # gather each group's position run into the new group order:
+        # rank[g] = position of group g in the sorted order; a stable sort
+        # of per-token rank labels moves whole runs without Python loops
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        tok_rank = np.repeat(rank, lens)
+        pos_order = np.argsort(tok_rank, kind="stable")
+        pos_flat = pos[pos_order]
+        g_pos_off = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(lens[order], out=g_pos_off[1:])
+    else:
+        pos_flat = None
+        g_pos_off = None
+
+    return TextFieldIndex(
+        vocab=merged_vocab,
+        term_offsets=term_offsets,
+        g_doc=g_doc_s,
+        g_tf=g_tf_s,
+        g_pos_off=g_pos_off,
+        pos_flat=pos_flat,
+        fieldnorm_ids=np.concatenate(fieldnorms),
+        total_tokens=total_tokens,
+        doc_count=doc_count,
+        has_value=np.concatenate(has_values),
+    )
+
+
+def merge_segments(segments: list, schema: IndexSchema,
+                   keeps: Optional[list] = None) -> Segment:
+    """Merge segments into one, dropping rows where ``keeps`` is False
+    (superseded copies), WITHOUT re-tokenizing: tables concatenate
+    filtered, text postings merge via :func:`_merge_text_indexes`."""
+    if keeps is None:
+        keeps = [np.ones(s.num_docs, dtype=bool) for s in segments]
+    tables = []
+    for s, k in zip(segments, keeps):
+        k = np.asarray(k, dtype=bool)
+        tables.append(s.table if k.all() else s.table.filter(pa.array(k)))
+    table = pa.concat_tables(tables).combine_chunks()
+    out = Segment(num_docs=table.num_rows, table=table, schema=schema)
+    fields = set().union(*(s.text.keys() for s in segments)) \
+        if segments else set()
+    for fname in fields:
+        # a field may be absent from a segment whose batch lacked the
+        # column: treat as empty (no postings, zero-length fieldnorms
+        # would misalign — so require presence everywhere; stores build
+        # uniform segments)
+        tis = [s.text[fname] for s in segments]
+        out.text[fname] = _merge_text_indexes(tis, keeps)
+    return out
+
+
 def build_segment(
     table: pa.Table, schema: IndexSchema, store_positions: bool = True
 ) -> Segment:

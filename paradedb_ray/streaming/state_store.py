@@ -241,18 +241,25 @@ class Bm25PartitionStore:
                  for i, s in enumerate(self.sealed)]
         candidates = LayeredMergePolicy(layer_sizes).compute_merge_candidates(
             infos)
+        from paradedb_ray.index.segment import merge_segments
+
+        def merge(victims):
+            # postings-list merge — never re-tokenizes (`merge_policy.rs`
+            # merges segments, not raw rows); superseded copies drop here
+            keeps = [self._visible_mask(s.table) for s in victims]
+            m = merge_segments(victims, self.schema, keeps)
+            self.metrics_["merges"] += 1
+            return m if m.num_docs else None
+
         merged_ids: set = set()
         new_segments = []
         n_merged = 0
         for ids in candidates:
-            tbl = pa.concat_tables(
-                [self.sealed[i].table for i in ids]).combine_chunks()
-            tbl = self._visible_only(tbl, force=True)
-            if tbl.num_rows:
-                new_segments.append(build_segment(tbl, self.schema))
+            m = merge([self.sealed[i] for i in ids])
+            if m is not None:
+                new_segments.append(m)
             merged_ids.update(ids)
             n_merged += len(ids)
-            self.metrics_["merges"] += 1
         keepers = [s for i, s in enumerate(self.sealed)
                    if i not in merged_ids]
         self.sealed = keepers + new_segments
@@ -261,27 +268,30 @@ class Bm25PartitionStore:
             by_size = sorted(self.sealed, key=lambda s: s.num_docs)
             merge_n = len(self.sealed) - max_segments + 1
             victims, keepers = by_size[:merge_n], by_size[merge_n:]
-            tbl = pa.concat_tables(
-                [s.table for s in victims]).combine_chunks()
-            tbl = self._visible_only(tbl, force=True)
-            self.sealed = keepers + ([build_segment(tbl, self.schema)]
-                                     if tbl.num_rows else [])
-            self.metrics_["merges"] += 1
+            m = merge(victims)
+            self.sealed = keepers + ([m] if m is not None else [])
             n_merged += merge_n
         return n_merged
 
     def vacuum(self) -> int:
-        """Rewrite every segment dropping superseded copies (exact stats)."""
+        """Rewrite every segment dropping superseded copies (exact stats);
+        postings filter through the visibility mask — no re-tokenization."""
+        from paradedb_ray.index.segment import merge_segments
+
         if not self.n_dead:
             return 0
         self._freeze()
         n = 0
         new = []
         for s in self.sealed:
-            t = self._visible_only(s.table, force=True)
-            n += s.num_docs - t.num_rows
-            if t.num_rows:
-                new.append(build_segment(t, self.schema))
+            keep = self._visible_mask(s.table)
+            if keep.all():
+                new.append(s)
+                continue
+            n += int((~keep).sum())
+            m = merge_segments([s], self.schema, [keep])
+            if m.num_docs:
+                new.append(m)
         self.sealed = new
         self.n_dead = 0
         return n
@@ -300,18 +310,23 @@ class Bm25PartitionStore:
         self.metrics_["retractions"] += n
         return n
 
-    def _visible_only(self, t: pa.Table, force: bool = False) -> pa.Table:
-        """Filter a stored table down to rows that are the live copy of
-        their key (``live_seq[key] == __seq``)."""
-        if t.num_rows == 0 or (not self.n_dead and not force):
-            return t
+    def _visible_mask(self, t: pa.Table) -> np.ndarray:
+        """bool mask: row is the live copy of its key
+        (``live_seq[key] == __seq``)."""
         conv = t.column(self.key_cols[0]).to_numpy(zero_copy_only=False)
         turn = t.column(self.key_cols[1]).to_numpy(zero_copy_only=False)
         seqs = t.column("__seq").to_numpy(zero_copy_only=False).tolist()
         keys = _key_hash(conv, turn).tolist()
         get = self.live_seq.get
-        keep = np.fromiter((get(k, -1) == s for k, s in zip(keys, seqs)),
+        return np.fromiter((get(k, -1) == s for k, s in zip(keys, seqs)),
                            dtype=bool, count=len(keys))
+
+    def _visible_only(self, t: pa.Table, force: bool = False) -> pa.Table:
+        """Filter a stored table down to rows that are the live copy of
+        their key (``live_seq[key] == __seq``)."""
+        if t.num_rows == 0 or (not self.n_dead and not force):
+            return t
+        keep = self._visible_mask(t)
         if keep.all():
             return t
         return t.filter(pa.array(keep))

@@ -63,6 +63,45 @@ def test_deleted_fraction_shrinks_segment():
     assert c == [[0, 1]]
 
 
+def test_merge_segments_bit_identical_to_rebuild():
+    """The postings-list merge must produce EXACTLY the index a rebuild
+    from the merged (filtered) rows would — vocab, postings, positions,
+    fieldnorms, stats — without re-tokenizing anything."""
+    import numpy as np
+    import pyarrow as pa
+
+    from paradedb_ray.index.segment import build_segment, merge_segments
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    schema = transcripts_schema()
+    turns = transcript_turns(900, seed=19)
+    parts = [turns.slice(0, 300), turns.slice(300, 300), turns.slice(600)]
+    segs = [build_segment(p, schema) for p in parts]
+    rng = np.random.RandomState(3)
+    keeps = [rng.rand(p.num_rows) > 0.2 for p in parts]
+
+    merged = merge_segments(segs, schema, [k for k in keeps])
+    ref_table = pa.concat_tables(
+        [p.filter(pa.array(k)) for p, k in zip(parts, keeps)]
+    ).combine_chunks()
+    ref = build_segment(ref_table, schema)
+
+    assert merged.num_docs == ref.num_docs
+    a, b = merged.text["text"], ref.text["text"]
+    assert list(a.vocab) == list(b.vocab)
+    assert np.array_equal(a.term_offsets, b.term_offsets)
+    assert np.array_equal(a.g_doc, b.g_doc)
+    assert np.array_equal(a.g_tf, b.g_tf)
+    assert np.array_equal(a.g_pos_off, b.g_pos_off)
+    assert np.array_equal(a.pos_flat, b.pos_flat)
+    assert np.array_equal(a.fieldnorm_ids, b.fieldnorm_ids)
+    assert a.total_tokens == b.total_tokens
+    assert a.doc_count == b.doc_count
+    assert np.array_equal(a.has_value, b.has_value)
+    assert merged.table.equals(ref.table)
+
+
 def test_store_size_tiered_merge(ray_session):
     """Streaming store: many tiny segments compact via the ladder; query
     results are invariant across the merge."""
