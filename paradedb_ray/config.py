@@ -27,7 +27,7 @@ class EngineConfig:
     #: `postgres/options.rs:73-74`)
     mutable_rows: int = 1000
     #: sealed segments per partition before the count-cap backstop merge
-    merge_max_segments: int = 8
+    merge_max_segments: int = 24
     #: size-tiered merge ladder; None = the reference default 100KB..10GB
     #: (`options.rs:64-71`, `index/merge_policy.rs:103-330`)
     layer_sizes: tuple = None

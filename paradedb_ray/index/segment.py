@@ -198,50 +198,95 @@ def _build_text_index(
     )
 
 
+def _merge_vocabs(vocabs: list) -> tuple:
+    """Union-sort segment vocabularies and map each segment's term codes
+    into the merged code space — Arrow dictionary-encode + sort (C speed;
+    numpy object-string sorts are the slow path).  Returns
+    ``(merged_vocab, [code_map per segment])``; UTF-8 byte order equals
+    codepoint order, so Arrow's sort matches ``np.searchsorted`` on the
+    object arrays downstream."""
+    allv = np.concatenate(vocabs) if vocabs else np.empty(0, dtype=object)
+    if len(allv) == 0:
+        return np.empty(0, dtype=object), [np.empty(0, np.int64)
+                                           for _ in vocabs]
+    import pyarrow.compute as pc
+
+    enc = pa.array(allv, type=pa.string()).dictionary_encode()
+    d = enc.dictionary
+    sort_idx = pc.sort_indices(d).to_numpy()
+    merged_vocab = d.take(pa.array(sort_idx)).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(d), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(d))
+    code_map_all = rank[enc.indices.to_numpy()]
+    maps, off = [], 0
+    for v in vocabs:
+        maps.append(code_map_all[off:off + len(v)])
+        off += len(v)
+    return merged_vocab, maps
+
+
 def _merge_text_indexes(tis: list, keeps: list) -> TextFieldIndex:
     """Merge per-segment text indexes WITHOUT re-tokenization — the
     LSM-compaction analogue of tantivy's segment merge (postings-list
     merge, `pg_search/src/index/` merge path): vocabularies union-sort,
     per-(term, doc) groups remap through the visibility masks and new doc
-    ids, position runs are gathered (never re-derived).  Fully
-    vectorized; output is bit-identical to rebuilding from the merged
-    rows."""
-    store_positions = all(ti.g_pos_off is not None for ti in tis)
-    merged_vocab = np.unique(np.concatenate([ti.vocab for ti in tis])) \
-        if tis else np.empty(0, dtype=object)
+    ids, position runs are gathered (never re-derived).
 
-    all_codes, all_docs, all_tf = [], [], []
-    pos_cat, lens_cat = [], []
+    NO comparison sort anywhere: each segment's group stream is already
+    sorted by (code, doc), the merged-code remap is monotone per segment,
+    and rebased doc-id ranges are disjoint and increasing — so the merged
+    (code, doc) order is a counting sort: destination = global term offset
+    + count of the same code in earlier segments + rank within this
+    segment's run.  Output is bit-identical to rebuilding from the merged
+    rows (guarded by test_merge_segments_bit_identical_to_rebuild)."""
+    store_positions = all(ti.g_pos_off is not None for ti in tis)
+    merged_vocab, code_maps = _merge_vocabs([ti.vocab for ti in tis])
+    V = len(merged_vocab)
+
+    # pass 1 — per-segment kept-group counts per merged code (V_j-sized
+    # work when the keep mask is all-true: counts scatter straight off the
+    # segment's term_offsets through its code_map)
+    seg = []  # (codes-ish per-segment payload for pass 2)
     fieldnorms, has_values = [], []
+    term_counts = np.zeros(V, dtype=np.int64)
     base = 0
     total_tokens = 0
     doc_count = 0
-    for ti, keep in zip(tis, keeps):
+    for ti, keep, code_map in zip(tis, keeps, code_maps):
         keep = np.asarray(keep, dtype=bool)
+        all_kept = bool(keep.all())
         n_kept = int(keep.sum())
-        remap = np.cumsum(keep) - 1  # new doc id for kept docs
         fieldnorms.append(ti.fieldnorm_ids[keep])
         has_values.append(ti.has_value[keep])
         doc_count += int((ti.has_value & keep).sum())
         n_groups = len(ti.g_doc)
-        if n_groups:
-            g_code = np.repeat(np.arange(len(ti.vocab), dtype=np.int64),
-                               np.diff(ti.term_offsets))
+        if not n_groups:
+            base += n_kept
+            continue
+        counts_full = np.diff(ti.term_offsets)
+        if all_kept:
+            counts_j = counts_full
+            docs_j = ti.g_doc.astype(np.int64) + base
+            tf_j = ti.g_tf
+            gmask = None
+        else:
+            remap = np.cumsum(keep) - 1
             gmask = keep[ti.g_doc]
-            code_map = np.searchsorted(merged_vocab, ti.vocab)
-            all_codes.append(code_map[g_code[gmask]])
-            all_docs.append(remap[ti.g_doc[gmask]].astype(np.int64) + base)
-            tf_kept = ti.g_tf[gmask]
-            all_tf.append(tf_kept)
-            total_tokens += int(tf_kept.sum())
-            if store_positions:
-                lens = np.diff(ti.g_pos_off)
-                pmask = np.repeat(gmask, lens)
-                pos_cat.append(ti.pos_flat[pmask])
-                lens_cat.append(lens[gmask])
+            docs_j = remap[ti.g_doc[gmask]] + base
+            tf_j = ti.g_tf[gmask]
+            # kept groups per term: segment stream is term-run contiguous
+            run_id = np.repeat(np.arange(len(counts_full)), counts_full)
+            counts_j = np.bincount(run_id[gmask],
+                                   minlength=len(counts_full))
+        cnt = np.zeros(V, dtype=np.int64)
+        cnt[code_map] = counts_j  # vocab is unique per segment
+        term_counts += cnt
+        total_tokens += int(tf_j.sum())
+        seg.append((code_map, counts_j, docs_j, tf_j, ti, gmask, cnt))
         base += n_kept
 
-    if not all_codes or sum(len(c) for c in all_codes) == 0:
+    N = int(term_counts.sum())
+    if N == 0:
         return TextFieldIndex(
             vocab=np.empty(0, dtype=object),
             term_offsets=np.zeros(1, dtype=np.int64),
@@ -257,31 +302,62 @@ def _merge_text_indexes(tis: list, keeps: list) -> TextFieldIndex:
             if has_values else np.empty(0, bool),
         )
 
-    codes = np.concatenate(all_codes)
-    docs = np.concatenate(all_docs)
-    tfs = np.concatenate(all_tf)
-    order = np.lexsort((docs, codes))
-    g_code_s = codes[order]
-    g_doc_s = docs[order].astype(np.int32)
-    g_tf_s = tfs[order].astype(np.int32)
-
-    term_counts = np.bincount(g_code_s, minlength=len(merged_vocab))
-    term_offsets = np.zeros(len(merged_vocab) + 1, dtype=np.int64)
+    term_offsets = np.zeros(V + 1, dtype=np.int64)
     np.cumsum(term_counts, out=term_offsets[1:])
 
+    # pass 2 — counting-sort scatter: per segment, groups of one code form
+    # a contiguous run (stream sorted by code); within a code, segment
+    # order IS doc order (disjoint increasing doc ranges).  Destination of
+    # a run = global term offset + same-code groups from earlier segments;
+    # all run arithmetic is V_j-sized, only the scatters touch N.
+    g_code_s = np.empty(N, dtype=np.int64)
+    g_doc_s = np.empty(N, dtype=np.int32)
+    g_tf_s = np.empty(N, dtype=np.int32)
+    order = np.empty(N, dtype=np.int64)  # output slot -> source group
+    prefix = np.zeros(V, dtype=np.int64)  # same-code groups seen so far
+    goff = 0
+    for code_map, counts_j, docs_j, tf_j, ti, gmask, cnt in seg:
+        n_j = len(docs_j)
+        run_dest = term_offsets[code_map] + prefix[code_map]
+        run_start = np.cumsum(counts_j) - counts_j  # exclusive cumsum
+        # dest_j = repeat(run_dest - run_start, counts_j) + arange(n_j)
+        dest_j = np.repeat(run_dest - run_start, counts_j)
+        dest_j += np.arange(n_j, dtype=np.int64)
+        g_code_s[dest_j] = np.repeat(code_map, counts_j)
+        g_doc_s[dest_j] = docs_j
+        g_tf_s[dest_j] = tf_j
+        order[dest_j] = np.arange(goff, goff + n_j, dtype=np.int64)
+        prefix += cnt
+        goff += n_j
+
     if store_positions:
+        pos_cat, lens_cat = [], []
+        for code_map, counts_j, docs_j, tf_j, ti, gmask, cnt in seg:
+            lens_full = np.diff(ti.g_pos_off)
+            if gmask is None:
+                pos_cat.append(ti.pos_flat)
+                lens_cat.append(lens_full)
+            else:
+                pmask = np.repeat(gmask, lens_full)
+                pos_cat.append(ti.pos_flat[pmask])
+                lens_cat.append(lens_full[gmask])
         lens = np.concatenate(lens_cat).astype(np.int64)
         pos = np.concatenate(pos_cat)
-        # gather each group's position run into the new group order:
-        # rank[g] = position of group g in the sorted order; a stable sort
-        # of per-token rank labels moves whole runs without Python loops
-        rank = np.empty(len(order), dtype=np.int64)
-        rank[order] = np.arange(len(order))
-        tok_rank = np.repeat(rank, lens)
-        pos_order = np.argsort(tok_rank, kind="stable")
-        pos_flat = pos[pos_order]
-        g_pos_off = np.zeros(len(order) + 1, dtype=np.int64)
-        np.cumsum(lens[order], out=g_pos_off[1:])
+        src_off = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(lens, out=src_off[1:])
+        out_lens = lens[order]
+        g_pos_off = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=g_pos_off[1:])
+        # run-gather via the cumsum trick (every run has >=1 position, so
+        # boundaries are distinct): idx walks each source run in output
+        # order without any sort
+        total = int(g_pos_off[-1])
+        starts = src_off[:-1][order]
+        step = np.ones(total, dtype=np.int64)
+        step[0] = starts[0]
+        b = g_pos_off[1:-1]  # run boundaries in the output
+        step[b] = starts[1:] - starts[:-1] - out_lens[:-1] + 1
+        pos_flat = pos[np.cumsum(step)]
     else:
         pos_flat = None
         g_pos_off = None

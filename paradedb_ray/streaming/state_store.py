@@ -118,8 +118,18 @@ class Bm25PartitionStore:
         self.closed: dict = {}           # conv_id -> (start, end, n, epoch)
         self.watermark = -(1 << 62)
         self.seq = 0                     # ingest sequence (lineage)
+        # monotone per-partition segment uid: sealed segments are immutable,
+        # so a uid identifies its payload forever — checkpoints only write
+        # uids they have not persisted yet (incremental, like tantivy
+        # segment files surviving across commits)
+        self.next_seg_uid = 0
         self.metrics_ = {"ingested": 0, "late_dropped": 0, "retractions": 0,
                          "reopened": 0, "freezes": 0, "merges": 0}
+
+    def _new_uid(self) -> int:
+        u = self.next_seg_uid
+        self.next_seg_uid += 1
+        return u
 
     # -- ingest -------------------------------------------------------------
 
@@ -196,6 +206,7 @@ class Bm25PartitionStore:
         # within-buffer upsert: drop copies already superseded
         t = self._visible_only(t)
         seg = build_segment(t, self.schema)
+        seg.uid = self._new_uid()
         self.sealed.append(seg)
         self.mutable = []
         self.mutable_count = 0
@@ -248,6 +259,7 @@ class Bm25PartitionStore:
             # merges segments, not raw rows); superseded copies drop here
             keeps = [self._visible_mask(s.table) for s in victims]
             m = merge_segments(victims, self.schema, keeps)
+            m.uid = self._new_uid()
             self.metrics_["merges"] += 1
             return m if m.num_docs else None
 
@@ -290,6 +302,7 @@ class Bm25PartitionStore:
                 continue
             n += int((~keep).sum())
             m = merge_segments([s], self.schema, [keep])
+            m.uid = self._new_uid()
             if m.num_docs:
                 new.append(m)
         self.sealed = new
@@ -520,15 +533,27 @@ class Bm25PartitionStore:
     # -- checkpoint / restore ----------------------------------------------
 
     def checkpoint(self, ckpt_dir: str, epoch: int) -> str:
-        """Write manifest (lineage) + segment payloads; idempotent per
-        (partition, epoch) — the exactly-once unit of resume."""
+        """Incremental checkpoint: sealed segments are immutable, so each
+        is persisted ONCE under its uid (postings included — restore never
+        re-tokenizes); per-epoch we write only the new segment files, the
+        small mutable state, and the manifest (the commit point, renamed
+        atomically).  Files no longer referenced are GC'd after commit.
+        Mirrors tantivy segment files surviving across commits with
+        ``meta.json`` as the authority (pg_search `directory/` layout)."""
         self._freeze()
         d = os.path.join(ckpt_dir, f"part-{self.part_id:05d}")
         os.makedirs(d, exist_ok=True)
-        seg_file = os.path.join(d, f"epoch-{epoch:06d}.segments.pkl")
-        tmp = seg_file + ".tmp"
+        for s in self.sealed:
+            seg_file = os.path.join(d, f"seg-{s.uid:08d}.pkl")
+            if os.path.exists(seg_file):
+                continue
+            s._json_cache = {}
+            tmp = seg_file + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(s, f, protocol=4)
+            os.replace(tmp, seg_file)
+        state_file = os.path.join(d, f"epoch-{epoch:06d}.state.pkl")
         state = {
-            "sealed_tables": [s.table for s in self.sealed],
             "live_seq": self.live_seq,
             "live_arr": self.live_arr,
             "row_seq": self.row_seq,
@@ -538,28 +563,40 @@ class Bm25PartitionStore:
             "closed": self.closed,
             "watermark": self.watermark,
             "seq": self.seq,
+            "next_seg_uid": self.next_seg_uid,
             "metrics": self.metrics_,
         }
+        tmp = state_file + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(state, f, protocol=4)
-        os.replace(tmp, seg_file)
+        os.replace(tmp, state_file)
         manifest = {
+            "format": 2,
             "part": self.part_id, "epoch": epoch, "seq": self.seq,
             "watermark": self.watermark,
-            "segments": [{"file": os.path.basename(seg_file), "i": i,
-                          "num_docs": s.num_docs}
-                         for i, s in enumerate(self.sealed)],
+            "state_file": os.path.basename(state_file),
+            "segments": [{"uid": s.uid, "num_docs": s.num_docs}
+                         for s in self.sealed],
             "n_live_keys": len(self.live_seq),
         }
         mtmp = os.path.join(d, "manifest.json.tmp")
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
         os.replace(mtmp, os.path.join(d, "manifest.json"))
-        return seg_file
+        # GC: anything the committed manifest doesn't reference
+        live = {f"seg-{s.uid:08d}.pkl" for s in self.sealed}
+        live.add(os.path.basename(state_file))
+        for fn in os.listdir(d):
+            if fn.endswith(".pkl") and fn not in live:
+                try:
+                    os.remove(os.path.join(d, fn))
+                except OSError:
+                    pass
+        return state_file
 
     def restore(self, ckpt_dir: str) -> int:
         """Load the latest checkpoint; returns the restored epoch (-1 if
-        none)."""
+        none).  Segments load with their postings — no re-tokenization."""
         d = os.path.join(ckpt_dir, f"part-{self.part_id:05d}")
         mpath = os.path.join(d, "manifest.json")
         if not os.path.exists(mpath):
@@ -567,11 +604,13 @@ class Bm25PartitionStore:
         with open(mpath) as f:
             manifest = json.load(f)
         epoch = manifest["epoch"]
-        with open(os.path.join(d, f"epoch-{epoch:06d}.segments.pkl"),
-                  "rb") as f:
+        with open(os.path.join(d, manifest["state_file"]), "rb") as f:
             state = pickle.load(f)
-        self.sealed = [build_segment(t, self.schema)
-                       for t in state["sealed_tables"]]
+        self.sealed = []
+        for m in manifest["segments"]:
+            with open(os.path.join(d, f"seg-{m['uid']:08d}.pkl"),
+                      "rb") as f:
+                self.sealed.append(pickle.load(f))
         self.live_seq = state["live_seq"]
         self.live_arr = state.get("live_arr", {})
         self.row_seq = state["row_seq"]
@@ -581,6 +620,9 @@ class Bm25PartitionStore:
         self.closed = state["closed"]
         self.watermark = state["watermark"]
         self.seq = state["seq"]
+        self.next_seg_uid = state.get(
+            "next_seg_uid",
+            1 + max((m["uid"] for m in manifest["segments"]), default=-1))
         self.metrics_ = state["metrics"]
         self.mutable = []
         self.mutable_count = 0
