@@ -940,6 +940,39 @@ def _q_knn_ivf(sf):
         ["query_id", "vec_id"])
 
 
+def _emb_schema(metric):
+    from paradedb_ray.schema import IndexSchema
+
+    return IndexSchema.build(
+        key_field="vec_id",
+        label={"type": "i64", "fast": True},
+        embedding={"type": "vector", "dim": 64, "metric": metric})
+
+
+def _q_knn_filtered(sf, op="<=>", metric="cosine"):
+    """Search-filtered vector top-k: `WHERE label @@@ 3 ORDER BY
+    embedding <op> q LIMIT 10` (`vector_search_pushdown.sql` per-opclass
+    pushdown re-expressed as a Ray Data block-local top-k + tiny merge)."""
+    from paradedb_ray.pipelines.knn import filtered_knn
+    from paradedb_ray.query import builders as pdb
+
+    emb = _tbl(sf, "embeddings",
+               columns=["vec_id", "label", "embedding"])
+    q = _knn_queries(sf)[0]
+    out = filtered_knn(emb, _emb_schema(metric), "embedding", q, op, k=10,
+                       key_col="vec_id",
+                       filter_query=pdb.term("label", 3))
+    return out.select_columns(["vec_id"])
+
+
+def _q_knn_filtered_l2(sf):
+    return _q_knn_filtered(sf, op="<->", metric="l2")
+
+
+def _q_knn_filtered_ip(sf):
+    return _q_knn_filtered(sf, op="<#>", metric="ip")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -962,7 +995,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_term": _q_numeric_term,
         "numeric_range": _q_numeric_range,
         "search_topk_field": _q_search_topk_field,
-        "search_multi": _q_search_multi,
         "search_count": _q_search_count,
         "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
@@ -1004,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "tokenize": _q_tokenize,
         "knn_brute": _q_knn_brute,
+        "knn_filtered": _q_knn_filtered,
         # ---- entries past the driver's 50-entry window (locally verified)
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -1018,7 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "search_multi": _q_search_multi,
         "knn_ivf": _q_knn_ivf,
+        "knn_filtered_l2": _q_knn_filtered_l2,
+        "knn_filtered_ip": _q_knn_filtered_ip,
         "search_term_set": _q_search_term_set,
         "search_match_conjunction": _q_match_conjunction,
         "search_match_disjunction": _q_match_disjunction,
@@ -1305,6 +1341,23 @@ def oracle_sql() -> dict[str, str]:
             " CROSS JOIN q QUALIFY row_number() OVER (PARTITION BY qid"
             " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id)"
             " <= 10",
+        "knn_filtered":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id FROM embeddings e CROSS JOIN q"
+            " WHERE e.label = 3 QUALIFY row_number() OVER ("
+            " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,"
+            " e.vec_id) <= 10",
+        "knn_filtered_l2":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id FROM embeddings e CROSS JOIN q"
+            " WHERE e.label = 3 QUALIFY row_number() OVER ("
+            " ORDER BY list_distance(e.embedding, q.qe) ASC, e.vec_id) <= 10",
+        "knn_filtered_ip":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id FROM embeddings e CROSS JOIN q"
+            " WHERE e.label = 3 QUALIFY row_number() OVER ("
+            " ORDER BY list_inner_product(e.embedding, q.qe) DESC,"
+            " e.vec_id) <= 10",
         # rows-only (non-SQL-expressible): search_topk_bm25 (BM25 scores),
         # snippet (highlight strings), dedup_minhash/dedup_simhash
         # (probabilistic sketches), langid/fingerprint (heuristics), knn_ivf

@@ -1046,6 +1046,77 @@ class Searcher:
         b = boost * (q.boost_factor if q.boost_factor is not None else 1.0)
         return self.eval(sub, b)
 
+    # -- vector distance top-k ----------------------------------------------
+
+    def knn(self, field: str, query_vec, op: str, k: int,
+            filter_query=None, candidate_mask=None):
+        """Distance-ordered top-k over a VECTOR fast field, optionally
+        restricted to docs matching ``filter_query`` (and/or a visibility
+        ``candidate_mask``) — the per-segment leg of the reference's
+        `WHERE ... @@@ ... ORDER BY vec <op> q LIMIT k` pushdown
+        (`vector_search_pushdown.sql`, `pg_search/src/vector/`).
+
+        Operators carry pgvector semantics, ascending in every case:
+        ``<->`` L2 distance, ``<=>`` cosine distance (1 − cos),
+        ``<#>`` NEGATIVE inner product.  When the operator does not match
+        the field's declared opclass metric the result is identical —
+        only the plan differs (the reference falls back to a regular
+        sort and warns; we warn for parity and compute the same answer).
+
+        Returns ``(doc_ids int64, distances float64)`` sorted by
+        (distance, doc_id), at most k rows.
+        """
+        metric = _VECTOR_OPS.get(op, op)
+        if metric not in ("l2", "cosine", "ip"):
+            raise ValueError(f"unknown vector operator {op!r}")
+        fdef = self.schema.fields.get(field)
+        if fdef is not None and fdef.metric != metric:
+            import warnings
+
+            warnings.warn(
+                f"vector metric/opclass mismatch on {field!r}: index "
+                f"declares {fdef.metric!r}, query uses {metric!r}; "
+                "falling back to a full sort", stacklevel=2)
+        mat, valid = self.seg.vector_matrix(field)
+        mask = valid.copy()
+        if candidate_mask is not None:
+            mask &= np.asarray(candidate_mask, dtype=bool)
+        if filter_query is not None:
+            fmask = np.zeros(len(mask), dtype=bool)
+            fmask[self.eval(filter_query).ids] = True
+            mask &= fmask
+        ids = np.flatnonzero(mask)
+        if len(ids) == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        sub = mat[ids].astype(np.float64)
+        q = np.asarray(query_vec, dtype=np.float64)
+        if metric == "l2":
+            d = sub - q
+            dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+        elif metric == "cosine":
+            num = sub @ q
+            den = np.linalg.norm(sub, axis=1) * np.linalg.norm(q)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dist = 1.0 - np.where(den > 0, num / den, 0.0)
+        else:  # ip
+            dist = -(sub @ q)
+        if k < len(ids):
+            # prune to the k smallest, then widen to every tie at the
+            # boundary so the (dist, id) tie-break is exact
+            part = np.argpartition(dist, k - 1)[:k]
+            thresh = dist[part].max()
+            cand = np.flatnonzero(dist <= thresh)
+        else:
+            cand = np.arange(len(ids))
+        order = np.lexsort((ids[cand], dist[cand]))[:k]
+        sel = cand[order]
+        return ids[sel].astype(np.int64), dist[sel]
+
+
+#: pgvector operator -> metric name (`vector_search_pushdown.sql`)
+_VECTOR_OPS = {"<->": "l2", "<=>": "cosine", "<#>": "ip"}
+
 
 def _coerce_bound_value(typ: pa.DataType, val):
     if pa.types.is_timestamp(typ) and isinstance(val, str):

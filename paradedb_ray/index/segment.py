@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from paradedb_ray.fieldnorm import fieldnorm_to_id
-from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD
+from paradedb_ray.schema import IndexSchema, TEXT, KEYWORD, VECTOR
 
 
 @dataclass
@@ -73,9 +73,47 @@ class Segment:
     text: dict = dfield(default_factory=dict)  # field -> TextFieldIndex
     schema: IndexSchema = None
     _json_cache: dict = dfield(default_factory=dict)
+    _vec_cache: dict = dfield(default_factory=dict)
 
     def column(self, name: str) -> pa.ChunkedArray:
         return self.table.column(name)
+
+    def vector_matrix(self, field: str):
+        """(matrix float32 [num_docs, dim], valid bool [num_docs]) for a
+        VECTOR fast field — decoded zero-copy-ish from the Arrow list
+        column once per segment and cached (pgvector column served like a
+        tantivy fast field, `pg_search/src/vector/`).  Null rows are
+        NaN-filled and masked out."""
+        got = self._vec_cache.get(field)
+        if got is not None:
+            return got
+        col = self.table.column(field).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks == 1
+                   else pa.concat_arrays(col.chunks))
+        import pyarrow.compute as pc
+
+        valid = np.ones(len(col), dtype=bool) if col.null_count == 0 \
+            else ~np.asarray(col.is_null())
+        lens = np.asarray(
+            pc.list_value_length(col).fill_null(0)).astype(np.int64)
+        dims = np.unique(lens[valid]) if valid.any() else np.empty(0)
+        if len(dims) > 1:
+            raise ValueError(
+                f"vector field {field!r}: ragged dimensions {dims.tolist()}")
+        dim = int(dims[0]) if len(dims) else (
+            self.schema.field(field).dim or 0)
+        flat = np.asarray(pc.list_flatten(col)).astype(np.float32,
+                                                       copy=False)
+        if valid.all():
+            mat = flat.reshape(len(col), dim)
+        else:
+            mat = np.full((len(col), dim), np.nan, dtype=np.float32)
+            if valid.any():
+                mat[valid] = flat.reshape(-1, dim)
+        got = (mat, valid)
+        self._vec_cache[field] = got
+        return got
 
     def json_path_values(self, field: str, path: str) -> np.ndarray:
         """Extract dot-path values from a JSON string column (tantivy
@@ -427,4 +465,18 @@ def build_segment(
             seg.text[f.name] = _build_text_index(
                 texts, f.analyzer, store_positions and f.positions
             )
+        elif f.ftype == VECTOR and f.name in table.column_names:
+            # decode once (warms the fast-field cache) and validate like
+            # pgvector's type-level checks (`vector_ingest.sql`): fixed
+            # dimension, finite elements
+            mat, valid = seg.vector_matrix(f.name)
+            if (f.dim is not None and valid.any()
+                    and mat.shape[1] != f.dim):
+                raise ValueError(
+                    f"vector field {f.name!r}: expected dim {f.dim}, "
+                    f"got {mat.shape[1]}")
+            if valid.any() and not np.isfinite(mat[valid]).all():
+                raise ValueError(
+                    f"vector field {f.name!r}: non-finite elements "
+                    "(NaN/Inf) are rejected at ingest")
     return seg

@@ -194,3 +194,67 @@ def knn_ivf(
         return g.sort_values(["score", key_col], ascending=[False, True]).head(k)
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search: search predicate + distance ORDER BY ... LIMIT k
+# ---------------------------------------------------------------------------
+
+
+class _FilteredKnnStage:
+    """Per-block leg of the reference's vector top-k pushdown
+    (`vector_search_pushdown.sql`): evaluate the search filter on a
+    block-local segment, compute the pgvector distance only for matching
+    rows, keep the block's k best (ties included via exact boundary
+    widening inside ``Searcher.knn``)."""
+
+    def __init__(self, schema, vec_field: str, q_ref, op: str, k: int,
+                 key_col: str, filter_query=None):
+        self.schema = schema
+        self.vec_field = vec_field
+        self.q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.op = op
+        self.k = k
+        self.key_col = key_col
+        self.filter_query = filter_query
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from paradedb_ray.index.searcher import Searcher
+        from paradedb_ray.index.segment import build_segment
+
+        seg = build_segment(batch, self.schema)
+        s = Searcher(seg, self.schema)
+        import warnings
+
+        with warnings.catch_warnings():
+            # the opclass-mismatch warning is per-query, not per-block
+            warnings.simplefilter("ignore")
+            ids, dist = s.knn(self.vec_field, self.q, self.op, self.k,
+                              filter_query=self.filter_query)
+        keys = batch.column(self.key_col).take(pa.array(ids, pa.int64()))
+        return pa.table({self.key_col: keys,
+                         "distance": pa.array(dist, pa.float64())})
+
+
+def filtered_knn(
+    ds: ray.data.Dataset,
+    schema,
+    vec_field: str,
+    query_vec: np.ndarray,
+    op: str = "<=>",
+    k: int = 10,
+    key_col: str = "vec_id",
+    filter_query=None,
+) -> ray.data.Dataset:
+    """`WHERE <filter> @@@ ... ORDER BY vec <op> q LIMIT k` as a Ray Data
+    pipeline: block-local filter + distance top-k, then a tiny global
+    (distance, key) sort over <= k x blocks rows.  ``op`` is a pgvector
+    operator (`<->` l2 / `<=>` cosine / `<#>` negative inner product) or
+    a metric name; a mismatch with the schema's declared opclass metric
+    still returns exact results (full-sort fallback semantics,
+    `vector_search_pushdown.sql`)."""
+    q = np.asarray(query_vec, dtype=np.float32)
+    stage = _FilteredKnnStage(schema, vec_field, ray.put(q), op, k,
+                              key_col, filter_query)
+    local = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+    return local.sort(["distance", key_col]).limit(k)

@@ -30,6 +30,12 @@ NUMERIC = "numeric"
 UUID = "uuid"
 INET = "inet"
 LTREE = "ltree"
+#: pgvector column inside the index (`vector_search_pushdown.sql`,
+#: `pg_search/src/vector/`): fixed-dim float vector served as a fast
+#: field; ``metric`` is the opclass analogue (vector_l2_ops -> "l2",
+#: vector_cosine_ops -> "cosine", vector_ip_ops -> "ip") and names the
+#: ONE distance operator that pushes down through top-k
+VECTOR = "vector"
 
 NUMERIC_TYPES = {I64, U64, F64, BOOL, DATE, NUMERIC}
 
@@ -56,6 +62,12 @@ class Field:
     #: NUMERIC(p, s) scale: set -> Numeric64 scaled-i64; None on a NUMERIC
     #: field -> NumericBytes arbitrary precision
     scale: Optional[int] = None
+    #: VECTOR params: dimension (``vector(3)`` typmod) and opclass metric
+    #: ("l2" | "cosine" | "ip"); the declared metric is the only distance
+    #: operator that pushes down through top-k (mismatches fall back to a
+    #: full sort with a warning, `vector_search_pushdown.sql`)
+    dim: Optional[int] = None
+    metric: str = "cosine"
 
     @cached_property
     def analyzer(self) -> Tokenizer:
@@ -94,6 +106,8 @@ class IndexSchema:
                 expr_source=d.get("expr_source"),
                 expr_fn=d.get("expr_fn"),
                 scale=d.get("scale"),
+                dim=d.get("dim"),
+                metric=d.get("metric", "cosine"),
             )
         for k in keys:
             if k not in fields:

@@ -372,6 +372,34 @@ class StreamEngine:
         idx = pc.sort_indices(out, sort_keys=sort_keys)
         return out.take(idx.slice(0, k))
 
+    def query_knn(self, field: str, query_vec, op: str = "<=>",
+                  k: int = 10, filter_query: Union[ast.Query, str] = None,
+                  columns: Optional[list] = None) -> pa.Table:
+        """Distance-ordered top-k over a VECTOR field across all
+        partitions, optionally restricted by a search filter — the
+        streaming analogue of `WHERE ... @@@ ... ORDER BY vec <op> q
+        LIMIT k` (`vector_search_pushdown.sql`).  Sees the mutable
+        buffers, respects upsert/delete visibility, survives merges."""
+        if isinstance(filter_query, str):
+            filter_query = ast.Parse(filter_query)
+        fp = pickle.dumps(filter_query) if filter_query is not None else None
+        sp = (pickle.dumps(self.global_stats(filter_query))
+              if filter_query is not None else None)
+        parts = ray.get([a.knn.remote(field, np.asarray(query_vec,
+                                                        np.float32),
+                                      op, k, fp, sp, columns)
+                         for a in self.actors])
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({})
+        out = pa.concat_tables(parts, promote_options="default")
+        import pyarrow.compute as pc
+
+        keys = [c for c in self.cfg.key_cols if c in out.column_names]
+        idx = pc.sort_indices(out, sort_keys=[("distance", "ascending")]
+                              + [(c, "ascending") for c in keys])
+        return out.take(idx.slice(0, k))
+
     def query_matches(self, query: Union[ast.Query, str],
                       columns: Optional[list] = None) -> pa.Table:
         """Full match set across partitions (standing-query emission)."""

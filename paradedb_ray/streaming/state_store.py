@@ -530,6 +530,44 @@ class Bm25PartitionStore:
                 counts[v] = counts.get(v, 0) + n
         return counts
 
+    def knn(self, field: str, qvec, op: str, k: int,
+            filter_pickle: bytes = None,
+            stats_pickle: bytes = None,
+            columns=None) -> pa.Table:
+        """Partition-local distance top-k over a VECTOR field — mutable
+        buffer included, visibility mask applied (the streaming legs of
+        `vector_mutable_segment.sql` / `vector_delete_all_docs.sql`).
+        Merge-rank across partitions happens on the driver."""
+        import warnings
+
+        fq = pickle.loads(filter_pickle) if filter_pickle else None
+        stats = pickle.loads(stats_pickle) if stats_pickle else None
+        out = []
+        for seg in self._all_segments():
+            mask = (self._visible_mask(seg.table)
+                    if "__seq" in seg.table.column_names else None)
+            s = Searcher(seg, self.schema, stats=stats)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                ids, dist = s.knn(field, qvec, op, k, filter_query=fq,
+                                  candidate_mask=mask)
+            if not len(ids):
+                continue
+            cols = columns or [c for c in seg.table.column_names
+                               if not c.startswith("__") and c != field]
+            sub = seg.table.select(cols).take(pa.array(ids, pa.int64()))
+            out.append(sub.append_column(
+                "distance", pa.array(dist, pa.float64())))
+        if not out:
+            return pa.table({})
+        t = pa.concat_tables(out, promote_options="default")
+        import pyarrow.compute as pc
+
+        keys = [c for c in self.key_cols if c in t.column_names]
+        idx = pc.sort_indices(t, sort_keys=[("distance", "ascending")]
+                              + [(c, "ascending") for c in keys])
+        return t.take(idx.slice(0, k))
+
     # -- checkpoint / restore ----------------------------------------------
 
     def checkpoint(self, ckpt_dir: str, epoch: int) -> str:
@@ -548,6 +586,7 @@ class Bm25PartitionStore:
             if os.path.exists(seg_file):
                 continue
             s._json_cache = {}
+            s._vec_cache = {}
             tmp = seg_file + ".tmp"
             with open(tmp, "wb") as f:
                 pickle.dump(s, f, protocol=4)
