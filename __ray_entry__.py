@@ -965,6 +965,56 @@ def _q_knn_filtered(sf, op="<=>", metric="cosine"):
     return out.select_columns(["vec_id"])
 
 
+def _q_nulls_ordering(sf):
+    """ORDER BY <nullable> ASC NULLS FIRST LIMIT k (`nulls_ordering.sql`):
+    a NULLIF-derived column exercises per-key null placement through both
+    the per-block prune and the global sort."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    ds = _docs(sf, columns=["doc_id", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars")
+        val = pc.if_else(pc.less(nc, pa.scalar(200)),
+                         pa.nulls(b.num_rows, pa.int64()),
+                         nc.combine_chunks().cast(pa.int64())
+                         if isinstance(nc, pa.ChunkedArray) else nc)
+        return b.append_column("nullable_chars", val)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    return search_topk(
+        ds, _doc_schema(), pdb.term("text", "spark"), limit=20,
+        order_by=[("nullable_chars", "ascending", "nulls_first"),
+                  ("doc_id", "ascending")],
+        with_score=False, output_columns=["doc_id", "nullable_chars"])
+
+
+def _q_hybrid_rrf(sf):
+    """Hybrid search via Reciprocal Rank Fusion: a BM25-side ranking
+    (term filter, n_chars top-20) fused with a vector ranking (cosine
+    top-20) at 1/(60+rank) — the reference's RRF CTE shape
+    (`reciprocal_rank_fusion.sql`, `rrf_pushdown.sql`) over Ray Data
+    top-k pipelines."""
+    from paradedb_ray.pipelines.fusion import rrf_fuse
+    from paradedb_ray.pipelines.knn import filtered_knn
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    a = search_topk(
+        _docs(sf), _doc_schema(), pdb.term("text", "spark"), limit=20,
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")],
+        with_score=False, output_columns=["doc_id", "n_chars"])
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    b = filtered_knn(emb, _emb_schema("cosine"), "embedding",
+                     _knn_queries(sf)[0], "<=>", k=20, key_col="vec_id")
+    return rrf_fuse([(a, "doc_id", "n_chars", True),
+                     (b, "vec_id", "distance", False)],
+                    k=60, key_out="doc_id", limit=15)
+
+
 def _q_knn_filtered_l2(sf):
     return _q_knn_filtered(sf, op="<->", metric="l2")
 
@@ -1002,7 +1052,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
-        "json_range": _q_json_range,
         "facet_lang": _q_facet_lang,
         # aggregation DSL + windows
         "agg_groupby": _q_agg_groupby,
@@ -1037,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _q_tokenize,
         "knn_brute": _q_knn_brute,
         "knn_filtered": _q_knn_filtered,
+        "hybrid_rrf": _q_hybrid_rrf,
         # ---- entries past the driver's 50-entry window (locally verified)
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -1053,7 +1103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "search_multi": _q_search_multi,
         "knn_ivf": _q_knn_ivf,
+        "json_range": _q_json_range,
         "knn_filtered_l2": _q_knn_filtered_l2,
+        "nulls_ordering": _q_nulls_ordering,
         "knn_filtered_ip": _q_knn_filtered_ip,
         "search_term_set": _q_search_term_set,
         "search_match_conjunction": _q_match_conjunction,
@@ -1347,6 +1399,28 @@ def oracle_sql() -> dict[str, str]:
             " WHERE e.label = 3 QUALIFY row_number() OVER ("
             " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,"
             " e.vec_id) <= 10",
+        "hybrid_rrf":
+            f"WITH a AS (SELECT doc_id, n_chars FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark')"
+            " ORDER BY n_chars DESC, doc_id LIMIT 20),"
+            " ar AS (SELECT doc_id AS key,"
+            " RANK() OVER (ORDER BY n_chars DESC) AS r FROM a),"
+            " q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),"
+            " b AS (SELECT e.vec_id,"
+            " list_cosine_similarity(e.embedding, q.qe) AS sim"
+            " FROM embeddings e CROSS JOIN q"
+            " ORDER BY sim DESC, e.vec_id LIMIT 20),"
+            " br AS (SELECT vec_id AS key,"
+            " RANK() OVER (ORDER BY sim DESC) AS r FROM b),"
+            " u AS (SELECT key, 1.0::DOUBLE / (60 + r) AS s FROM ar"
+            " UNION ALL SELECT key, 1.0::DOUBLE / (60 + r) AS s FROM br)"
+            " SELECT key AS doc_id, SUM(s) AS rrf_score FROM u GROUP BY key"
+            " ORDER BY rrf_score DESC, doc_id LIMIT 15",
+        "nulls_ordering":
+            f"SELECT doc_id, CASE WHEN n_chars < 200 THEN NULL ELSE n_chars"
+            f" END AS nullable_chars FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark')"
+            " ORDER BY nullable_chars ASC NULLS FIRST, doc_id LIMIT 20",
         "knn_filtered_l2":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id FROM embeddings e CROSS JOIN q"

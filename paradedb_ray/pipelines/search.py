@@ -196,19 +196,46 @@ def search_topk(
         order_by = [("score", "descending")]
     order_by = list(order_by)
     ds = _prune_columns(ds, schema, query, output_columns, snippet_cfgs,
-                        extra=[k for k, _ in order_by if k != "score"])
+                        extra=[k[0] for k in order_by if k[0] != "score"])
     if stats is None:
         stats = compute_global_stats(ds, schema, query)
     need = limit + offset
     scorer = BatchScorer(schema, query, stats,
-                         with_score=with_score or any(k == "score" for k, _ in order_by),
+                         with_score=with_score or any(k[0] == "score"
+                                                      for k in order_by),
                          snippet_cfgs=snippet_cfgs,
                          prune_limit=need, sort_keys=order_by,
                          output_columns=output_columns)
     scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
-    cols = [k for k, _ in order_by]
-    desc = [d == "descending" for _, d in order_by]
-    out = scored.sort(cols, descending=desc)
+    # explicit NULLS FIRST keys (`nulls_ordering.sql`) become an is-null
+    # helper key so Ray's global sort honours the placement too
+    helper_cols = [f"__isnull_{k[0]}" for k in order_by
+                   if len(k) > 2 and k[2] == "nulls_first"]
+    if helper_cols:
+        import pyarrow as pa
+
+        from paradedb_ray.stages.search_stages import expand_nulls_keys
+
+        def _augment(b: pa.Table) -> pa.Table:
+            b, _, _ = expand_nulls_keys(b, order_by)
+            return b
+
+        scored = scored.map_batches(_augment, batch_format="pyarrow",
+                                    batch_size=None)
+        cols, desc = [], []
+        for k in order_by:
+            if len(k) > 2 and k[2] == "nulls_first":
+                cols.append(f"__isnull_{k[0]}")
+                desc.append(True)
+            cols.append(k[0])
+            desc.append(k[1] == "descending")
+        out = scored.sort(cols, descending=desc).map_batches(
+            lambda b: b.drop_columns(helper_cols), batch_format="pyarrow",
+            batch_size=None)
+    else:
+        cols = [k[0] for k in order_by]
+        desc = [k[1] == "descending" for k in order_by]
+        out = scored.sort(cols, descending=desc)
     if offset:
         # Dataset has no offset; the candidate set is already ≤ blocks×need,
         # so a local slice via pandas is fine at these sizes.

@@ -370,6 +370,34 @@ class MultiQueryScorer:
         return pa.concat_tables(outs)
 
 
+def expand_nulls_keys(table: pa.Table, sort_keys):
+    """Expand 3-element sort keys ``(col, dir, "nulls_first"|"nulls_last")``
+    (`nulls_ordering.sql`) into Arrow-sortable form: a per-key null
+    placement differing from Arrow's global at_end default becomes a
+    prepended is-null helper column.  Returns (table+helpers, 2-tuple
+    keys, helper column names)."""
+    import pyarrow.compute as pc
+
+    out_keys, helpers = [], []
+    for k in sort_keys:
+        if len(k) == 2:
+            out_keys.append(tuple(k))
+            continue
+        col, direction, nulls = k
+        # Arrow's default places nulls at_end for either direction; only
+        # an explicit placement that differs needs the helper key
+        want_first = nulls == "nulls_first"
+        if want_first:
+            h = f"__isnull_{col}"
+            if h not in table.column_names:
+                table = table.append_column(
+                    h, pc.is_null(table.column(col)).cast(pa.int8()))
+                helpers.append(h)
+            out_keys.append((h, "descending"))
+        out_keys.append((col, direction))
+    return table, out_keys, helpers
+
+
 def _local_topk(table: pa.Table, sort_keys, limit: int) -> pa.Table:
     """Per-block top-k pruning before the global merge (the analogue of
     pg_search's per-segment top-k, `scan/segmented_topk_exec.rs`)."""
@@ -377,5 +405,7 @@ def _local_topk(table: pa.Table, sort_keys, limit: int) -> pa.Table:
         return table.slice(0, limit)
     import pyarrow.compute as pc
 
-    idx = pc.sort_indices(table, sort_keys=sort_keys)
-    return table.take(idx.slice(0, limit))
+    table, keys, helpers = expand_nulls_keys(table, sort_keys)
+    idx = pc.sort_indices(table, sort_keys=keys)
+    out = table.take(idx.slice(0, limit))
+    return out.drop_columns(helpers) if helpers else out

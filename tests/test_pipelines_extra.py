@@ -338,3 +338,29 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     # 400 bytes -> 6 frames, stride 2 -> frames 0,2,4
     assert frames["frame_idx"].tolist() == [0, 2, 4]
     assert all(len(f) == 64 for f in frames["frame"][:2])
+
+
+def test_rrf_fuse_rank_ties():
+    """RRF with RANK() semantics (`reciprocal_rank_fusion.sql`): ties
+    share a rank, contributions sum across inputs, order by fused score
+    then key."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.fusion import rrf_fuse
+
+    a = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "s": pa.array([9.0, 9.0, 5.0])})   # ranks 1,1,3
+    b = pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "d": pa.array([0.1, 0.2])})         # asc: ranks 1,2
+    out = rrf_fuse([(a, "id", "s", True), (b, "id", "d", False)],
+                   k=60, key_out="id")
+    got = dict(zip(out.column("id").to_pylist(),
+                   out.column("rrf_score").to_pylist()))
+    assert got[1] == got[2] == 1 / 61
+    assert got[3] == 1 / 63 + 1 / 61
+    assert got[4] == 1 / 62
+    # doc 3 fused first (two contributions)
+    assert out.column("id").to_pylist()[0] == 3
+    # tie between 1 and 2 resolved by key asc
+    ids = out.column("id").to_pylist()
+    assert ids.index(1) < ids.index(2)

@@ -810,3 +810,45 @@ def test_stopwords_search_scores_golden():
     # searching the stopword itself finds nothing
     h2 = s.eval(ast.ParseWithField("name", "stopword"))
     assert len(h2) == 0
+
+
+def test_minimum_should_match_regress():
+    """Mirror of `minimum_should_match.sql`: the 6-doc corpus and every
+    msm edge (2-of-3, all-3, msm=0 retrieval = union, msm > clauses = no
+    rows, combined with must, default >= 1, single-clause variant)."""
+    from paradedb_ray.query import builders as pdb
+
+    schema = IndexSchema.build("id", title={"type": "text"},
+                               body={"type": "text"})
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "title": pa.array(["apple banana cherry", "apple banana",
+                           "apple only", "banana cherry date",
+                           "cherry date elderberry", "unrelated document"]),
+        "body": pa.array(["fruit salad", "two fruits", "just apple",
+                          "three fruits", "more fruits", "no match"]),
+    })
+    s = Searcher(build_segment(t, schema), schema)
+
+    def ids(q):
+        h = s.eval(q)
+        return sorted(s.seg.table.column("id").to_numpy()[h.ids].tolist())
+
+    abc = [pdb.term("title", w) for w in ("apple", "banana", "cherry")]
+    ab = [pdb.term("title", w) for w in ("apple", "banana")]
+    # Test 1: at least 2 of apple/banana/cherry
+    assert ids(pdb.boolean(should=abc, minimum_should_match=2)) == [1, 2, 4]
+    # Test 2: all 3
+    assert ids(pdb.boolean(should=abc, minimum_should_match=3)) == [1]
+    # Test 3: msm=0 retrieves the union of should clauses
+    assert ids(pdb.boolean(should=ab, minimum_should_match=0)) == [1, 2, 3, 4]
+    # Test 4: msm > clause count matches nothing
+    assert ids(pdb.boolean(should=ab, minimum_should_match=5)) == []
+    # Test 5: combined with must
+    assert ids(pdb.boolean(must=[pdb.term("body", "fruit")], should=abc,
+                           minimum_should_match=2)) == [1]
+    # Test 6: omitted msm keeps >= 1 behavior
+    assert ids(pdb.boolean(should=ab)) == [1, 2, 3, 4]
+    # Test 7: single should clause with msm=1
+    assert ids(pdb.boolean(should=[pdb.term("title", "apple")],
+                           minimum_should_match=1)) == [1, 2, 3]
