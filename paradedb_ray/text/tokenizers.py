@@ -408,12 +408,11 @@ class SourceCodeTokenizer(Tokenizer):
 # Token filters
 # ---------------------------------------------------------------------------
 
-# Lucene/tantivy English stop set (tantivy StopWordFilter::new(English)).
-ENGLISH_STOPWORDS = frozenset(
-    "a an and are as at be but by for if in into is it no not of on or such "
-    "that the their then there these they this to was will with".split()
-)
-_STOPWORD_LANGS = {"English": ENGLISH_STOPWORDS, "english": ENGLISH_STOPWORDS}
+# Lucene/tantivy English stop set (tantivy StopWordFilter::new(English));
+# other languages come from the public Snowball corpus in
+# `paradedb_ray.text.stopwords` (`multi_language_stopwords.sql`).
+from paradedb_ray.text.stopwords import ENGLISH as ENGLISH_STOPWORDS
+from paradedb_ray.text.stopwords import stopwords_for as _stopwords_for
 
 _ALNUM_ONLY_RE = re.compile(r"^\w+$", re.UNICODE)
 
@@ -449,12 +448,13 @@ class TokenFilterChain:
         self.alpha_num_only = bool(c.get("alpha_num_only", False))
         langs = c.get("stopwords_language")
         if isinstance(langs, str):
-            langs = [langs]
+            # v2 typmod comma form: 'stopwords_language=English,French'
+            langs = [x.strip() for x in langs.split(",") if x.strip()]
         self.lang_stopwords = None
         if langs:
             s = set()
             for lang in langs:
-                s |= _STOPWORD_LANGS.get(lang, frozenset())
+                s |= _stopwords_for(lang)
             self.lang_stopwords = frozenset(s)
         # Precompute whether the chain is a pure per-text transform (fast path)
         self._removes = bool(

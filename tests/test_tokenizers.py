@@ -109,3 +109,34 @@ def test_positions_have_gaps_after_stopword_removal():
                                  "stopwords": ["the"]})
     toks = tok.tokenize_tokens("see the dog")
     assert [(t.text, t.position) for t in toks] == [("see", 0), ("dog", 2)]
+
+
+def test_multi_language_stopwords_regress():
+    """Mirror of `multi_language_stopwords.sql`: English+French combined,
+    comma-form and list-form configs, positions keep gaps."""
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    tk = tokenizer_from_config(
+        {"type": "default", "stopwords_language": ["English", "French"]})
+    toks = tk.tokenize_tokens("the quick fox and le renard et")
+    assert [(t.text, t.position) for t in toks] == [
+        ("quick", 1), ("fox", 2), ("renard", 5)]
+    # comma-separated v2 typmod form, order-insensitive, case-insensitive
+    tk2 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "french,ENGLISH"})
+    assert [t.text for t in tk2.tokenize_tokens(
+        "The cat in the hat le renard et")] == ["cat", "hat", "renard"]
+    # German set
+    tk3 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "German"})
+    assert [t.text for t in tk3.tokenize_tokens(
+        "der schnelle fuchs und die katze")] == ["schnelle", "fuchs",
+                                                 "katze"]
+    # unknown / unbundled languages raise instead of silently no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tokenizer_from_config({"type": "default",
+                               "stopwords_language": "Klingon"}).tokenize_tokens("x")
+    with _pytest.raises(ValueError):
+        tokenizer_from_config({"type": "default",
+                               "stopwords_language": "Czech"}).tokenize_tokens("x")
