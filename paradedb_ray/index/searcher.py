@@ -816,19 +816,29 @@ class Searcher:
                 np.isin(cand, docs, assume_unique=True)]
         if cand is None or len(cand) == 0:
             return Hits.empty()
+        # hoist the per-code binary searches out of the candidate loop:
+        # one vectorized searchsorted per expansion code over ALL
+        # candidates (the loop below only gathers position runs)
+        slot_hits = []
+        for codes in slot_codes:
+            entries = []
+            for c in codes:
+                docs_c, _, (s, e) = ti.postings(c)
+                j = np.searchsorted(docs_c, cand)
+                jc = np.minimum(j, len(docs_c) - 1)
+                present = (j < len(docs_c)) & (docs_c[jc] == cand)
+                entries.append((s, j, present))
+            slot_hits.append(entries)
         out_docs, out_tf = [], []
-        for doc in cand:
+        for i, doc in enumerate(cand):
             plists = []
-            for codes in slot_codes:
-                pos = []
-                for c in codes:
-                    docs_c, _, (s, e) = ti.postings(c)
-                    j = np.searchsorted(docs_c, doc)
-                    if j < len(docs_c) and docs_c[j] == doc:
-                        pos.append(ti.positions(s + j))
+            for entries in slot_hits:
+                pos = [ti.positions(s + j[i])
+                       for (s, j, present) in entries if present[i]]
                 if not pos:
                     break
-                plists.append(np.sort(np.concatenate(pos)))
+                plists.append(pos[0] if len(pos) == 1
+                              else np.sort(np.concatenate(pos)))
             if len(plists) < len(slot_codes):
                 continue
             tf = _phrase_freq(plists, q.slop)

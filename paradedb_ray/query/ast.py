@@ -395,10 +395,20 @@ class Range(Query):
     lower_bound: Bound = dfield(default_factory=Bound.unbounded)
     upper_bound: Bound = dfield(default_factory=Bound.unbounded)
 
+    def __post_init__(self):
+        # accept None for an unbounded side (the reference's serde null)
+        if self.lower_bound is None:
+            self.lower_bound = Bound.unbounded()
+        if self.upper_bound is None:
+            self.upper_bound = Bound.unbounded()
+
     def to_json(self):
+        # a None bound means unbounded and serializes as null, matching
+        # the reference's serde form (`"upper_bound":null`, topk_scores.out)
+        lo, hi = self.lower_bound, self.upper_bound
         return {"range": {"field": self.field,
-                          "lower_bound": self.lower_bound.to_json(),
-                          "upper_bound": self.upper_bound.to_json()}}
+                          "lower_bound": None if lo is None else lo.to_json(),
+                          "upper_bound": None if hi is None else hi.to_json()}}
 
 
 @dataclass

@@ -852,3 +852,41 @@ def test_minimum_should_match_regress():
     # Test 7: single should clause with msm=1
     assert ids(pdb.boolean(should=[pdb.term("title", "apple")],
                            minimum_should_match=1)) == [1, 2, 3]
+
+
+def test_explain_topk_plan_shape():
+    """EXPLAIN textual parity with the reference's Custom Scan block
+    (`topk_scores.out`): plan node lines, exec method, TopK order/limit,
+    and a `Tantivy Query:` JSON that round-trips through ast.from_json."""
+    import json
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.query.explain import explain
+
+    q = pdb.boolean(should=[
+        pdb.parse_with_field("description", "keyboard"),
+        pdb.boolean(must=[
+            pdb.parse_with_field("description", "shoes"),
+            ast.Range("rating", ast.Bound.excluded(2), None)])])
+    plan = explain(q, table="mock_items", index="search_idx", limit=5,
+                   order_by=[("rating", "descending")], with_score=True)
+    lines = plan.splitlines()
+    assert lines[0] == "Limit"
+    assert lines[1] == "  ->  Custom Scan (ParadeDB Base Scan) on mock_items"
+    assert "Exec Method: TopKScanExecState" in plan
+    assert "Scores: true" in plan
+    assert "TopK Order By: rating desc" in plan
+    assert "TopK Limit: 5" in plan
+    # the serialized query is our serde twin: null for an unbounded side,
+    # and it parses back into an equivalent AST
+    tq = next(x for x in lines if "Tantivy Query:" in x)
+    j = json.loads(tq.split("Tantivy Query: ", 1)[1])
+    assert j["boolean"]["should"][1]["boolean"]["must"][1]["range"][
+        "upper_bound"] is None
+    rt = ast.from_json(j)
+    assert rt.to_json() == j
+    # un-limited scan renders the normal exec method
+    plan2 = explain(pdb.term("description", "shoes"), table="mock_items")
+    assert plan2.splitlines()[0] == \
+        "Custom Scan (ParadeDB Base Scan) on mock_items"
+    assert "Exec Method: NormalScanExecState" in plan2
