@@ -372,6 +372,34 @@ class StreamEngine:
         idx = pc.sort_indices(out, sort_keys=sort_keys)
         return out.take(idx.slice(0, k))
 
+    def verify_index(self, heapallindexed: bool = False,
+                     index_name: str = "bm25_index") -> pa.Table:
+        """amcheck-style verification across all partitions —
+        ``pdb.verify_index`` (`api/admin.rs:1103`,
+        `verify_bm25_index.sql`): one (check_name, passed) row per check,
+        a check passes only if it passes in EVERY partition."""
+        parts = ray.get([a.verify.remote(heapallindexed)
+                         for a in self.actors])
+        merged: dict = {}
+        for p in parts:
+            for k, v in p.items():
+                merged[k] = merged.get(k, True) and v
+        names = sorted(merged)
+        return pa.table({
+            "check_name": pa.array([f"{index_name}: {k}" for k in names]),
+            "passed": pa.array([merged[k] for k in names]),
+        })
+
+    def index_info(self) -> pa.Table:
+        """Per-(partition, segment) stats — ``paradedb.index_info``
+        (`api/admin.rs:282`): segno, component byte sizes, doc counts."""
+        rows = [r for part in ray.get([a.index_info.remote()
+                                       for a in self.actors]) for r in part]
+        if not rows:
+            return pa.table({"partition": pa.array([], pa.int32())})
+        cols = list(rows[0])
+        return pa.table({c: [r[c] for r in rows] for c in cols})
+
     def query_knn(self, field: str, query_vec, op: str = "<=>",
                   k: int = 10, filter_query: Union[ast.Query, str] = None,
                   columns: Optional[list] = None) -> pa.Table:

@@ -669,6 +669,78 @@ class Bm25PartitionStore:
 
     # -- introspection ------------------------------------------------------
 
+    def verify(self, heapallindexed: bool = False) -> dict:
+        """amcheck-style partition checks (`pdb.verify_index`,
+        `api/admin.rs:1103`): structural checks per sealed segment plus
+        the visibility-map <-> stored-row agreement pass (the
+        heap-reference analogue — the docstore IS the heap here)."""
+        from paradedb_ray.index.verify import verify_segment
+
+        ok = {"schema_valid": True, "index_readable": True,
+              "checksums_valid": True, "segment_metadata_valid": True}
+        for seg in self.sealed:
+            for k, v in verify_segment(seg, self.schema).items():
+                ok[k] = ok[k] and v
+        if heapallindexed:
+            live_seen: dict = {}
+            valid = True
+            for t in [s.table for s in self.sealed] + self.mutable:
+                if t.num_rows == 0 or "__seq" not in t.column_names:
+                    continue
+                conv = t.column(self.key_cols[0]).to_numpy(
+                    zero_copy_only=False)
+                turn = t.column(self.key_cols[1]).to_numpy(
+                    zero_copy_only=False)
+                seqs = t.column("__seq").to_numpy(zero_copy_only=False)
+                for k, s in zip(_key_hash(conv, turn).tolist(),
+                                seqs.tolist()):
+                    if self.live_seq.get(k) == s:
+                        if k in live_seen:
+                            valid = False  # two live copies of one key
+                        live_seen[k] = s
+            # every live-map entry must resolve to exactly one stored row
+            if len(live_seen) != len(self.live_seq):
+                valid = False
+            ok["heap_references_valid"] = valid
+        return ok
+
+    def index_info(self) -> list:
+        """Per-segment stats rows (`paradedb.index_info`,
+        `api/admin.rs:282`): segno, sizes by component, doc counts."""
+        rows = []
+
+        def seg_row(seg, segno, mutable):
+            term_b = post_b = pos_b = norm_b = 0
+            n_del = 0
+            for ti in seg.text.values():
+                term_b += sum(len(str(v)) for v in ti.vocab)
+                post_b += ti.g_doc.nbytes + ti.g_tf.nbytes
+                if ti.pos_flat is not None:
+                    pos_b += ti.pos_flat.nbytes
+                norm_b += ti.fieldnorm_ids.nbytes
+            if self.n_dead and "__seq" in seg.table.column_names:
+                n_del = int((~self._visible_mask(seg.table)).sum())
+            return {"partition": self.part_id, "segno": str(segno),
+                    "mutable": mutable, "byte_size": int(seg.table.nbytes),
+                    "num_docs": seg.num_docs, "num_deleted": n_del,
+                    "termdict_bytes": int(term_b),
+                    "postings_bytes": int(post_b),
+                    "positions_bytes": int(pos_b),
+                    "fieldnorms_bytes": int(norm_b),
+                    "store_bytes": int(seg.table.nbytes)}
+
+        for seg in self.sealed:
+            rows.append(seg_row(seg, getattr(seg, "uid", -1), False))
+        if self.mutable_count:
+            t = pa.concat_tables(self.mutable).combine_chunks()
+            rows.append({"partition": self.part_id, "segno": "mutable",
+                         "mutable": True, "byte_size": int(t.nbytes),
+                         "num_docs": t.num_rows, "num_deleted": 0,
+                         "termdict_bytes": 0, "postings_bytes": 0,
+                         "positions_bytes": 0, "fieldnorms_bytes": 0,
+                         "store_bytes": int(t.nbytes)})
+        return rows
+
     def metrics(self) -> dict:
         return dict(self.metrics_, part=self.part_id,
                     sealed_segments=len(self.sealed),

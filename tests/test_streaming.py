@@ -452,3 +452,66 @@ def test_query_parse_string_over_stream(ray_session, turns):
         assert _result_ids(got) == want
     finally:
         eng.shutdown()
+
+
+def test_verify_index_and_info(ray_session, turns):
+    """pdb.verify_index / paradedb.index_info analogues
+    (`verify_bm25_index.sql`, `api/admin.rs:282,1103`): all checks pass
+    on a healthy multi-segment index, heapallindexed adds the
+    visibility-map pass, and info rows cover every sealed segment."""
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+
+    eng = StreamEngine(transcripts_schema(),
+                       StreamConfig(num_partitions=2, mutable_rows=200))
+    try:
+        eng.ingest(turns.slice(0, 1500))
+        eng.advance_watermark(0)
+        # upsert some rows so tombstones exist
+        eng.ingest(turns.slice(100, 200))
+        t = eng.verify_index()
+        checks = dict(zip(t.column("check_name").to_pylist(),
+                          t.column("passed").to_pylist()))
+        assert set(checks) == {
+            "bm25_index: checksums_valid", "bm25_index: index_readable",
+            "bm25_index: schema_valid",
+            "bm25_index: segment_metadata_valid"}
+        assert all(checks.values())
+        t2 = eng.verify_index(heapallindexed=True)
+        checks2 = dict(zip(t2.column("check_name").to_pylist(),
+                           t2.column("passed").to_pylist()))
+        assert checks2["bm25_index: heap_references_valid"]
+        info = eng.index_info().to_pandas()
+        assert info["num_docs"].sum() == 1700  # superseded copies counted
+        assert (info["num_deleted"].sum()) == 200
+        assert set(info.columns) >= {"partition", "segno", "mutable",
+                                     "byte_size", "num_docs", "num_deleted",
+                                     "termdict_bytes", "postings_bytes",
+                                     "positions_bytes", "fieldnorms_bytes",
+                                     "store_bytes"}
+    finally:
+        eng.shutdown()
+
+
+def test_verify_segment_detects_corruption():
+    """The corruption leg of `verify_bm25_index.sql`: a damaged postings
+    structure fails index_readable; mismatched stats fail
+    checksums_valid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from paradedb_ray.index.segment import build_segment
+    from paradedb_ray.index.verify import verify_segment
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    schema = transcripts_schema()
+    seg = build_segment(transcript_turns(200, seed=2), schema)
+    assert all(verify_segment(seg, schema).values())
+    ti = seg.text["text"]
+    good_tf = ti.g_tf.copy()
+    ti.g_tf = ti.g_tf[:-1]  # misaligned postings
+    assert not verify_segment(seg, schema)["index_readable"]
+    ti.g_tf = good_tf
+    ti.total_tokens += 7  # stats drift
+    assert not verify_segment(seg, schema)["checksums_valid"]
