@@ -965,6 +965,31 @@ def _q_knn_filtered(sf, op="<=>", metric="cosine"):
     return out.select_columns(["vec_id"])
 
 
+def _q_text_array_term(sf):
+    """TEXT[] field indexing (`tokenize-text-arrays.sql`): a derived
+    string-array column under the literal tokenizer; `===`-style element
+    lookup matches whole array elements."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    ds = _docs(sf, columns=["doc_id", "lang", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(
+            b.column("lang").cast(pa.string()),
+            b.column("source").cast(pa.string()), ",")
+        return b.append_column("tags", pc.split_pattern(joined, ","))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    schema = IndexSchema.build(
+        "doc_id", tags={"type": "text", "tokenizer": {"type": "literal"}})
+    return search(ds, schema, pdb.term("tags", "src3"),
+                  with_score=False, output_columns=["doc_id"])
+
+
 def _q_nulls_ordering(sf):
     """ORDER BY <nullable> ASC NULLS FIRST LIMIT k (`nulls_ordering.sql`):
     a NULLIF-derived column exercises per-key null placement through both
@@ -1106,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_range": _q_json_range,
         "knn_filtered_l2": _q_knn_filtered_l2,
         "nulls_ordering": _q_nulls_ordering,
+        "text_array_term": _q_text_array_term,
         "knn_filtered_ip": _q_knn_filtered_ip,
         "search_term_set": _q_search_term_set,
         "search_match_conjunction": _q_match_conjunction,
@@ -1416,6 +1442,10 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT key, 1.0::DOUBLE / (60 + r) AS s FROM br)"
             " SELECT key AS doc_id, SUM(s) AS rrf_score FROM u GROUP BY key"
             " ORDER BY rrf_score DESC, doc_id LIMIT 15",
+        "text_array_term":
+            "SELECT doc_id FROM documents"
+            " WHERE list_contains(string_split(lang || ',' || source, ','),"
+            " 'src3')",
         "nulls_ordering":
             f"SELECT doc_id, CASE WHEN n_chars < 200 THEN NULL ELSE n_chars"
             f" END AS nullable_chars FROM documents"

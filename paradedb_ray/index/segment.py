@@ -151,12 +151,37 @@ def _build_text_index(
 ) -> TextFieldIndex:
     n = len(texts)
     tok_lists = []
+    pos_lists = {}  # doc idx -> explicit positions (multi-value docs only)
     has_value = np.zeros(n, dtype=bool)
     lens = np.zeros(n, dtype=np.int64)
     tokenize = analyzer.tokenize
     for i, t in enumerate(texts):
         if t is None:
             tok_lists.append(())
+            continue
+        if isinstance(t, (list, tuple, np.ndarray)):
+            # text[] column: each element is a separate value of the same
+            # field (`tokenize-text-arrays.sql`); token positions continue
+            # across elements with tantivy's POSITION_GAP=2 so phrases
+            # never match across element boundaries
+            toks: list = []
+            positions: list = []
+            off = 0
+            for v in t:
+                if v is None:
+                    continue
+                vt = tokenize(v)
+                toks.extend(vt)
+                positions.extend(range(off, off + len(vt)))
+                if vt:
+                    off += len(vt) + 1  # last pos + 2 == next start
+            if not toks and not any(v is not None for v in t):
+                tok_lists.append(())
+                continue
+            has_value[i] = True
+            lens[i] = len(toks)
+            tok_lists.append(toks)
+            pos_lists[i] = np.asarray(positions, dtype=np.int32)
             continue
         has_value[i] = True
         toks = tokenize(t)
@@ -181,11 +206,15 @@ def _build_text_index(
     flat = np.empty(total, dtype=object)
     pos = np.empty(total, dtype=np.int32)
     k = 0
-    for toks in tok_lists:
+    for i, toks in enumerate(tok_lists):
         m = len(toks)
         if m:
             flat[k : k + m] = toks
-            pos[k : k + m] = np.arange(m, dtype=np.int32)
+            p = pos_lists.get(i)
+            if p is None:
+                pos[k : k + m] = np.arange(m, dtype=np.int32)
+            else:
+                pos[k : k + m] = p
             k += m
     doc_ids = np.repeat(np.arange(n, dtype=np.int32), lens)
 

@@ -202,8 +202,18 @@ class StatsCollector:
                 for txt in batch.column(fname).to_pylist():
                     if txt is None:
                         continue
+                    if isinstance(txt, (list, tuple)):
+                        # TEXT[] multi-value (`tokenize-text-arrays.sql`):
+                        # every element feeds the same field
+                        vals = [x for x in txt if x is not None]
+                        if not vals:
+                            continue
+                        toks = []
+                        for x in vals:
+                            toks.extend(analyzer.tokenize(x))
+                    else:
+                        toks = analyzer.tokenize(txt)
                     doc_count += 1
-                    toks = analyzer.tokenize(txt)
                     total += len(toks)
                     if wanted:
                         for t in wanted.intersection(toks):

@@ -890,3 +890,50 @@ def test_explain_topk_plan_shape():
     assert plan2.splitlines()[0] == \
         "Custom Scan (ParadeDB Base Scan) on mock_items"
     assert "Exec Method: NormalScanExecState" in plan2
+
+
+def test_text_array_fields_regress():
+    """Mirror of `tokenize-text-arrays.sql`: TEXT[] columns index every
+    element into one field; `===` is an untokenized vocab lookup (so a
+    two-token string only matches under the literal tokenizer); phrases
+    never match across element boundaries (POSITION_GAP)."""
+    from paradedb_ray.query import builders as pdb
+
+    arrs = [["red", "blue", "blue green"], ["blue green"]]
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "arr": pa.array(arrs, pa.list_(pa.string()))})
+
+    def ids(s, q):
+        h = s.eval(q)
+        return sorted(s.seg.table.column("id").to_numpy()[h.ids].tolist())
+
+    # default tokenizer: elements tokenize, 'blue green' is two tokens
+    schema = IndexSchema.build("id", arr={"type": "text"})
+    s = Searcher(build_segment(t, schema), schema)
+    assert ids(s, pdb.term("arr", "red")) == [1]
+    assert ids(s, pdb.term("arr", "blue")) == [1, 2]
+    assert ids(s, pdb.term("arr", "blue green")) == []
+    # the phrase matches INSIDE an element...
+    assert ids(s, pdb.phrase_string("arr", "blue green")) == [1, 2]
+    # ...but never across element boundaries (red|blue are adjacent
+    # elements in row 1)
+    assert ids(s, pdb.phrase_string("arr", "red blue")) == []
+
+    # literal tokenizer: whole elements are single tokens
+    schema2 = IndexSchema.build(
+        "id", arr={"type": "text", "tokenizer": {"type": "literal"}})
+    s2 = Searcher(build_segment(t, schema2), schema2)
+    assert ids(s2, pdb.term("arr", "red")) == [1]
+    assert ids(s2, pdb.term("arr", "blue")) == [1]
+    assert ids(s2, pdb.term("arr", "blue green")) == [1, 2]
+
+    # null elements and null rows
+    t3 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "arr": pa.array([["x", None, "y"], None, []],
+                                   pa.list_(pa.string()))})
+    s3 = Searcher(build_segment(t3, schema), schema)
+    assert ids(s3, pdb.term("arr", "y")) == [1]
+    ti = s3.seg.text["arr"]
+    # a NULL row and an empty array both add no values -> no field value
+    assert ti.doc_count == 1
+    assert ids(s3, pdb.exists("arr")) == [1]
