@@ -576,6 +576,23 @@ def _q_join_groupby(sf):
                          {"n_orders": ("count_star", None)})
 
 
+def _q_agg_join_semi(sf):
+    """Aggregate over a semi-join (`aggregate_join_semi_anti.sql`): order
+    counts by priority, restricted to orders that have a big-quantity
+    lineitem — IN-list pushdown then one grouped aggregate."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import semi_join_pushdown
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = filter_batches(
+        li, lambda b: pc.greater(b.column("l_quantity"), 45))
+    j = semi_join_pushdown(o, li, on="o_orderkey", right_on="l_orderkey")
+    return sql_aggregate(j, ["o_orderpriority"],
+                         {"n_orders": ("count_star", None)})
+
+
 def _q_distinct(sf):
     from paradedb_ray.pipelines.relational import distinct
 
@@ -1112,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_filtered": _q_knn_filtered,
         "hybrid_rrf": _q_hybrid_rrf,
+        "agg_join_semi": _q_agg_join_semi,
         # ---- entries past the driver's 50-entry window (locally verified)
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -1281,6 +1299,10 @@ def oracle_sql() -> dict[str, str]:
         "join_groupby":
             "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer"
             " ON o_custkey = c_custkey GROUP BY c_nationkey",
+        "agg_join_semi":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders"
+            " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
+            " WHERE l_quantity > 45) GROUP BY o_orderpriority",
         "join_hash":
             "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity > 45",
