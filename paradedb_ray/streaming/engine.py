@@ -314,11 +314,14 @@ class StreamEngine:
         rows = [r for part in closed for r in part]
         if not rows:
             return pa.table({"conv_id": pa.array([], pa.string()),
+                             "session_start": pa.array([], pa.int64()),
                              "session_end": pa.array([], pa.int64()),
                              "n_turns": pa.array([], pa.int64()),
                              "epoch": pa.array([], pa.int64())})
         return pa.table({
             "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "session_start": pa.array([r["session_start"] for r in rows],
+                                      pa.int64()),
             "session_end": pa.array([r["session_end"] for r in rows],
                                     pa.int64()),
             "n_turns": pa.array([r["n_turns"] for r in rows], pa.int64()),
@@ -694,8 +697,10 @@ class EpochRunner:
         return pq.read_table(os.path.join(d, files[-1]))
 
     def read_sessions(self) -> pa.Table:
-        """All closed sessions, latest emission per conv_id (re-emissions
-        from reopened sessions supersede by epoch)."""
+        """All closed sessions, latest emission per (conv_id,
+        session_start) identity — late-data re-emissions supersede by
+        epoch, and tombstones (n_turns=0) from bridged identities void
+        their stale rows."""
         d = os.path.join(self.sink_dir, "sessions")
         if not os.path.isdir(d):
             return pa.table({})
@@ -706,7 +711,9 @@ class EpochRunner:
         t = pa.concat_tables(tables)
         import pandas as pd
 
-        df = t.to_pandas().sort_values(["conv_id", "epoch"])
-        df = df.drop_duplicates(subset=["conv_id"], keep="last")
+        df = t.to_pandas().sort_values(["conv_id", "session_start", "epoch"])
+        df = df.drop_duplicates(subset=["conv_id", "session_start"],
+                                keep="last")
+        df = df[df["n_turns"] > 0]
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)

@@ -16,7 +16,9 @@ partition discipline, mirroring pg_search's merge/vacuum locks
   copy is tombstoned and physically dropped at the next merge/vacuum
   (MVCC visibility + vacuum, `directory/mvcc.rs`, `delete.rs`).
 * **session windows** — ``advance_watermark`` closes every conversation
-  whose ``last_ts + gap < watermark`` and emits a session summary row; a
+  whose gap-extended interval the watermark passes and emits a session
+  summary row (per-session, gap-merge semantics — same as the batch
+  session oracle); a
   post-close arrival inside the lateness bound re-opens the session
   (re-emitted under a later epoch; the exactly-once sink keeps the latest).
 * **checkpoint** — per-partition manifest (JSON lineage: epoch, seq,
@@ -113,9 +115,19 @@ class Bm25PartitionStore:
         self.live_arr: dict = {}
         self.row_seq = 0                 # monotone per-partition row counter
         self.n_dead = 0                  # superseded/retracted copies pending
-        self.last_ts: dict = {}          # conv_id -> last event ts (us)
+        # conv_id -> sorted list of merged session intervals
+        # [start, end, n_turns, emitted_start|None] — standard gap-merge
+        # session windows (two turns share a session iff their gap-extended
+        # intervals touch).  ``emitted_start`` is the session's STABLE sink
+        # identity, frozen at first emission; a late merge that changes an
+        # emitted session re-emits under the same identity (exactly-once
+        # sink keeps the latest epoch).  Sessions past the lateness horizon
+        # are EVICTED, so per-partition session state is bounded by churn,
+        # not by total history.
+        self.sessions: dict = {}
         self.conv_counts: dict = {}      # conv_id -> n turns (hot detection)
-        self.closed: dict = {}           # conv_id -> (start, end, n, epoch)
+        self.absorbed: list = []         # (conv, emitted_start) tombstones
+        self.n_emitted = 0               # emitted-session counter (metrics)
         self.watermark = -(1 << 62)
         self.seq = 0                     # ingest sequence (lineage)
         # monotone per-partition segment uid: sealed segments are immutable,
@@ -181,15 +193,58 @@ class Bm25PartitionStore:
         self.n_dead += n_retract + n_doa
         table = table.append_column("__seq", pa.array(seqs, pa.int64()))
 
-        # per-conv last_ts + counts; reopen closed sessions on late arrival
+        # session-window maintenance: merge each turn into the conv's
+        # interval set (gap-merge semantics, identical to the batch
+        # session oracle); merging into an already-emitted session marks
+        # it for re-emission (late-data correction / "reopen")
+        gap = self.session_gap_us
         for c, t in zip(conv, ts):
-            prev = self.last_ts.get(c)
-            if prev is None or t > prev:
-                self.last_ts[c] = int(t)
+            t = int(t)
             self.conv_counts[c] = self.conv_counts.get(c, 0) + 1
-            if c in self.closed:
-                del self.closed[c]
+            lst = self.sessions.get(c)
+            if lst is None:
+                self.sessions[c] = [[t, t, 1, None, False]]
+                continue
+            # sessions are few per conv (churn-bounded): linear scan
+            joined = None
+            for s in lst:
+                if s[0] - gap <= t <= s[1] + gap:
+                    joined = s
+                    break
+            if joined is None:
+                lst.append([t, t, 1, None, False])
+                lst.sort(key=lambda s: s[0])
+                continue
+            if joined[3] is not None and not joined[4]:
+                # an emitted session absorbs a late turn: re-emission due
+                joined[4] = True
                 self.metrics_["reopened"] += 1
+            joined[0] = min(joined[0], t)
+            joined[1] = max(joined[1], t)
+            joined[2] += 1
+            # bridge neighbours the widened interval now touches
+            lst.sort(key=lambda s: s[0])
+            i = lst.index(joined)
+
+            def absorb(other):
+                joined[0] = min(joined[0], other[0])
+                joined[1] = max(joined[1], other[1])
+                joined[2] += other[2]
+                if other[3] is not None:
+                    if joined[3] is None:
+                        joined[3] = other[3]
+                    else:
+                        # two emitted identities merged: the losing one
+                        # gets a tombstone emission (n_turns=0) so the
+                        # sink's latest row for it voids the stale session
+                        self.absorbed.append((c, other[3]))
+                    joined[4] = True
+
+            while i + 1 < len(lst) and lst[i + 1][0] - gap <= joined[1]:
+                absorb(lst.pop(i + 1))
+            while i > 0 and lst[i - 1][1] + gap >= joined[0]:
+                absorb(lst.pop(i - 1))
+                i -= 1
 
         self.mutable.append(table)
         self.mutable_count += table.num_rows
@@ -215,19 +270,45 @@ class Bm25PartitionStore:
     # -- windows / watermark ------------------------------------------------
 
     def advance_watermark(self, wm_us: int, epoch: int = 0) -> list:
-        """Session-window close: freeze the buffer, close conversations idle
-        past the gap, return their session summary rows."""
+        """Session-window close: freeze the buffer, emit every session
+        whose gap-extended interval the watermark has passed (first
+        emission or late-data re-emission under the same stable
+        ``session_start`` identity), evict sessions past the lateness
+        horizon (bounded state), and emit tombstones for identities lost
+        to a late bridge."""
         self.watermark = max(self.watermark, wm_us)
         self._freeze()
+        gap, late = self.session_gap_us, self.lateness_us
         out = []
-        for c, lt in list(self.last_ts.items()):
-            if c in self.closed:
-                continue
-            if lt + self.session_gap_us < self.watermark:
-                n = self.conv_counts.get(c, 0)
-                self.closed[c] = (lt, n, epoch)
-                out.append({"conv_id": c, "session_end": lt,
-                            "n_turns": n, "epoch": epoch})
+        for c, sid in self.absorbed:
+            out.append({"conv_id": c, "session_start": int(sid),
+                        "session_end": int(sid), "n_turns": 0,
+                        "epoch": epoch})
+        self.absorbed = []
+        for c in list(self.sessions):
+            lst = self.sessions[c]
+            keep = []
+            for s in lst:
+                start, end, n, sid, dirty = s
+                if end + gap < self.watermark and (sid is None or dirty):
+                    if sid is None:
+                        s[3] = sid = start  # identity frozen at 1st emit
+                        self.n_emitted += 1
+                    s[4] = False
+                    out.append({"conv_id": c, "session_start": int(sid),
+                                "session_end": int(end),
+                                "n_turns": int(n), "epoch": epoch})
+                if s[3] is not None and not s[4] \
+                        and end + gap + late < self.watermark:
+                    continue  # no in-bound arrival can touch it: evict
+                keep.append(s)
+            if keep:
+                self.sessions[c] = keep
+            else:
+                # conv fully beyond the horizon: evict its hot-detection
+                # count too — per-partition state tracks churn, not history
+                del self.sessions[c]
+                self.conv_counts.pop(c, None)
         return out
 
     # -- compaction ---------------------------------------------------------
@@ -597,9 +678,10 @@ class Bm25PartitionStore:
             "live_arr": self.live_arr,
             "row_seq": self.row_seq,
             "n_dead": self.n_dead,
-            "last_ts": self.last_ts,
+            "sessions": self.sessions,
+            "absorbed": self.absorbed,
+            "n_emitted": self.n_emitted,
             "conv_counts": self.conv_counts,
-            "closed": self.closed,
             "watermark": self.watermark,
             "seq": self.seq,
             "next_seg_uid": self.next_seg_uid,
@@ -654,9 +736,10 @@ class Bm25PartitionStore:
         self.live_arr = state.get("live_arr", {})
         self.row_seq = state["row_seq"]
         self.n_dead = state["n_dead"]
-        self.last_ts = state["last_ts"]
+        self.sessions = state["sessions"]
+        self.absorbed = state.get("absorbed", [])
+        self.n_emitted = state.get("n_emitted", 0)
         self.conv_counts = state["conv_counts"]
-        self.closed = state["closed"]
         self.watermark = state["watermark"]
         self.seq = state["seq"]
         self.next_seg_uid = state.get(
@@ -748,7 +831,9 @@ class Bm25PartitionStore:
                     live_keys=len(self.live_seq),
                     tombstones=self.n_dead,
                     watermark=self.watermark,
-                    closed_sessions=len(self.closed))
+                    closed_sessions=self.n_emitted,
+                    open_sessions=sum(len(v) for v in
+                                      self.sessions.values()))
 
     def hot_convs(self, threshold: int) -> list:
         return [c for c, n in self.conv_counts.items() if n >= threshold]

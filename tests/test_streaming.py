@@ -515,3 +515,139 @@ def test_verify_segment_detects_corruption():
     ti.g_tf = good_tf
     ti.total_tokens += 7  # stats drift
     assert not verify_segment(seg, schema)["checksums_valid"]
+
+
+def test_multi_session_per_conv_counts(ray_session):
+    """A new turn after a closed gap starts a NEW session with its own
+    n_turns (gap-merge semantics, same as the batch session oracle) —
+    previously the count accumulated across sessions."""
+    eng = _engine(parts=1)
+    try:
+        t0 = 1_700_000_000_000_000
+        g = GAP_US
+
+        def tbl(rows):
+            return pa.table({
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows)),
+                "text": pa.array(["x"] * len(rows)),
+                "tool": pa.array([""] * len(rows)),
+                "ts": pa.array([t0 + r[2] for r in rows],
+                               pa.timestamp("us"))})
+
+        eng.ingest(tbl([("a", 0, 0), ("a", 1, 10_000_000)]))
+        c1 = eng.advance_watermark(t0 + g * 2, epoch=0)
+        assert c1.column("n_turns").to_pylist() == [2]
+        assert c1.column("session_start").to_pylist() == [t0]
+        # second session, three gaps later
+        eng.ingest(tbl([("a", 2, g * 3)]))
+        c2 = eng.advance_watermark(t0 + g * 5, epoch=1)
+        assert c2.column("n_turns").to_pylist() == [1]
+        assert c2.column("session_start").to_pylist() == [t0 + g * 3]
+        # horizon eviction bounds per-partition session state
+        m = eng.metrics()[0]
+        assert m["open_sessions"] == 1  # only session 2 is inside lateness
+        assert m["closed_sessions"] == 2
+    finally:
+        eng.shutdown()
+
+
+def test_session_identity_stable_across_late_merge(ray_session):
+    """A late arrival extending an EMITTED session backward re-emits
+    under the SAME (conv, session_start) identity, so the sink's
+    dedupe-by-identity keeps exactly one corrected row."""
+    eng = _engine(parts=1)
+    try:
+        t0 = 1_700_000_000_000_000
+        g = GAP_US
+        t = pa.table({
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([1], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array(["x"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([t0], pa.timestamp("us"))})
+        eng.ingest(t)
+        c1 = eng.advance_watermark(t0 + g + 1, epoch=0)
+        assert c1.column("session_start").to_pylist() == [t0]
+        # late arrival 10 min EARLIER (inside lateness), same session
+        late = pa.table({
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array(["w"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([t0 - 600_000_000], pa.timestamp("us"))})
+        eng.ingest(late)
+        c2 = eng.advance_watermark(t0 + g + 2, epoch=1)
+        # identity unchanged (frozen at first emission), count corrected
+        assert c2.column("session_start").to_pylist() == [t0]
+        assert c2.column("n_turns").to_pylist() == [2]
+    finally:
+        eng.shutdown()
+
+
+def test_engine_sessions_match_batch_oracle(ray_session, tmp_path):
+    """End-to-end session parity: random multi-session traffic through
+    epoched ingest + watermarks must reproduce the batch gap-merge
+    session table (the same SQL shape as the session_30m oracle)."""
+    import duckdb
+    import numpy as np
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.streaming import EpochRunner, StreamConfig, StreamEngine
+    from paradedb_ray.schema import transcripts_schema
+
+    rng = np.random.RandomState(17)
+    t0 = 1_700_000_000_000_000
+    n = 3000
+    convs = [f"c{rng.randint(40)}" for _ in range(n)]
+    # bursty arrivals over ~4 days -> many sessions per conv at a 30m gap
+    ts = np.sort(t0 + (rng.rand(n) * 4 * 86400 * 1e6).astype(np.int64))
+    t = pa.table({
+        "conv_id": pa.array(convs),
+        "turn_idx": pa.array(np.arange(n), pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(["hello world"] * n),
+        "tool": pa.array([""] * n),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    eng = StreamEngine(transcripts_schema(),
+                       StreamConfig(num_partitions=4, mutable_rows=500))
+    try:
+        r = EpochRunner(eng, str(tmp_path / "sink"),
+                        {"q": pdb.term("text", "hello")}, topk=5,
+                        columns=["conv_id", "turn_idx", "score"])
+        epochs = [t.slice(i * n // 6, n // 6) for i in range(6)]
+        r.run(epochs)
+        # final watermark far past everything closes the tail sessions
+        final = eng.advance_watermark(int(ts[-1]) + GAP_US * 3, epoch=99)
+        _write = pa.concat_tables  # (collect final emissions too)
+        import pyarrow.parquet as pq_
+
+        if final.num_rows:
+            pq_.write_table(final, str(
+                tmp_path / "sink" / "sessions" / "epoch=000099.parquet"))
+        got = r.read_sessions().to_pandas()
+        got = got.sort_values(["conv_id", "session_start"]).reset_index(
+            drop=True)
+        ref = duckdb.sql(f"""
+            WITH o AS (SELECT conv_id, epoch_us(ts) AS ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+              THEN 1 ELSE 0 END AS new FROM t WINDOW w AS
+              (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+            s AS (SELECT conv_id, ts, sum(new) OVER
+              (PARTITION BY conv_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+            SELECT conv_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_turns
+            FROM s GROUP BY conv_id, sid
+            ORDER BY conv_id, session_start
+        """).df()
+        assert got[["conv_id", "session_start", "session_end",
+                    "n_turns"]].reset_index(drop=True).equals(
+            ref.reset_index(drop=True).astype(
+                {"session_start": "int64", "session_end": "int64",
+                 "n_turns": "int64"}))
+        assert len(ref) > 80  # genuinely multi-session traffic
+    finally:
+        eng.shutdown()
