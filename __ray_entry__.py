@@ -670,6 +670,22 @@ def _q_terms_agg(sf):
     }})
 
 
+def _q_json_agg(sf):
+    """JSON projection aggregation (`json_agg.sql`): a metric over a
+    JSON dot-path — the path derives per batch (one parse per row for
+    all paths) and feeds the normal grouped aggregate."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+    from paradedb_ray.schema import IndexSchema
+
+    ev = _tbl(sf, "events", columns=["event_type", "props"])
+    schema = IndexSchema.build("event_id", event_type={"type": "keyword"},
+                               props={"type": "json"})
+    return pdb_agg(ev, {"types": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {"k_sum": {"sum": {"field": "props.k"}}},
+    }}, schema=schema)
+
+
 def _q_window_rank(sf):
     from paradedb_ray.pipelines.aggregate import partitioned_window
     from paradedb_ray.pipelines.relational import filter_batches
@@ -1100,9 +1116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_filter": _q_agg_filter,
         "histogram": _q_histogram,
         "date_histogram": _q_date_histogram,
-        "date_histogram_month": _q_date_histogram_month,
         "agg_siblings": _q_agg_siblings,
         "terms_agg": _q_terms_agg,
+        "json_agg": _q_json_agg,
         "nested_agg": _q_nested_agg,
         "stats_agg": _q_stats_agg,
         "cardinality": _q_cardinality,
@@ -1147,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_multi": _q_search_multi,
         "knn_ivf": _q_knn_ivf,
         "json_range": _q_json_range,
+        "date_histogram_month": _q_date_histogram_month,
         "knn_filtered_l2": _q_knn_filtered_l2,
         "nulls_ordering": _q_nulls_ordering,
         "text_array_term": _q_text_array_term,
@@ -1331,6 +1348,10 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",
+        "json_agg":
+            "SELECT event_type, count(*) AS doc_count,"
+            " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            " AS k_sum FROM events GROUP BY event_type",
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",

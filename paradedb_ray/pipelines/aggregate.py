@@ -237,6 +237,67 @@ def _guard_buckets(out: ray.data.Dataset,
     return out
 
 
+def _collect_agg_fields(spec) -> set:
+    """Every "field" referenced anywhere in an aggregation tree."""
+    out = set()
+    if isinstance(spec, dict):
+        f = spec.get("field")
+        if isinstance(f, str):
+            out.add(f)
+        for v in spec.values():
+            out |= _collect_agg_fields(v)
+    return out
+
+
+def _derive_json_path_fields(ds, schema, agg_json):
+    """JSON projection aggregation (`json_agg.sql`, reference Group By
+    `metadata_json.value`): a dot-path field whose base is a JSON schema
+    column becomes a derived column of the same dotted name — each row's
+    JSON parses ONCE for all requested paths, then the normal grouped
+    aggregate runs over the derived columns."""
+    if schema is None:
+        return ds
+    from paradedb_ray.schema import JSON
+
+    paths: dict = {}
+    for full in _collect_agg_fields(agg_json):
+        if "." not in full:
+            continue
+        base = full.split(".", 1)[0]
+        f = schema.fields.get(base)
+        if f is not None and f.ftype == JSON:
+            paths.setdefault(base, []).append(full)
+    if not paths:
+        return ds
+
+    def derive(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        for base, fulls in paths.items():
+            objs = []
+            for v in b.column(base).to_pylist():
+                if v is None:
+                    objs.append(None)
+                    continue
+                try:
+                    objs.append(_json.loads(v) if isinstance(v, str)
+                                else v)
+                except Exception:
+                    objs.append(None)
+            for full in fulls:
+                parts = full.split(".")[1:]
+                vals = []
+                for obj in objs:
+                    cur = obj
+                    for p in parts:
+                        cur = cur.get(p) if isinstance(cur, dict) else None
+                    vals.append(cur)
+                b = b.append_column(full, pa.array(vals))
+        return b
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def pdb_agg(
     ds: ray.data.Dataset,
     agg_json: dict,
@@ -258,6 +319,7 @@ def pdb_agg(
         assert schema is not None
         ds = search(ds, schema, filter_query, with_score=False)
 
+    ds = _derive_json_path_fields(ds, schema, agg_json)
     entries = list(agg_json.items())
     if len(entries) != 1 or _has_sibling_buckets(entries[0][1]):
         return _pdb_agg_flat(ds, agg_json, bucket_limit)

@@ -238,3 +238,29 @@ def test_ungrouped_percentiles_distributed_bitwise(ray_session, events_tbl):
         " quantile_cont(value, 0.99) AS p99 FROM events_tbl").df()
     for c in ("p25", "p50", "p90", "p99"):
         assert got[c].iloc[0].hex() == exp[c].iloc[0].hex(), c
+
+
+def test_json_path_aggregation(ray_session):
+    """JSON projection aggregation (`json_agg.sql`): terms on a JSON
+    dot-path and a metric over another path of the same column — the
+    JSON parses once per row for all paths."""
+    import pyarrow as pa
+    import ray.data
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+    from paradedb_ray.schema import IndexSchema
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "meta": pa.array(['{"color":"red","n":1}', '{"color":"blue","n":2}',
+                          '{"color":"red","n":5}', '{"n":9}', None])})
+    schema = IndexSchema.build("id", meta={"type": "json"})
+    out = pdb_agg(ray.data.from_arrow(t),
+                  {"colors": {"terms": {"field": "meta.color"},
+                              "aggs": {"total": {"sum": {"field": "meta.n"}}}}},
+                  schema=schema).to_pandas()
+    got = {r["meta.color"]: (r["doc_count"], r["total"])
+           for _, r in out.iterrows()}
+    assert got["red"] == (2, 6)
+    assert got["blue"] == (1, 2)
+    assert got[None][0] == 2  # missing path + null row group together
