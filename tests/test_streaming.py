@@ -651,3 +651,40 @@ def test_engine_sessions_match_batch_oracle(ray_session, tmp_path):
         assert len(ref) > 80  # genuinely multi-session traffic
     finally:
         eng.shutdown()
+
+
+def test_large_values_and_long_keys(ray_session):
+    """TOAST-sized text values and very long key strings flow through
+    mutable buffer -> freeze -> merge -> query (`mutable-toast.sql`,
+    `string_id_limit.sql` robustness)."""
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+
+    eng = StreamEngine(transcripts_schema(),
+                       StreamConfig(num_partitions=2, mutable_rows=4))
+    try:
+        t0 = 1_700_000_000_000_000
+        big = "needle " + ("x" * 200_000)  # ~200KB value
+        longkey = "k" * 2000
+        n = 12
+        t = pa.table({
+            "conv_id": pa.array([longkey + str(i % 3) for i in range(n)]),
+            "turn_idx": pa.array(list(range(n)), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([big if i == 7 else f"turn {i}"
+                              for i in range(n)]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([t0 + i * 1000 for i in range(n)],
+                           pa.timestamp("us"))})
+        eng.ingest(t)
+        eng.advance_watermark(0)
+        eng.merge_tick()
+        got = eng.query_matches(
+            __import__("paradedb_ray.query.builders",
+                       fromlist=["x"]).term("text", "needle"),
+            columns=["conv_id", "turn_idx"])
+        assert got.num_rows == 1
+        assert got.column("turn_idx").to_pylist() == [7]
+        assert got.column("conv_id").to_pylist()[0].startswith("k" * 100)
+    finally:
+        eng.shutdown()
