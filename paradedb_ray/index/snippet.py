@@ -104,6 +104,22 @@ def generate(text: Optional[str], analyzer, terms: set, cfg: SnippetConfig):
     """-> str (single) | list[str] (multi) | list[[int,int]] (positions)."""
     if text is None:
         return None if cfg.mode == "single" else []
+    if isinstance(text, (list, tuple)):
+        # TEXT[] multi-value: each element highlights independently;
+        # single mode keeps the first matching element's fragment, list
+        # mode concatenates fragments in element order
+        if cfg.mode == "positions":
+            raise ValueError("snippet_positions is per-string; not "
+                             "supported on TEXT[] fields")
+        parts = [generate(v, analyzer, terms, cfg) for v in text
+                 if v is not None]
+        if cfg.mode == "single":
+            scored = [p for p in parts if p]
+            return scored[0] if scored else None
+        out = []
+        for p in parts:
+            out.extend(p)
+        return out
     tokens = analyzer.tokenize_tokens(text)
     frags = _fragments(tokens, terms, cfg.max_num_chars)
     if cfg.mode == "positions":

@@ -82,3 +82,24 @@ def test_snippets_max_chars_multi(env):
 def test_snippets_limit(env):
     got = _snips(env, "fox", max_num_chars=25, limit=1)
     assert got[1] == ["The quick brown <b>fox</b> jumps"]
+
+
+def test_snippet_on_text_array():
+    """Snippets over TEXT[] fields: single mode keeps the first matching
+    element's fragment; list mode collects fragments across elements;
+    positions mode raises (spans are per-string)."""
+    import pytest
+
+    from paradedb_ray.index.snippet import SnippetConfig, generate
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    an = tokenizer_from_config(None)
+    arr = ["red fox", "no match here", "blue fox jumps"]
+    single = generate(arr, an, {"fox"}, SnippetConfig(field="arr"))
+    assert single == "red <b>fox</b>"
+    multi = generate(arr, an, {"fox"},
+                     SnippetConfig(field="arr", mode="list"))
+    assert multi == ["red <b>fox</b>", "blue <b>fox</b> jumps"]
+    with pytest.raises(ValueError):
+        generate(arr, an, {"fox"},
+                 SnippetConfig(field="arr", mode="positions"))
