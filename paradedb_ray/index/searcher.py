@@ -185,7 +185,7 @@ class Searcher:
         value is normalized but not re-tokenized, `pdb_query.rs` Term)."""
         f = self.schema.field(field)
         if f.ftype in (TEXT, KEYWORD):
-            out = f.analyzer.filters.apply_texts([str(value)])
+            out = f.search_analyzer.filters.apply_texts([str(value)])
             return out[0] if out else str(value)
         return value
 
@@ -638,7 +638,9 @@ class Searcher:
     # -- text analysis queries ---------------------------------------------
 
     def _field_tokens(self, field: str, value: str) -> list:
-        return self.schema.field(field).analyzer.tokenize(value)
+        # query-side tokenization honours search_tokenizer
+        # (`search_tokenizer.sql` autocomplete pattern)
+        return self.schema.field(field).search_analyzer.tokenize(value)
 
     def _eval_Match(self, q: ast.Match, boost):
         if q.tokenizer is not None:

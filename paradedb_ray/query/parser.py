@@ -237,7 +237,7 @@ class _Parser:
                 if fdef is None:
                     continue
                 if fdef.ftype == TEXT:
-                    toks = fdef.analyzer.tokenize(prefix)
+                    toks = fdef.search_analyzer.tokenize(prefix)
                     if len(toks) != 1:
                         continue
                     prefix_n = toks[0]
@@ -253,7 +253,7 @@ class _Parser:
             if fdef is None:
                 continue
             if fdef.ftype == TEXT:
-                toks = fdef.analyzer.tokenize(word)
+                toks = fdef.search_analyzer.tokenize(word)
                 if not toks:
                     continue
                 if len(toks) == 1:
@@ -341,7 +341,8 @@ class _Parser:
         fdef = self.schema.fields.get(field)
         ft = fdef.ftype if fdef else TEXT
         if fdef is not None and fdef.ftype == TEXT:
-            vals = [t for v in vals for t in fdef.analyzer.filters.apply_texts([v])]
+            vals = [t for v in vals
+                    for t in fdef.search_analyzer.filters.apply_texts([v])]
         else:
             vals = [_coerce(v, ft) for v in vals]
         return ast.TermSet(field, vals)

@@ -62,12 +62,24 @@ class Field:
     #: NUMERIC(p, s) scale: set -> Numeric64 scaled-i64; None on a NUMERIC
     #: field -> NumericBytes arbitrary precision
     scale: Optional[int] = None
+    #: search-time tokenizer override (`search_tokenizer.sql`): tokenizes
+    #: QUERY text while the index keeps its own tokenizer — the
+    #: autocomplete pattern (edge-ngram index, unicode_words search)
+    search_tokenizer: Optional[dict] = None
     #: VECTOR params: dimension (``vector(3)`` typmod) and opclass metric
     #: ("l2" | "cosine" | "ip"); the declared metric is the only distance
     #: operator that pushes down through top-k (mismatches fall back to a
     #: full sort with a warning, `vector_search_pushdown.sql`)
     dim: Optional[int] = None
     metric: str = "cosine"
+
+    @cached_property
+    def search_analyzer(self) -> Tokenizer:
+        """Query-side analyzer: ``search_tokenizer`` when set, else the
+        index analyzer (`search_tokenizer.sql`)."""
+        if self.search_tokenizer is not None:
+            return tokenizer_from_config(self.search_tokenizer)
+        return self.analyzer
 
     @cached_property
     def analyzer(self) -> Tokenizer:
@@ -106,6 +118,7 @@ class IndexSchema:
                 expr_source=d.get("expr_source"),
                 expr_fn=d.get("expr_fn"),
                 scale=d.get("scale"),
+                search_tokenizer=d.get("search_tokenizer"),
                 dim=d.get("dim"),
                 metric=d.get("metric", "cosine"),
             )

@@ -48,13 +48,13 @@ def collect_stat_requests(q: ast.Query, schema: IndexSchema,
         if f is None:
             return []
         if f.ftype == TEXT:
-            return f.analyzer.tokenize(value)
+            return f.search_analyzer.tokenize(value)
         return [value]
 
     def norm_token(field, value):
         f = schema.fields.get(field.split(".")[0])
         if f is not None and f.ftype in (TEXT, KEYWORD) and isinstance(value, str):
-            out = f.analyzer.filters.apply_texts([value])
+            out = f.search_analyzer.filters.apply_texts([value])
             return out[0] if out else value
         return value
 

@@ -937,3 +937,35 @@ def test_text_array_fields_regress():
     # a NULL row and an empty array both add no values -> no field value
     assert ti.doc_count == 1
     assert ids(s3, pdb.exists("arr")) == [1]
+
+
+def test_search_tokenizer_autocomplete_regress():
+    """Mirror of `search_tokenizer.sql`: edge-ngram index tokenizer +
+    unicode_words search tokenizer — 'sho' matches only the prefix-ngram
+    titles, 's' matches every s-title, and WITHOUT search_tokenizer the
+    query 'sho' would ngram-explode and match everything s-ish."""
+    from paradedb_ray.query import builders as pdb
+
+    titles = ["shoes", "shirt", "shorts", "shoelaces", "socks"]
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "title": pa.array(titles)})
+
+    def ids(schema, q):
+        s = Searcher(build_segment(t, schema), schema)
+        h = s.eval(q)
+        return sorted(s.seg.table.column("id").to_numpy()[h.ids].tolist())
+
+    ngram = {"type": "edge_ngram", "min_gram": 1, "max_gram": 10}
+    with_st = IndexSchema.build(
+        "id", title={"type": "text", "tokenizer": ngram,
+                     "search_tokenizer": {"type": "default"}})
+    assert ids(with_st,
+               pdb.match_disjunction("title", "sho")) == [1, 3, 4]
+    assert ids(with_st,
+               pdb.match_disjunction("title", "s")) == [1, 2, 3, 4, 5]
+    # control: without the override the search side ngram-explodes 'sho'
+    # into s/sh/sho and over-matches
+    without = IndexSchema.build(
+        "id", title={"type": "text", "tokenizer": ngram})
+    assert ids(without,
+               pdb.match_disjunction("title", "sho")) == [1, 2, 3, 4, 5]
