@@ -702,7 +702,20 @@ class Searcher:
 
     # -- phrases ------------------------------------------------------------
 
+    def _require_positions(self, field: str):
+        """Positional queries on a field indexed without positions raise —
+        `require_positions.sql` ('field was tokenized with ... which does
+        not support this query type')."""
+        ti = self.seg.text.get(field)
+        if ti is not None and ti.g_pos_off is None:
+            f = self.schema.fields.get(field)
+            tok = getattr(f, "tokenizer", None) or {"type": "default"}
+            raise ValueError(
+                f"field {field!r} was indexed without positions "
+                f"(tokenizer {tok!r}) and does not support this query type")
+
     def _phrase_hits(self, field: str, tokens: list, slop: int, boost) -> Hits:
+        self._require_positions(field)
         ti = self.seg.text.get(field)
         if ti is None or not tokens:
             return Hits.empty()
@@ -796,6 +809,7 @@ class Searcher:
         matching its regex (capped at ``max_expansions``); a doc matches
         when some combination lines up within ``slop``.  Scored like a
         phrase whose per-slot df is the summed df of the expansions."""
+        self._require_positions(q.field)
         ti = self.seg.text.get(q.field)
         if ti is None or not q.regexes:
             return Hits.empty()
@@ -907,6 +921,7 @@ class Searcher:
         return _mask_to_hits(mask)
 
     def _eval_Proximity(self, q: ast.Proximity, boost):
+        self._require_positions(q.field)
         ti = self.seg.text.get(q.field)
         if ti is None:
             return Hits.empty()

@@ -969,3 +969,28 @@ def test_search_tokenizer_autocomplete_regress():
         "id", title={"type": "text", "tokenizer": ngram})
     assert ids(without,
                pdb.match_disjunction("title", "sho")) == [1, 2, 3, 4, 5]
+
+
+def test_require_positions_regress():
+    """Mirror of `require_positions.sql`: every positional query family
+    raises a clear error on a field indexed without positions."""
+    from paradedb_ray.query import builders as pdb
+
+    schema = IndexSchema.build(
+        "id", t={"type": "text", "positions": False,
+                 "tokenizer": {"type": "ngram", "min_gram": 3,
+                               "max_gram": 3}})
+    tab = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "t": pa.array(["AAABBB", "BBBAAA"])})
+    s = Searcher(build_segment(tab, schema), schema)
+    qs = [ast.TokenizedPhrase("t", "aaa", 0),
+          ast.Proximity("t", "aaa", 1, "bbb"),
+          pdb.phrase_string("t", "aaa"),
+          ast.PhrasePrefix("t", ["aaa", "b"]),
+          ast.RegexPhrase("t", ["a.*", "bbb"])]
+    for q in qs:
+        with pytest.raises(ValueError, match="without positions"):
+            s.eval(q)
+    # non-positional queries still work
+    h = s.eval(ast.Term("t", "aaa"))
+    assert len(h) == 2
