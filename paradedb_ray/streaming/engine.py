@@ -403,6 +403,48 @@ class StreamEngine:
         cols = list(rows[0])
         return pa.table({c: [r[c] for r in rows] for c in cols})
 
+    def index_layer_info(self, index_name: str = "bm25_index") -> pa.Table:
+        """Layer-band view of the merge ladder — ``pdb.index_layer_info``
+        (`index_layer_info.sql`, `api/admin.rs:959`): one row per ladder
+        band (pg_size_pretty bounds, largest first) with the count and
+        total bytes of sealed segments currently in that band."""
+        from paradedb_ray.streaming.merge_policy import DEFAULT_LAYER_SIZES
+
+        ladder = sorted(self.cfg.layer_sizes or DEFAULT_LAYER_SIZES)
+        info = self.index_info()
+        sizes = []
+        if info.num_rows and "byte_size" in info.column_names:
+            mut = info.column("mutable").to_pylist()
+            sizes = [b for b, m in zip(info.column("byte_size").to_pylist(),
+                                       mut) if not m]
+
+        def pretty(n: int) -> str:
+            if n < 10 * 1024:
+                return f"{n} bytes"
+            kb = n // 1024
+            if kb < 10 * 1024:
+                return f"{kb} kB"
+            return f"{kb // 1024} MB"
+
+        bounds = [None] + ladder + [None]  # (lo, hi] bands, smallest first
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            label = (f"{pretty(lo) if lo else ''}.."
+                     f"{pretty(hi) if hi else ''}")
+            n = sum(1 for s in sizes
+                    if (lo is None or s > lo) and (hi is None or s <= hi))
+            b = sum(s for s in sizes
+                    if (lo is None or s > lo) and (hi is None or s <= hi))
+            rows.append((label, n, b))
+        rows.reverse()  # largest band first, like the reference
+        return pa.table({
+            "relname": pa.array([index_name] * len(rows)),
+            "layer_size": pa.array([r[0] for r in rows]),
+            "segments": pa.array([r[1] for r in rows], pa.int64()),
+            "byte_size": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
     def query_knn(self, field: str, query_vec, op: str = "<=>",
                   k: int = 10, filter_query: Union[ast.Query, str] = None,
                   columns: Optional[list] = None) -> pa.Table:

@@ -137,3 +137,30 @@ def test_store_size_tiered_merge(ray_session):
         assert b.equals(a)
     finally:
         eng.shutdown()
+
+
+def test_index_layer_info(ray_session):
+    """pdb.index_layer_info analogue (`index_layer_info.sql`): one row
+    per ladder band, pg_size_pretty bounds largest-first, sealed
+    segments assigned by byte size."""
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    eng = StreamEngine(
+        transcripts_schema(),
+        StreamConfig(num_partitions=2, mutable_rows=200))
+    try:
+        eng.ingest(transcript_turns(2000, seed=5))
+        eng.advance_watermark(0)
+        t = eng.index_layer_info().to_pandas()
+        # default ladder: 6 rungs -> 7 bands, largest first
+        assert len(t) == 7
+        assert t["layer_size"].iloc[0] == "10000 MB.."
+        assert t["layer_size"].iloc[-1] == "..100 kB"
+        assert t["layer_size"].iloc[-2] == "100 kB..1024 kB"
+        total = sum(m["sealed_segments"] for m in eng.metrics())
+        assert t["segments"].sum() == total
+        assert (t["byte_size"] >= 0).all()
+    finally:
+        eng.shutdown()
