@@ -593,6 +593,24 @@ def _q_agg_join_semi(sf):
                          {"n_orders": ("count_star", None)})
 
 
+def _q_join_left_outer(sf):
+    """LEFT OUTER broadcast join (`join_outer.sql`): orders keep a null
+    big-lineitem count when no lineitem qualifies."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = filter_batches(
+        li, lambda b: pc.greater(b.column("l_quantity"), 49))
+    counts = sql_aggregate(li, ["l_orderkey"],
+                           {"n_big": ("count_star", None)})
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return broadcast_join(o, counts, on="o_orderkey",
+                          right_on="l_orderkey", how="left",
+                          right_columns=["n_big"])
+
+
 def _q_distinct(sf):
     from paradedb_ray.pipelines.relational import distinct
 
@@ -1146,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": _q_knn_filtered,
         "hybrid_rrf": _q_hybrid_rrf,
         "agg_join_semi": _q_agg_join_semi,
+        "join_left_outer": _q_join_left_outer,
         # ---- entries past the driver's 50-entry window (locally verified)
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
@@ -1316,6 +1335,11 @@ def oracle_sql() -> dict[str, str]:
         "join_groupby":
             "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer"
             " ON o_custkey = c_custkey GROUP BY c_nationkey",
+        "join_left_outer":
+            "SELECT o_orderkey, o_orderpriority, n_big FROM orders"
+            " LEFT JOIN (SELECT l_orderkey, count(*) AS n_big"
+            " FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey)"
+            " ON o_orderkey = l_orderkey",
         "agg_join_semi":
             "SELECT o_orderpriority, count(*) AS n_orders FROM orders"
             " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
