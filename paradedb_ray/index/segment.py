@@ -369,6 +369,25 @@ def _merge_text_indexes(tis: list, keeps: list) -> TextFieldIndex:
             if has_values else np.empty(0, bool),
         )
 
+    # prune terms whose every posting was masked out (keeps the merged
+    # index bit-identical to a rebuild and stops dead-vocab bloat across
+    # repeated compactions)
+    alive = term_counts > 0
+    if not alive.all():
+        new_code = np.cumsum(alive) - 1
+        merged_vocab = merged_vocab[alive]
+        term_counts = term_counts[alive]
+        V = len(merged_vocab)
+        remapped = []
+        for code_map, counts_j, docs_j, tf_j, ti, gmask, cnt in seg:
+            m = alive[code_map]
+            cm2 = np.where(m, new_code[code_map], 0)
+            cnt2 = np.zeros(V, dtype=np.int64)
+            cnt2[cm2[m]] = counts_j[m]
+            counts2 = np.where(m, counts_j, 0)
+            remapped.append((cm2, counts2, docs_j, tf_j, ti, gmask, cnt2))
+        seg = remapped
+
     term_offsets = np.zeros(V + 1, dtype=np.int64)
     np.cumsum(term_counts, out=term_offsets[1:])
 

@@ -127,3 +127,107 @@ def test_ast_json_roundtrip(q):
     j = q.to_json()
     q2 = ast.from_json(j)
     assert q2.to_json() == j
+
+
+# -- round-2 property tests: postings merge and session windows --------------
+
+
+@given(docs=docs_strategy,
+       splits=st.lists(st.integers(1, 10), min_size=1, max_size=4),
+       keep_seed=st.integers(0, 2**31 - 1),
+       data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_merge_segments_equals_rebuild_property(docs, splits, keep_seed,
+                                                data):
+    """merge_segments(segs, keeps) is BIT-IDENTICAL to build_segment over
+    the concatenated kept rows, for arbitrary splits and keep masks."""
+    from paradedb_ray.index.segment import merge_segments
+
+    schema = documents_schema()
+    texts = [" ".join(d) if d else None for d in docs]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(docs)),
+                  "source": pa.array(["s"] * len(docs)),
+                  "n_chars": pa.array([len(x or "") for x in texts],
+                                      pa.int64())})
+    # random contiguous split into <=4 parts
+    bounds = [0]
+    for s in splits:
+        bounds.append(min(len(docs), bounds[-1] + s))
+    bounds.append(len(docs))
+    parts = [t.slice(a, b - a) for a, b in zip(bounds, bounds[1:])
+             if b > a]
+    if not parts:
+        parts = [t]
+    rng = np.random.RandomState(keep_seed % (2**31))
+    keeps = [rng.rand(p.num_rows) > 0.3 for p in parts]
+    segs = [build_segment(p, schema) for p in parts]
+    merged = merge_segments(segs, schema, list(keeps))
+    ref_tbl = pa.concat_tables(
+        [p.filter(pa.array(k)) for p, k in zip(parts, keeps)]
+    ).combine_chunks()
+    ref = build_segment(ref_tbl, schema)
+    assert merged.num_docs == ref.num_docs
+    assert merged.table.equals(ref.table)
+    a, b = merged.text.get("text"), ref.text.get("text")
+    if b is None:
+        assert a is None or a.doc_count == 0
+        return
+    assert list(a.vocab) == list(b.vocab)
+    for attr in ("term_offsets", "g_doc", "g_tf", "g_pos_off", "pos_flat",
+                 "fieldnorm_ids", "has_value"):
+        assert np.array_equal(getattr(a, attr), getattr(b, attr)), attr
+    assert (a.total_tokens, a.doc_count) == (b.total_tokens, b.doc_count)
+
+
+@given(ts=st.lists(st.integers(0, 500), min_size=1, max_size=60,
+                   unique=True),
+       gap=st.integers(1, 40))
+@settings(max_examples=60, deadline=None)
+def test_session_interval_merge_matches_gap_scan(ts, gap):
+    """The store's incremental interval merge equals the batch gap-scan
+    definition of sessions for any arrival order."""
+    # incremental merge, arrival order = given order
+    sessions = []  # [start, end, n]
+
+    def add(t):
+        joined = None
+        for s in sessions:
+            if s[0] - gap <= t <= s[1] + gap:
+                joined = s
+                break
+        if joined is None:
+            sessions.append([t, t, 1])
+            sessions.sort(key=lambda s: s[0])
+            return
+        joined[0] = min(joined[0], t)
+        joined[1] = max(joined[1], t)
+        joined[2] += 1
+        sessions.sort(key=lambda s: s[0])
+        i = sessions.index(joined)
+        while i + 1 < len(sessions) and sessions[i + 1][0] - gap <= joined[1]:
+            nxt = sessions.pop(i + 1)
+            joined[1] = max(joined[1], nxt[1])
+            joined[2] += nxt[2]
+        while i > 0 and sessions[i - 1][1] + gap >= joined[0]:
+            prv = sessions.pop(i - 1)
+            i -= 1
+            joined[0] = min(joined[0], prv[0])
+            joined[2] += prv[2]
+
+    for t in ts:
+        add(t)
+    # batch definition: sort, break where diff > gap
+    srt = sorted(ts)
+    ref = []
+    cur = [srt[0], srt[0], 1]
+    for t in srt[1:]:
+        if t - cur[1] > gap:
+            ref.append(cur)
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
+    ref.append(cur)
+    assert sessions == ref
