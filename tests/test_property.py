@@ -231,3 +231,44 @@ def test_session_interval_merge_matches_gap_scan(ts, gap):
             cur[2] += 1
     ref.append(cur)
     assert sessions == ref
+
+
+@given(n=st.integers(1, 60), dim=st.integers(1, 8), k=st.integers(1, 10),
+       metric_i=st.integers(0, 2), seed=st.integers(0, 2**31 - 1),
+       with_nulls=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_searcher_knn_matches_numpy(n, dim, k, metric_i, seed, with_nulls):
+    """Searcher.knn == brute-force numpy under every pgvector metric,
+    with random null rows and exact (distance, id) tie-breaks."""
+    metric, op = [("l2", "<->"), ("cosine", "<=>"), ("ip", "<#>")][metric_i]
+    rng = np.random.RandomState(seed % (2**31))
+    mat = rng.randn(n, dim).astype(np.float32)
+    null_mask = (rng.rand(n) < 0.2) if with_nulls else np.zeros(n, bool)
+    vecs = [None if null_mask[i] else mat[i].tolist() for i in range(n)]
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "v": pa.array(vecs, pa.list_(pa.float32()))})
+    from paradedb_ray.schema import IndexSchema
+
+    schema = IndexSchema.build(
+        "id", v={"type": "vector", "dim": dim, "metric": metric})
+    s = Searcher(build_segment(t, schema), schema)
+    q = rng.randn(dim).astype(np.float32)
+    ids, dist = s.knn("v", q, op, k)
+    # numpy oracle
+    valid = np.flatnonzero(~null_mask)
+    if len(valid) == 0:
+        assert len(ids) == 0
+        return
+    sub = mat[valid].astype(np.float64)
+    qq = q.astype(np.float64)
+    if metric == "l2":
+        d = np.sqrt(((sub - qq) ** 2).sum(1))
+    elif metric == "cosine":
+        den = np.linalg.norm(sub, axis=1) * np.linalg.norm(qq)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = 1.0 - np.where(den > 0, sub @ qq / den, 0.0)
+    else:
+        d = -(sub @ qq)
+    order = np.lexsort((valid, d))[:k]
+    assert ids.tolist() == valid[order].tolist()
+    assert np.allclose(dist, d[order], rtol=0, atol=0)
