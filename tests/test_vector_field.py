@@ -204,3 +204,43 @@ def test_stream_vector_upsert_merge_visibility(ray_session):
         assert all(c == "c5" for c in got.column("conv_id").to_pylist())
     finally:
         eng.shutdown()
+
+
+def test_vector_checkpoint_restore(ray_session, tmp_path):
+    """Vector fast fields survive checkpoint/restore bit-exactly
+    (vector state rides the incremental segment pickles)."""
+    import datetime
+
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+
+    schema = IndexSchema.build(
+        key_field=["conv_id", "turn_idx"],
+        conv_id={"type": "keyword"},
+        turn_idx={"type": "i64", "fast": True},
+        ts={"type": "date"},
+        vec={"type": "vector", "dim": 4, "metric": "cosine"})
+    rng = np.random.RandomState(1)
+    mat = rng.randn(100, 4).astype(np.float32)
+    base = datetime.datetime(2026, 1, 1)
+    t = pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(100)]),
+        "turn_idx": pa.array(np.arange(100), pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(seconds=i)
+                        for i in range(100)]),
+        "vec": pa.array(mat.tolist(), pa.list_(pa.float32()))})
+    cfg = StreamConfig(num_partitions=2, mutable_rows=20,
+                       key_cols=("conv_id", "turn_idx"))
+    eng = StreamEngine(schema, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        eng.ingest(t)
+        eng.checkpoint(0)
+        before = eng.query_knn("vec", mat[9], "<=>", k=5).to_pydict()
+    finally:
+        eng.shutdown()
+    eng2 = StreamEngine(schema, cfg, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        assert eng2.restore() == 0
+        after = eng2.query_knn("vec", mat[9], "<=>", k=5).to_pydict()
+        assert before == after
+    finally:
+        eng2.shutdown()
