@@ -207,43 +207,28 @@ def search_topk(
                          prune_limit=need, sort_keys=order_by,
                          output_columns=output_columns)
     scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
-    # explicit NULLS FIRST keys (`nulls_ordering.sql`) become an is-null
-    # helper key so Ray's global sort honours the placement too
-    helper_cols = [f"__isnull_{k[0]}" for k in order_by
-                   if len(k) > 2 and k[2] == "nulls_first"]
-    if helper_cols:
-        import pyarrow as pa
+    # Merge-rank: the per-block prune already bounds the candidate set to
+    # <= need x blocks rows, so the global ORDER BY is ONE single-block
+    # Arrow sort (repartition of tiny blocks + local sort_indices) —
+    # ds.stats() showed Ray's two-phase SortMap/SortReduce shuffle costing
+    # ~75% of a small query's wall time on a few hundred pruned rows.
+    # Sort keys may carry NULLS FIRST/LAST placements (3-tuples,
+    # `nulls_ordering.sql`), which expand_nulls_keys handles locally.
+    import pyarrow as pa
 
-        from paradedb_ray.stages.search_stages import expand_nulls_keys
+    from paradedb_ray.stages.search_stages import expand_nulls_keys
 
-        def _augment(b: pa.Table) -> pa.Table:
-            b, _, _ = expand_nulls_keys(b, order_by)
-            return b
+    def merge_rank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
 
-        scored = scored.map_batches(_augment, batch_format="pyarrow",
-                                    batch_size=None)
-        cols, desc = [], []
-        for k in order_by:
-            if len(k) > 2 and k[2] == "nulls_first":
-                cols.append(f"__isnull_{k[0]}")
-                desc.append(True)
-            cols.append(k[0])
-            desc.append(k[1] == "descending")
-        out = scored.sort(cols, descending=desc).map_batches(
-            lambda b: b.drop_columns(helper_cols), batch_format="pyarrow",
-            batch_size=None)
-    else:
-        cols = [k[0] for k in order_by]
-        desc = [k[1] == "descending" for k in order_by]
-        out = scored.sort(cols, descending=desc)
-    if offset:
-        # Dataset has no offset; the candidate set is already ≤ blocks×need,
-        # so a local slice via pandas is fine at these sizes.
-        import pandas as pd
+        b, keys, helpers = expand_nulls_keys(b, order_by)
+        idx = pc2.sort_indices(b, sort_keys=keys)
+        b = b.take(idx.slice(offset, limit))
+        return b.drop_columns(helpers) if helpers else b
 
-        df = out.limit(need).to_pandas()
-        return ray.data.from_pandas(df.iloc[offset:need].reset_index(drop=True))
-    return out.limit(limit)
+    return scored.repartition(1).map_batches(merge_rank,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
 
 
 def search_topk_multi(
