@@ -299,9 +299,22 @@ def search_topk_multi(
             "descending" if d else "ascending" for d in desc))))
         return g.take(idx.slice(0, limit))
 
-    # candidate set ≤ blocks × limit × |queries|: tiny groupby-shuffle
-    return scored.groupby("query_id").map_groups(
-        per_query_topk, batch_format="pyarrow")
+    # candidate set ≤ blocks × limit × |queries|: collapse to one block
+    # and take each query's head locally (no all-to-all for tiny data)
+    def all_queries_topk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qids = b.column("query_id")
+        parts = []
+        for q in pc.unique(qids).to_pylist():
+            parts.append(per_query_topk(
+                b.filter(pc.equal(qids, q))))
+        if not parts:
+            return b
+        return pa.concat_tables(parts, promote_options="default")
+
+    return scored.repartition(1).map_batches(
+        all_queries_topk, batch_format="pyarrow", batch_size=None)
 
 
 def reciprocal_rank_fusion(
