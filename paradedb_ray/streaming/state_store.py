@@ -172,22 +172,31 @@ class Bm25PartitionStore:
         live_seq, live_arr = self.live_seq, self.live_arr
         n_retract = 0
         n_doa = 0  # dead on arrival (stale __arr raced a newer copy)
+        fresh = np.empty(len(keys), dtype=bool)  # first arrival of its key
         if arr is None:
             # no router stamp: arrival order == call order (legacy path)
-            for k, s in zip(keys, seqs.tolist()):
+            for i, (k, s) in enumerate(zip(keys, seqs.tolist())):
                 if k in live_seq:
                     n_retract += 1
+                    fresh[i] = False
+                else:
+                    fresh[i] = True
                 live_seq[k] = s
         else:
-            for k, s, a in zip(keys, seqs.tolist(), arr.tolist()):
+            for i, (k, s, a) in enumerate(zip(keys, seqs.tolist(),
+                                              arr.tolist())):
                 prev = live_arr.get(k)
                 if prev is None or a >= prev:
                     if prev is not None or k in live_seq:
                         n_retract += 1  # supersedes an existing live copy
+                        fresh[i] = False
+                    else:
+                        fresh[i] = True
                     live_seq[k] = s
                     live_arr[k] = a
                 else:
                     n_doa += 1
+                    fresh[i] = False
         if n_retract:
             self.metrics_["retractions"] += n_retract
         self.n_dead += n_retract + n_doa
@@ -196,13 +205,19 @@ class Bm25PartitionStore:
         # session-window maintenance: merge each turn into the conv's
         # interval set (gap-merge semantics, identical to the batch
         # session oracle); merging into an already-emitted session marks
-        # it for re-emission (late-data correction / "reopen")
+        # it for re-emission (late-data correction / "reopen").  Only the
+        # FIRST arrival of a key counts toward n_turns — upserts replace a
+        # live turn (the batch oracle sees one row) and stale arrivals are
+        # dead; a re-arrival still widens the interval it falls inside.
         gap = self.session_gap_us
-        for c, t in zip(conv, ts):
+        for c, t, f in zip(conv, ts, fresh):
             t = int(t)
-            self.conv_counts[c] = self.conv_counts.get(c, 0) + 1
+            if f:
+                self.conv_counts[c] = self.conv_counts.get(c, 0) + 1
             lst = self.sessions.get(c)
             if lst is None:
+                if not f:
+                    continue
                 self.sessions[c] = [[t, t, 1, None, False]]
                 continue
             # sessions are few per conv (churn-bounded): linear scan
@@ -212,16 +227,20 @@ class Bm25PartitionStore:
                     joined = s
                     break
             if joined is None:
+                if not f:
+                    continue  # a re-arrival never opens a new session
                 lst.append([t, t, 1, None, False])
                 lst.sort(key=lambda s: s[0])
                 continue
+            if not f and joined[0] <= t <= joined[1]:
+                continue  # re-arrival inside the interval: nothing changes
             if joined[3] is not None and not joined[4]:
                 # an emitted session absorbs a late turn: re-emission due
                 joined[4] = True
                 self.metrics_["reopened"] += 1
             joined[0] = min(joined[0], t)
             joined[1] = max(joined[1], t)
-            joined[2] += 1
+            joined[2] += 1 if f else 0
             # bridge neighbours the widened interval now touches
             lst.sort(key=lambda s: s[0])
             i = lst.index(joined)

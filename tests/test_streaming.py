@@ -688,3 +688,33 @@ def test_large_values_and_long_keys(ray_session):
         assert got.column("conv_id").to_pylist()[0].startswith("k" * 100)
     finally:
         eng.shutdown()
+
+
+def test_upsert_does_not_double_count_session_turns(ray_session):
+    """An upsert replaces a live turn — session n_turns must match the
+    batch oracle's one-row view, not count physical arrivals."""
+    eng = _engine(parts=1)
+    try:
+        t0 = 1_700_000_000_000_000
+        t = pa.table({
+            "conv_id": pa.array(["a", "a", "a"]),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["one", "two", "three"]),
+            "tool": pa.array([""] * 3),
+            "ts": pa.array([t0, t0 + 1_000_000, t0 + 2_000_000],
+                           pa.timestamp("us"))})
+        eng.ingest(t)
+        # upsert turn 1 twice (text corrections, same ts)
+        up = t.slice(1, 1)
+        eng.ingest(up)
+        eng.ingest(up)
+        closed = eng.advance_watermark(t0 + GAP_US * 2, epoch=0)
+        assert closed.column("n_turns").to_pylist() == [3]
+        # a corrected LATE turn re-opens an emitted session but its key
+        # was already counted
+        eng.ingest(t.slice(0, 1))
+        closed2 = eng.advance_watermark(t0 + GAP_US * 2 + 1, epoch=1)
+        assert closed2.num_rows == 0  # bounds and counts unchanged
+    finally:
+        eng.shutdown()
