@@ -595,3 +595,9 @@ def byte_offsets(text: str, tokens: list[Token]) -> list[tuple[int, int]]:
     for n in enc:
         cum.append(cum[-1] + n)
     return [(cum[t.offset_from], cum[t.offset_to]) for t in tokens]
+
+
+def tokenizers() -> list:
+    """Registered tokenizer names — ``paradedb.tokenizers()``
+    (`pg_search/src/api/tokenize.rs:50`)."""
+    return sorted(_TOKENIZERS)

@@ -140,3 +140,26 @@ def test_multi_language_stopwords_regress():
     with _pytest.raises(ValueError):
         tokenizer_from_config({"type": "default",
                                "stopwords_language": "Czech"}).tokenize_tokens("x")
+
+
+def test_tokenizers_listing():
+    """paradedb.tokenizers() analogue: every registered name appears and
+    every listed name constructs."""
+    from paradedb_ray.text.tokenizers import tokenizer_from_config, tokenizers
+
+    names = tokenizers()
+    for want in ("default", "whitespace", "keyword", "ngram", "regex",
+                 "source_code", "chinese_compatible", "literal"):
+        assert want in names
+    for n in names:
+        cfg = {"type": n}
+        if n == "ngram":
+            cfg.update(min_gram=2, max_gram=3)
+        elif n == "edge_ngram":
+            cfg.update(min_gram=1, max_gram=3)
+        elif n == "regex":
+            cfg.update(pattern=r"\w+")
+        try:
+            tokenizer_from_config(cfg)
+        except ImportError:
+            pass  # dictionary-gated CJK tokenizers may be unavailable
