@@ -135,6 +135,14 @@ class Bm25PartitionStore:
         # uids they have not persisted yet (incremental, like tantivy
         # segment files surviving across commits)
         self.next_seg_uid = 0
+        # live-map checkpoint deltas: arrival triples since the last
+        # checkpoint — checkpoints persist only NEW upsert decisions, a
+        # periodic base snapshot compacts the replay chain (same shape as
+        # the incremental segment files: cost ~ new data, not total keys)
+        self._live_delta: list = []
+        self._live_files: list = []   # persisted delta files, replay order
+        self._live_base: str = None   # latest base snapshot file
+        self._live_rows_persisted = 0
         self.metrics_ = {"ingested": 0, "late_dropped": 0, "retractions": 0,
                          "reopened": 0, "freezes": 0, "merges": 0}
 
@@ -163,12 +171,14 @@ class Bm25PartitionStore:
         if table.num_rows == 0:
             return {"part": self.part_id, "n": 0, "late": n_late}
 
-        keys = _key_hash(conv, turn).tolist()
+        keys_np = _key_hash(conv, turn)
+        keys = keys_np.tolist()
         seqs = np.arange(self.row_seq, self.row_seq + len(keys),
                          dtype=np.int64)
         self.row_seq += len(keys)
         arr = (table.column("__arr").to_numpy(zero_copy_only=False)
                if "__arr" in table.column_names else None)
+        self._live_delta.append((keys_np, seqs, arr))
         live_seq, live_arr = self.live_seq, self.live_arr
         n_retract = 0
         n_doa = 0  # dead on arrival (stale __arr raced a newer copy)
@@ -691,10 +701,37 @@ class Bm25PartitionStore:
             with open(tmp, "wb") as f:
                 pickle.dump(s, f, protocol=4)
             os.replace(tmp, seg_file)
+        # live-map deltas: persist only the arrival triples since the last
+        # checkpoint; once the persisted replay chain outgrows the live
+        # map, compact into one base snapshot (arrays, not dicts)
+        if self._live_delta:
+            delta_file = os.path.join(d, f"live-{epoch:06d}.pkl")
+            tmp = delta_file + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(self._live_delta, f, protocol=4)
+            os.replace(tmp, delta_file)
+            self._live_rows_persisted += sum(len(k) for k, _, _ in
+                                             self._live_delta)
+            self._live_files.append(os.path.basename(delta_file))
+            self._live_delta = []
+        if (self._live_rows_persisted >
+                max(100_000, 2 * len(self.live_seq))):
+            base_file = os.path.join(d, f"live-base-{epoch:06d}.pkl")
+            keys = np.fromiter(self.live_seq.keys(), dtype=np.int64,
+                               count=len(self.live_seq))
+            seqs = np.fromiter(self.live_seq.values(), dtype=np.int64,
+                               count=len(self.live_seq))
+            arrs = np.array([self.live_arr.get(int(k), -1) for k in keys],
+                            dtype=np.int64)
+            tmp = base_file + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((keys, seqs, arrs), f, protocol=4)
+            os.replace(tmp, base_file)
+            self._live_base = os.path.basename(base_file)
+            self._live_files = []
+            self._live_rows_persisted = len(self.live_seq)
         state_file = os.path.join(d, f"epoch-{epoch:06d}.state.pkl")
         state = {
-            "live_seq": self.live_seq,
-            "live_arr": self.live_arr,
             "row_seq": self.row_seq,
             "n_dead": self.n_dead,
             "sessions": self.sessions,
@@ -715,6 +752,8 @@ class Bm25PartitionStore:
             "part": self.part_id, "epoch": epoch, "seq": self.seq,
             "watermark": self.watermark,
             "state_file": os.path.basename(state_file),
+            "live_base": self._live_base,
+            "live_deltas": list(self._live_files),
             "segments": [{"uid": s.uid, "num_docs": s.num_docs}
                          for s in self.sealed],
             "n_live_keys": len(self.live_seq),
@@ -726,6 +765,9 @@ class Bm25PartitionStore:
         # GC: anything the committed manifest doesn't reference
         live = {f"seg-{s.uid:08d}.pkl" for s in self.sealed}
         live.add(os.path.basename(state_file))
+        live.update(self._live_files)
+        if self._live_base:
+            live.add(self._live_base)
         for fn in os.listdir(d):
             if fn.endswith(".pkl") and fn not in live:
                 try:
@@ -751,8 +793,40 @@ class Bm25PartitionStore:
             with open(os.path.join(d, f"seg-{m['uid']:08d}.pkl"),
                       "rb") as f:
                 self.sealed.append(pickle.load(f))
-        self.live_seq = state["live_seq"]
-        self.live_arr = state.get("live_arr", {})
+        # rebuild the live maps: base snapshot, then replay delta files in
+        # arrival order with the same highest-__arr-wins rule as ingest
+        self.live_seq = {}
+        self.live_arr = {}
+        self._live_base = manifest.get("live_base")
+        self._live_files = list(manifest.get("live_deltas", []))
+        self._live_delta = []
+        if self._live_base:
+            with open(os.path.join(d, self._live_base), "rb") as f:
+                keys, seqs, arrs = pickle.load(f)
+            self.live_seq = dict(zip(keys.tolist(), seqs.tolist()))
+            self.live_arr = {k: a for k, a in zip(keys.tolist(),
+                                                  arrs.tolist())
+                             if a >= 0}
+        self._live_rows_persisted = len(self.live_seq)
+        for fn in self._live_files:
+            with open(os.path.join(d, fn), "rb") as f:
+                triples = pickle.load(f)
+            for keys, seqs, arrs in triples:
+                self._live_rows_persisted += len(keys)
+                if arrs is None:
+                    for k, s in zip(keys.tolist(), seqs.tolist()):
+                        self.live_seq[k] = s
+                else:
+                    get = self.live_arr.get
+                    for k, s, a in zip(keys.tolist(), seqs.tolist(),
+                                       arrs.tolist()):
+                        prev = get(k)
+                        if prev is None or a >= prev:
+                            self.live_seq[k] = s
+                            self.live_arr[k] = a
+        if "live_seq" in state:  # legacy full-dict checkpoints
+            self.live_seq = state["live_seq"]
+            self.live_arr = state.get("live_arr", {})
         self.row_seq = state["row_seq"]
         self.n_dead = state["n_dead"]
         self.sessions = state["sessions"]

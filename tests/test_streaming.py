@@ -718,3 +718,55 @@ def test_upsert_does_not_double_count_session_turns(ray_session):
         assert closed2.num_rows == 0  # bounds and counts unchanged
     finally:
         eng.shutdown()
+
+
+def test_incremental_live_map_checkpoints_with_compaction(ray_session,
+                                                          tmp_path):
+    """Live-map checkpoints persist only new arrival deltas; churn-heavy
+    upserts trigger base-snapshot compaction; restore replays the chain
+    with highest-__arr-wins and answers identically."""
+    import os
+
+    ck = str(tmp_path / "ck")
+    eng = _engine(ck, parts=1)
+    try:
+        t0 = 1_700_000_000_000_000
+        n = 60_000
+
+        def batch(round_i):
+            texts = [f"round{round_i} filler" for _ in range(n)]
+            return pa.table({
+                "conv_id": pa.array([f"c{i % 997}" for i in range(n)]),
+                "turn_idx": pa.array(np.arange(n), pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array(texts),
+                "tool": pa.array([""] * n),
+                "ts": pa.array([t0 + i for i in range(n)],
+                               pa.timestamp("us"))})
+
+        for r in range(3):  # same keys upserted three times
+            eng.ingest(batch(r))
+            eng.checkpoint(epoch=r)
+        d = os.path.join(ck, "part-00000")
+        files = os.listdir(d)
+        assert any(f.startswith("live-base-") for f in files), files
+        want = _result_ids(eng.query_matches(
+            pdb.term("text", "round2"), columns=["conv_id", "turn_idx"]))
+        assert len(want) == n  # only the last round's copies are live
+    finally:
+        eng.shutdown()
+    eng2 = _engine(ck, parts=1)
+    try:
+        assert eng2.restore() == 2
+        got = _result_ids(eng2.query_matches(
+            pdb.term("text", "round2"), columns=["conv_id", "turn_idx"]))
+        assert got == want
+        assert eng2.query_matches(pdb.term("text", "round0")).num_rows == 0
+        # resume keeps ingesting + checkpointing cleanly
+        eng2.ingest(batch(3))
+        eng2.checkpoint(epoch=3)
+        assert eng2.query_matches(pdb.term("text", "round2")).num_rows == 0
+        assert eng2.query_matches(
+            pdb.term("text", "round3")).num_rows == n
+    finally:
+        eng2.shutdown()
