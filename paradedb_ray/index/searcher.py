@@ -731,22 +731,31 @@ class Searcher:
             cand = cand[np.isin(cand, d, assume_unique=True)]
         if len(cand) == 0:
             return Hits.empty()
-        # per-candidate positional check
-        out_docs, out_tf = [], []
-        for doc in cand:
-            plists = []
-            for c in codes:
-                docs_c, _, (s, e) = ti.postings(c)
-                gi = s + np.searchsorted(docs_c, doc)
-                plists.append(ti.positions(gi))
-            tf = _phrase_freq(plists, slop)
-            if tf > 0:
-                out_docs.append(doc)
-                out_tf.append(tf)
-        if not out_docs:
-            return Hits.empty()
-        docs = np.asarray(out_docs, dtype=np.int64)
-        tfs = np.asarray(out_tf, dtype=np.int32)
+        if slop == 0:
+            # exact adjacency, fully vectorized across candidates: one
+            # (doc_rank, position - slot) key stream per slot, folded by
+            # set intersection — no per-doc Python loop
+            docs, tfs = _exact_phrase_tfs(
+                ti, cand, [[c] for c in codes])
+            if docs is None:
+                return Hits.empty()
+        else:
+            # per-candidate positional check (Lucene-style spread window)
+            out_docs, out_tf = [], []
+            for doc in cand:
+                plists = []
+                for c in codes:
+                    docs_c, _, (s, e) = ti.postings(c)
+                    gi = s + np.searchsorted(docs_c, doc)
+                    plists.append(ti.positions(gi))
+                tf = _phrase_freq(plists, slop)
+                if tf > 0:
+                    out_docs.append(doc)
+                    out_tf.append(tf)
+            if not out_docs:
+                return Hits.empty()
+            docs = np.asarray(out_docs, dtype=np.int64)
+            tfs = np.asarray(out_tf, dtype=np.int32)
         # phrase idf = sum of constituent term idfs (Lucene/tantivy for_terms)
         idf = _F32(0.0)
         for t in tokens:
@@ -832,39 +841,44 @@ class Searcher:
                 np.isin(cand, docs, assume_unique=True)]
         if cand is None or len(cand) == 0:
             return Hits.empty()
-        # hoist the per-code binary searches out of the candidate loop:
-        # one vectorized searchsorted per expansion code over ALL
-        # candidates (the loop below only gathers position runs)
-        slot_hits = []
-        for codes in slot_codes:
-            entries = []
-            for c in codes:
-                docs_c, _, (s, e) = ti.postings(c)
-                j = np.searchsorted(docs_c, cand)
-                jc = np.minimum(j, len(docs_c) - 1)
-                present = (j < len(docs_c)) & (docs_c[jc] == cand)
-                entries.append((s, j, present))
-            slot_hits.append(entries)
-        out_docs, out_tf = [], []
-        for i, doc in enumerate(cand):
-            plists = []
-            for entries in slot_hits:
-                pos = [ti.positions(s + j[i])
-                       for (s, j, present) in entries if present[i]]
-                if not pos:
-                    break
-                plists.append(pos[0] if len(pos) == 1
-                              else np.sort(np.concatenate(pos)))
-            if len(plists) < len(slot_codes):
-                continue
-            tf = _phrase_freq(plists, q.slop)
-            if tf > 0:
-                out_docs.append(doc)
-                out_tf.append(tf)
-        if not out_docs:
-            return Hits.empty()
-        docs = np.asarray(out_docs, dtype=np.int64)
-        tfs = np.asarray(out_tf, dtype=np.int32)
+        if q.slop == 0:
+            docs, tfs = _exact_phrase_tfs(ti, cand, slot_codes)
+            if docs is None:
+                return Hits.empty()
+        else:
+            # hoist the per-code binary searches out of the candidate loop:
+            # one vectorized searchsorted per expansion code over ALL
+            # candidates (the loop below only gathers position runs)
+            slot_hits = []
+            for codes in slot_codes:
+                entries = []
+                for c in codes:
+                    docs_c, _, (s, e) = ti.postings(c)
+                    j = np.searchsorted(docs_c, cand)
+                    jc = np.minimum(j, len(docs_c) - 1)
+                    present = (j < len(docs_c)) & (docs_c[jc] == cand)
+                    entries.append((s, j, present))
+                slot_hits.append(entries)
+            out_docs, out_tf = [], []
+            for i, doc in enumerate(cand):
+                plists = []
+                for entries in slot_hits:
+                    pos = [ti.positions(s + j[i])
+                           for (s, j, present) in entries if present[i]]
+                    if not pos:
+                        break
+                    plists.append(pos[0] if len(pos) == 1
+                                  else np.sort(np.concatenate(pos)))
+                if len(plists) < len(slot_codes):
+                    continue
+                tf = _phrase_freq(plists, q.slop)
+                if tf > 0:
+                    out_docs.append(doc)
+                    out_tf.append(tf)
+            if not out_docs:
+                return Hits.empty()
+            docs = np.asarray(out_docs, dtype=np.int64)
+            tfs = np.asarray(out_tf, dtype=np.int32)
         idf = _F32(0.0)
         for codes in slot_codes:
             df = int(sum(ti.term_offsets[c + 1] - ti.term_offsets[c]
@@ -1151,6 +1165,60 @@ def _coerce_bound_value(typ: pa.DataType, val):
 
         return _dt.datetime.fromisoformat(val)
     return val
+
+
+def _slot_keys(ti, cand: np.ndarray, codes, slot_idx: int,
+               offset: int) -> np.ndarray:
+    """int64 keys ``rank * 2^33 + (pos - slot_idx + offset)`` for every
+    token position of ``codes`` inside the candidate docs, where ``rank``
+    indexes into ``cand``.  Shifting by the slot index turns exact phrase
+    adjacency into plain key equality across slots; ``offset`` keeps the
+    low part positive so the rank survives a right-shift decode."""
+    parts = []
+    for c in codes:
+        docs_c, _, (s, e) = ti.postings(c)
+        j = np.searchsorted(docs_c, cand)
+        jc = np.minimum(j, len(docs_c) - 1)
+        present = (j < len(docs_c)) & (docs_c[jc] == cand)
+        gi = s + j[present]
+        ranks = np.nonzero(present)[0].astype(np.int64)
+        starts = ti.g_pos_off[gi]
+        counts = (ti.g_pos_off[gi + 1] - starts).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        # vectorized multi-slice gather of the position runs
+        rep = np.repeat(ranks, counts)
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        flat = np.repeat(starts - csum, counts) + np.arange(total)
+        pos = ti.pos_flat[flat].astype(np.int64)
+        parts.append(rep * (1 << 33) + (pos - slot_idx + offset))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _exact_phrase_tfs(ti, cand: np.ndarray, slot_codes):
+    """(docs int64, tfs int32) of exact (slop=0) phrase matches over the
+    candidate docs, or (None, None) when nothing matches.  Each slot may
+    expand to several vocab codes (RegexPhrase); a match is a position p
+    with a slot-k token at p+k for every k.  Fully vectorized: one key
+    stream per slot folded by ``np.intersect1d``."""
+    off = len(slot_codes)
+    cur = _slot_keys(ti, cand, slot_codes[0], 0, off)
+    for k in range(1, len(slot_codes)):
+        if len(cur) == 0:
+            return None, None
+        nxt = _slot_keys(ti, cand, slot_codes[k], k, off)
+        # keys are unique per slot: one token occupies one position, and
+        # a slot's expansion codes are distinct terms
+        cur = np.intersect1d(cur, nxt, assume_unique=True)
+    if len(cur) == 0:
+        return None, None
+    ranks = cur >> 33
+    tf = np.bincount(ranks, minlength=len(cand))
+    mask = tf > 0
+    return cand[mask].astype(np.int64), tf[mask].astype(np.int32)
 
 
 def _phrase_freq(plists: list, slop: int) -> int:
