@@ -817,6 +817,16 @@ def _q_percentiles(sf):
                            percents=[25, 50, 75, 95])
 
 
+def _q_percentiles_tdigest(sf):
+    """t-digest sketch percentiles (reference: tantivy t-digest percentile
+    path) — approximate, so rows-only: no oracle_sql entry."""
+    from paradedb_ray.pipelines.aggregate import percentiles_tdigest_agg
+
+    li = _tbl(sf, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return percentiles_tdigest_agg(li, ["l_returnflag"], "l_extendedprice",
+                                   percents=[25, 50, 75, 95])
+
+
 def _q_range_agg(sf):
     from paradedb_ray.pipelines.aggregate import pdb_agg
 
@@ -1204,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
+        "percentiles_tdigest": _q_percentiles_tdigest,
     }
 
 

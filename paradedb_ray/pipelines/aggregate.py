@@ -384,7 +384,9 @@ def pdb_agg(
         key_col = body["field"]
         for mname, mspec in pcts.items():
             pb = mspec["percentiles"]
-            pt = percentiles_agg(
+            pfn = (percentiles_tdigest_agg if pb.get("method") == "tdigest"
+                   else percentiles_agg)
+            pt = pfn(
                 ds, [key_col], pb["field"],
                 percents=list(pb.get("percents", (25.0, 50.0, 75.0, 95.0))),
                 prefix=f"{mname}_p").to_pandas()
@@ -687,6 +689,35 @@ def _metric_kind(mk: str) -> str:
     return m[mk]
 
 
+#: high sentinel standing in for NULL string group keys through Ray's
+#: range-partitioned sort (which cannot order None among strings) — the
+#: same trick the reference uses for terms-agg NULL buckets
+#: (`aggregate/mod.rs:576-705`); decoded back to NULL on output
+_NULL_KEY_SENTINEL = "￿￿￿__pdb_null__"
+
+
+def _sentinel_encode(t: pa.Table, cols) -> pa.Table:
+    for k in cols:
+        f = t.schema.field(k)
+        if (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)) \
+                and t.column(k).null_count:
+            t = t.set_column(t.schema.get_field_index(k), k,
+                             pc.fill_null(t.column(k), _NULL_KEY_SENTINEL))
+    return t
+
+
+def _sentinel_decode(t: pa.Table, cols) -> pa.Table:
+    for k in cols:
+        f = t.schema.field(k)
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            c = t.column(k)
+            mask = pc.equal(c, _NULL_KEY_SENTINEL)
+            if pc.any(mask).as_py():
+                t = t.set_column(t.schema.get_field_index(k), k,
+                                 pc.if_else(mask, pa.scalar(None, f.type), c))
+    return t
+
+
 def percentiles_agg(
     ds: ray.data.Dataset,
     group_by: list,
@@ -724,7 +755,13 @@ def percentiles_agg(
         return pa.table(out)
 
     if group_by:
-        return ds.groupby(group_by).map_groups(q, batch_format="pyarrow")
+        pruned = ds.select_columns(list(group_by) + [col]).map_batches(
+            lambda t: _sentinel_encode(t, group_by),
+            batch_format="pyarrow", batch_size=None)
+        return pruned.groupby(group_by).map_groups(
+            q, batch_format="pyarrow").map_batches(
+            lambda t: _sentinel_decode(t, group_by),
+            batch_format="pyarrow", batch_size=None)
 
     # ungrouped: exact DISTRIBUTED selection via histogram pruning — the
     # driver never sees the value column, only per-block histograms and
@@ -754,6 +791,79 @@ def percentiles_agg(
             f = h - math.floor(h)
             out_row[key] = float((1.0 - f) * lo + f * hi)
     return ray.data.from_items([out_row])
+
+
+def percentiles_tdigest_agg(
+    ds: ray.data.Dataset,
+    group_by: list,
+    col: str,
+    percents: list = (25.0, 50.0, 75.0, 95.0),
+    prefix: str = "p",
+    compression: float = 200.0,
+) -> ray.data.Dataset:
+    """Approximate percentiles per group via a merging t-digest sketch —
+    the reference's actual percentile machinery (tantivy keeps a t-digest
+    per bucket, `aggregate/mod.rs` percentile path), for groups too large
+    for ``percentiles_agg``'s exact per-group sort.
+
+    Scale shape: pass 1 is a combiner — each block reduces to one
+    O(compression) digest per group it contains, so the groupby shuffle
+    moves digests, never values; per-group reducer state stays bounded
+    no matter how many rows a group holds.  Output schema matches
+    ``percentiles_agg`` (group keys + ``{prefix}{int(p)}``)."""
+    import pandas as pd
+
+    from paradedb_ray.functions.tdigest import TDigest
+
+    percents = list(percents)
+
+    def keyname(p):
+        return f"{prefix}{int(p) if float(p).is_integer() else p}"
+
+    def part(t: pa.Table) -> pa.Table:
+        if not group_by:
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+            d = TDigest.from_values(x, compression)
+            return pa.table({"__td": pa.array([d.to_bytes()], pa.binary())})
+        df = _sentinel_encode(t.select(group_by + [col]),
+                              group_by).to_pandas()
+        keys = {k: [] for k in group_by}
+        tds = []
+        for key, g in df.groupby(group_by, dropna=False, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            for k, v in zip(group_by, key):
+                keys[k].append(None if pd.isna(v) else v)
+            tds.append(TDigest.from_values(
+                g[col].to_numpy(dtype=float, na_value=np.nan),
+                compression).to_bytes())
+        cols = {k: pa.array(v, t.schema.field(k).type)
+                for k, v in keys.items()}
+        cols["__td"] = pa.array(tds, pa.binary())
+        return pa.table(cols)
+
+    partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+    if group_by:
+        def fin(g: pa.Table) -> pa.Table:
+            d = TDigest.merge_all(
+                [TDigest.from_bytes(b.as_py(), compression)
+                 for b in g.column("__td")], compression)
+            out = {k: [g.column(k)[0].as_py()] for k in group_by}
+            for p in percents:
+                out[keyname(p)] = [d.percentile(p) if d.count else None]
+            return pa.table(out)
+
+        return partials.groupby(group_by).map_groups(
+            fin, batch_format="pyarrow").map_batches(
+            lambda t: _sentinel_decode(t, group_by),
+            batch_format="pyarrow", batch_size=None)
+    # ungrouped: one O(compression) digest per block — driver merge is tiny
+    d = TDigest.merge_all(
+        [TDigest.from_bytes(r["__td"], compression)
+         for r in partials.take_all()], compression)
+    row = {keyname(p): (d.percentile(p) if d.count else None)
+           for p in percents}
+    return ray.data.from_items([row])
 
 
 def _dist_count_valid(ds: ray.data.Dataset, col: str) -> int:

@@ -264,3 +264,85 @@ def test_json_path_aggregation(ray_session):
     assert got["red"] == (2, 6)
     assert got["blue"] == (1, 2)
     assert got[None][0] == 2  # missing path + null row group together
+
+
+# -- t-digest percentile sketch (reference: tantivy t-digest percentile
+# path, aggregate/mod.rs) --------------------------------------------------
+
+def test_tdigest_accuracy_and_tails():
+    """Sketch quantiles within ~1% rank error of exact on a skewed
+    distribution; exact at the extremes (min/max are tracked)."""
+    from paradedb_ray.functions.tdigest import TDigest
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([rng.lognormal(0, 2, 50_000),
+                        rng.normal(1000, 1, 1000)])
+    d = TDigest.from_values(x, compression=200)
+    xs = np.sort(x)
+    assert d.quantile(0.0) == xs[0]
+    assert d.quantile(1.0) == xs[-1]
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999):
+        got = d.quantile(q)
+        # rank of the estimate must be within 1% of the target rank
+        rank = np.searchsorted(xs, got) / len(xs)
+        assert abs(rank - q) < 0.01, (q, got, rank)
+
+
+def test_tdigest_merge_matches_single_build():
+    """Merging shard digests approximates the same quantiles as one
+    digest over the whole stream (the distributed combine path)."""
+    from paradedb_ray.functions.tdigest import TDigest
+
+    rng = np.random.RandomState(11)
+    x = rng.gamma(2.0, 10.0, 40_000)
+    whole = TDigest.from_values(x, 200)
+    parts = [TDigest.from_values(c, 200) for c in np.array_split(x, 17)]
+    merged = TDigest.merge_all(parts, 200)
+    rt = TDigest.from_bytes(merged.to_bytes(), 200)  # serialization survives
+    xs = np.sort(x)
+    assert merged.count == len(x)
+    for q in (0.05, 0.5, 0.95):
+        r_whole = np.searchsorted(xs, whole.quantile(q)) / len(xs)
+        r_merged = np.searchsorted(xs, rt.quantile(q)) / len(xs)
+        assert abs(r_merged - q) < 0.01
+        assert abs(r_merged - r_whole) < 0.01
+
+
+def test_tdigest_agg_grouped_vs_exact(ray_session, events_tbl):
+    """Distributed sketch agg: same schema as percentiles_agg, values
+    within tolerance of the exact quantiles, NULL groups preserved."""
+    from paradedb_ray.pipelines.aggregate import (percentiles_agg,
+                                                  percentiles_tdigest_agg)
+
+    tbl = events_tbl.set_column(
+        0, "event_type",
+        pa.array([None if i % 7 == 0 else f"t{i % 4}"
+                  for i in range(events_tbl.num_rows)]))
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    exact = percentiles_agg(ds, ["event_type"], "value",
+                            percents=[50.0, 95.0]).to_pandas()
+    approx = percentiles_tdigest_agg(ds, ["event_type"], "value",
+                                     percents=[50.0, 95.0]).to_pandas()
+    assert sorted(exact.columns) == sorted(approx.columns)
+    key = lambda df: df.sort_values("event_type", na_position="first")
+    e, a = key(exact).reset_index(drop=True), key(approx).reset_index(drop=True)
+    assert list(e["event_type"].fillna("~")) == list(a["event_type"].fillna("~"))
+    span = events_tbl.column("value").to_pandas().max()
+    for c in ("p50", "p95"):
+        assert np.allclose(e[c], a[c], atol=0.05 * span), c
+
+
+def test_tdigest_in_dsl(ray_session, events_tbl):
+    """percentiles metric with method=tdigest inside pdb.agg."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    got = pdb_agg(ds, {"by_type": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {"q": {"percentiles": {
+            "field": "value", "percents": [50.0],
+            "method": "tdigest"}}}}}).to_pandas()
+    assert "q_p50" in got.columns
+    assert got["q_p50"].notna().all()
+    med = np.median(events_tbl.column("value").to_numpy())
+    assert np.allclose(got["q_p50"], med, atol=10.0)
