@@ -2,8 +2,9 @@
 (https://snowballstem.org/algorithms/english/stemmer.html).
 
 pg_search's ``stemmer`` filter wraps tantivy's rust-stemmers Snowball
-implementations (`/root/reference/tokenizers/src/manager.rs:266-268`); only
-English is implemented here — other languages raise.
+implementations (`/root/reference/tokenizers/src/manager.rs:266-268`);
+English lives here, ten further Snowball languages in ``snowball.py``,
+and the rest raise a clear error.
 """
 
 from __future__ import annotations
@@ -206,13 +207,41 @@ def stem_english(word: str) -> str:
     return word.replace("Y", "y")
 
 
-_STEMMERS = {"English": stem_english, "english": stem_english}
+def _snowball_langs():
+    from paradedb_ray.text import snowball as sb
+
+    return {
+        "german": sb.stem_german,
+        "french": sb.stem_french,
+        "spanish": sb.stem_spanish,
+        "italian": sb.stem_italian,
+        "portuguese": sb.stem_portuguese,
+        "russian": sb.stem_russian,
+        "danish": sb.stem_danish,
+        "norwegian": sb.stem_norwegian,
+        "swedish": sb.stem_swedish,
+        "dutch": sb.stem_dutch,
+    }
+
+
+_STEMMERS = {"english": stem_english}
+
+#: rust-stemmers languages with no implementation here — requesting one
+#: raises instead of silently not stemming
+_UNIMPLEMENTED = frozenset(
+    {"arabic", "finnish", "greek", "hungarian", "romanian", "tamil",
+     "turkish"})
 
 
 def stemmer_for(language: str):
-    fn = _STEMMERS.get(language)
+    lang = language.lower()
+    fn = _STEMMERS.get(lang)
     if fn is None:
+        fn = _snowball_langs().get(lang)
+    if fn is None:
+        known = sorted({"english"} | set(_snowball_langs()))
         raise NotImplementedError(
-            f"stemmer language {language!r} not implemented (English only)"
+            f"stemmer language {language!r} not implemented "
+            f"(available: {known})"
         )
     return fn

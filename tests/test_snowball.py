@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Non-English Snowball stemmers (text/snowball.py).
+
+The reference regress corpus only exercises stemmer=english, so these
+goldens are hand-traced through the published algorithm descriptions
+(snowballstem.org) rather than extracted from reference .out files.
+"""
+
+import pytest
+
+from paradedb_ray.text.snowball import (
+    stem_danish, stem_dutch, stem_french, stem_german, stem_italian,
+    stem_norwegian, stem_portuguese, stem_russian, stem_spanish,
+    stem_swedish,
+)
+from paradedb_ray.text.stemmer import stemmer_for
+
+
+CASES = {
+    stem_german: [
+        ("laufen", "lauf"), ("läuft", "lauft"), ("bücher", "buch"),
+        ("kategorien", "kategori"), ("kinder", "kind"),
+        ("möglichkeit", "moglich"), ("aufeinanderfolgenden",
+                                     "aufeinanderfolg"),
+        ("größe", "gross"), ("bedürfnissen", "bedurfnis"),
+    ],
+    stem_french: [
+        ("vraiment", "vrai"), ("abondamment", "abond"),
+        ("continuité", "continu"), ("majestueux", "majestu"),
+        ("jouer", "jou"), ("parlement", "parl"),
+        ("nationale", "national"),
+    ],
+    stem_spanish: [
+        ("comiendo", "com"), ("canciones", "cancion"),
+        ("grandiosas", "grandi"), ("haciéndola", "hac"),
+        ("nacionalidades", "nacional"), ("corriendo", "corr"),
+    ],
+    stem_italian: [
+        ("abbandonati", "abbandon"), ("nazionalità", "nazional"),
+        ("cantavano", "cant"), ("pronunciare", "pronunc"),
+    ],
+    stem_portuguese: [
+        ("nacionalidade", "nacional"), ("falaram", "fal"),
+        ("bonita", "bonit"), ("corações", "coraçõ"),
+        ("coração", "coraçã"),
+    ],
+    stem_russian: [
+        ("красивая", "красив"), ("пользователей", "пользовател"),
+        ("важность", "важност"), ("читавшие", "чита"),
+        ("книги", "книг"), ("девушка", "девушк"),
+    ],
+    stem_danish: [
+        ("undersøgelse", "undersøg"), ("hundene", "hund"),
+        ("kærlighed", "kær"),
+    ],
+    stem_norwegian: [
+        ("hesten", "hest"), ("husene", "hus"),
+    ],
+    stem_swedish: [
+        ("flickorna", "flick"), ("bilarna", "bil"), ("klokast", "klok"),
+    ],
+    stem_dutch: [
+        ("lichamelijk", "licham"), ("gekken", "gek"), ("huizen", "huiz"),
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "fn,word,want",
+    [(fn, w, s) for fn, pairs in CASES.items() for (w, s) in pairs],
+    ids=lambda v: getattr(v, "__name__", str(v)),
+)
+def test_snowball_goldens(fn, word, want):
+    assert fn(word) == want
+
+
+def test_stemmer_for_case_insensitive():
+    assert stemmer_for("German")("laufen") == "lauf"
+    assert stemmer_for("RUSSIAN")("книги") == "книг"
+    assert stemmer_for("english")("running") == "run"
+
+
+def test_stemmer_for_unknown_raises():
+    with pytest.raises(NotImplementedError):
+        stemmer_for("turkish")
+    with pytest.raises(NotImplementedError):
+        stemmer_for("klingon")
+
+
+def test_stemmers_stable_on_short_and_odd_input():
+    """No crash / stable output on degenerate tokens."""
+    for fn in CASES:
+        for w in ("", "a", "ab", "x1", "123", "..", "ß"):
+            out = fn(w)
+            assert isinstance(out, str)
+            # stemming never grows a word by more than a replacement tail
+            assert len(out) <= len(w) + 3
+
+
+def test_tokenizer_filter_chain_with_german_stemmer():
+    """stemmer=german slots into the analyzer chain the same way the
+    reference's per-field stemmer config does (manager.rs:266-268)."""
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    tok = tokenizer_from_config({"type": "default", "stemmer": "German"})
+    assert tok.tokenize("Die Bücher laufen") == ["die", "buch", "lauf"]
