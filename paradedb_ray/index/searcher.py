@@ -922,13 +922,11 @@ class Searcher:
             vocab = ti.vocab
         else:
             vocab = np.unique(self._keyword_values(q.field).astype(str))
-        matches = [
-            i for i, t in enumerate(vocab)
-            if _within_distance(term, t, q.distance, q.transposition_cost_one,
-                                q.prefix)
-        ]
+        mmask = _fuzzy_match_mask(term, list(vocab), q.distance,
+                                  q.transposition_cost_one, q.prefix)
+        matches = np.nonzero(mmask)[0]
         if f.ftype == TEXT:
-            return self._expand_union(q.field, np.asarray(matches, dtype=np.int64))
+            return self._expand_union(q.field, matches.astype(np.int64))
         vals = self._keyword_values(q.field)
         ok = set(vocab[i] for i in matches)
         mask = np.array([v in ok for v in vals])
@@ -1258,6 +1256,120 @@ def _phrase_freq(plists: list, slop: int) -> int:
         if ok:
             count += 1
     return count
+
+
+def _pad_codepoints(terms) -> tuple:
+    """(codes uint32 [n, L], lengths int64 [n]) — terms packed into one
+    padded codepoint matrix via a single utf-32 encode (no per-char
+    Python loop)."""
+    n = len(terms)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    codes = np.frombuffer("".join(terms).encode("utf-32-le"),
+                          dtype=np.uint32)
+    B = np.zeros((n, L), dtype=np.uint32)
+    if n and L:
+        csum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cols = np.arange(L)
+        mask = cols[None, :] < lens[:, None]
+        flat = csum[:, None] + cols[None, :]
+        B[mask] = codes[flat[mask]]
+    return B, lens
+
+
+def _fuzzy_match_mask(query: str, terms, max_dist: int,
+                      transposition_cost_one: bool,
+                      prefix: bool) -> np.ndarray:
+    """bool [len(terms)]: which terms are within Damerau-ish Levenshtein
+    ``max_dist`` of ``query`` (or, with ``prefix``, have a prefix that
+    is).  Vectorized banded DP: the band |j - i| <= d is carried as
+    2d+1 diagonals, each row update a handful of numpy ops over ALL
+    candidate terms — the per-term Python DP (`_lev`) only remains as
+    the property-test oracle."""
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    d = int(max_dist)
+    m = len(query)
+    all_lens = np.fromiter((len(t) for t in terms), dtype=np.int64,
+                           count=n)
+    if m == 0:
+        return (all_lens <= d) if not prefix \
+            else np.ones(n, dtype=bool)
+    # length prefilter: |len - m| > d can never match (prefix mode only
+    # needs len >= m - d); run the DP over the survivors alone
+    if prefix:
+        cand = np.nonzero(all_lens >= m - d)[0]
+    else:
+        cand = np.nonzero(np.abs(all_lens - m) <= d)[0]
+    if len(cand) == 0:
+        return np.zeros(n, dtype=bool)
+    if len(cand) < n:
+        sub = _fuzzy_match_mask(query, [terms[i] for i in cand],
+                                max_dist, transposition_cost_one, prefix)
+        out = np.zeros(n, dtype=bool)
+        out[cand] = sub
+        return out
+    B, lens = _pad_codepoints(terms)
+    L = B.shape[1]
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    INF = np.int32(d + 1)
+    W = 2 * d + 1
+
+    # V[i][k] = dp[i][j] with j = i + k - d, clipped at INF
+    def col(j):
+        """B[:, j-1] char column or 0-sentinel when out of range."""
+        if 1 <= j <= L:
+            return B[:, j - 1]
+        return None
+
+    # row i = 0: dp[0][j] = j
+    V = np.full((W, n), INF, dtype=np.int32)
+    for k in range(W):
+        j = k - d
+        if 0 <= j <= d:
+            V[k] = min(j, d + 1)
+    Vpp = None  # V_{i-2}
+    # prefix mode tracks the best dp[m][j] over all valid j <= len
+    for i in range(1, m + 1):
+        Vn = np.full((W, n), INF, dtype=np.int32)
+        for k in range(W):
+            j = i + k - d
+            if j < 0 or j > L:
+                continue
+            best = np.full(n, INF, dtype=np.int32)
+            # deletion in term / insertion in query: dp[i-1][j] + 1
+            if k + 1 < W:
+                best = np.minimum(best, V[k + 1] + 1)
+            # insertion in term: dp[i][j-1] + 1
+            if k >= 1:
+                best = np.minimum(best, Vn[k - 1] + 1)
+            # substitution / match: dp[i-1][j-1] + cost
+            if j >= 1:
+                c = col(j)
+                cost = (c != q[i - 1]).astype(np.int32)
+                best = np.minimum(best, V[k] + cost)
+                # transposition: dp[i-2][j-2] + 1
+                if (transposition_cost_one and i >= 2 and j >= 2
+                        and Vpp is not None):
+                    c2 = col(j - 1)
+                    tr = (c2 == q[i - 1]) & (c == q[i - 2])
+                    best = np.minimum(
+                        best, np.where(tr, Vpp[k] + 1, INF))
+            Vn[k] = np.minimum(best, INF)
+        Vpp, V = V, Vn
+    # final: dp[m][lb] per term (prefix: min over j in [0, lb])
+    out = np.zeros(n, dtype=bool)
+    for k in range(W):
+        j = m + k - d
+        if j < 0 or j > L:
+            continue
+        ok = V[k] <= d
+        if prefix:
+            out |= ok & (lens >= j)
+        else:
+            out |= ok & (lens == j)
+    return out
 
 
 def _within_distance(query: str, term: str, max_dist: int,

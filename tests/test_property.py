@@ -274,3 +274,44 @@ def test_searcher_knn_matches_numpy(n, dim, k, metric_i, seed, with_nulls):
     # the engine's einsum and this oracle's (a-b)^2 sum can differ by an
     # ULP; ordering is the contract, values agree to float64 precision
     assert np.allclose(dist, d[order], rtol=1e-12, atol=1e-12)
+
+
+_fuzzy_alphabet = st.sampled_from(list("abcdeé"))
+_fuzzy_word = st.text(alphabet=_fuzzy_alphabet, min_size=0, max_size=8)
+
+
+@given(
+    query=_fuzzy_word,
+    terms=st.lists(_fuzzy_word, min_size=0, max_size=40),
+    dist=st.integers(min_value=0, max_value=2),
+    transp=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_fuzzy_mask_matches_scalar_dp(query, terms, dist, transp):
+    """Vectorized banded Levenshtein == the per-term scalar DP."""
+    from paradedb_ray.index.searcher import _fuzzy_match_mask, _lev
+
+    got = _fuzzy_match_mask(query, terms, dist, transp, prefix=False)
+    want = np.array([_lev(query, t, dist, transp) <= dist for t in terms],
+                    dtype=bool)
+    assert got.tolist() == want.tolist()
+
+
+@given(
+    query=_fuzzy_word.filter(lambda w: len(w) > 0),
+    terms=st.lists(_fuzzy_word, min_size=0, max_size=30),
+    dist=st.integers(min_value=0, max_value=2),
+    transp=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_fuzzy_prefix_mask_matches_bruteforce(query, terms, dist, transp):
+    """Prefix mode == 'some prefix of the term is within distance d'
+    (the tantivy prefix-DFA semantics)."""
+    from paradedb_ray.index.searcher import _fuzzy_match_mask, _lev
+
+    got = _fuzzy_match_mask(query, terms, dist, transp, prefix=True)
+    want = np.array(
+        [any(_lev(query, t[:j], dist, transp) <= dist
+             for j in range(len(t) + 1)) for t in terms],
+        dtype=bool)
+    assert got.tolist() == want.tolist()
