@@ -132,7 +132,27 @@ def test_multi_language_stopwords_regress():
     assert [t.text for t in tk3.tokenize_tokens(
         "der schnelle fuchs und die katze")] == ["schnelle", "fuchs",
                                                  "katze"]
-    # unknown / unbundled languages raise instead of silently no-op
+    # Danish / Swedish / Finnish bundled sets filter
+    tk4 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "Danish"})
+    assert [t.text for t in tk4.tokenize_tokens(
+        "jeg har en hund")] == ["hund"]
+    tk5 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "Swedish"})
+    assert [t.text for t in tk5.tokenize_tokens(
+        "jag har en hund och katt")] == ["hund", "katt"]
+    tk6 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "Finnish"})
+    assert [t.text for t in tk6.tokenize_tokens(
+        "minä olen koira ja kissa")] == ["koira", "kissa"]
+    # enum languages with no bundled list are a silent no-op, mirroring
+    # the reference's filter_map skip (manager.rs:277)
+    tk7 = tokenizer_from_config(
+        {"type": "default", "stopwords_language": "Turkish"})
+    assert [t.text for t in tk7.tokenize_tokens("ve bir bu")] == [
+        "ve", "bir", "bu"]
+    # names outside the tantivy Language enum fail (serde parse error
+    # in the reference)
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tokenizer_from_config({"type": "default",
