@@ -740,22 +740,11 @@ class Searcher:
             if docs is None:
                 return Hits.empty()
         else:
-            # per-candidate positional check (Lucene-style spread window)
-            out_docs, out_tf = [], []
-            for doc in cand:
-                plists = []
-                for c in codes:
-                    docs_c, _, (s, e) = ti.postings(c)
-                    gi = s + np.searchsorted(docs_c, doc)
-                    plists.append(ti.positions(gi))
-                tf = _phrase_freq(plists, slop)
-                if tf > 0:
-                    out_docs.append(doc)
-                    out_tf.append(tf)
-            if not out_docs:
+            # Lucene-style spread window, vectorized across candidates
+            docs, tfs = _sloppy_phrase_tfs(
+                ti, cand, [[c] for c in codes], slop)
+            if docs is None:
                 return Hits.empty()
-            docs = np.asarray(out_docs, dtype=np.int64)
-            tfs = np.asarray(out_tf, dtype=np.int32)
         # phrase idf = sum of constituent term idfs (Lucene/tantivy for_terms)
         idf = _F32(0.0)
         for t in tokens:
@@ -846,39 +835,11 @@ class Searcher:
             if docs is None:
                 return Hits.empty()
         else:
-            # hoist the per-code binary searches out of the candidate loop:
-            # one vectorized searchsorted per expansion code over ALL
-            # candidates (the loop below only gathers position runs)
-            slot_hits = []
-            for codes in slot_codes:
-                entries = []
-                for c in codes:
-                    docs_c, _, (s, e) = ti.postings(c)
-                    j = np.searchsorted(docs_c, cand)
-                    jc = np.minimum(j, len(docs_c) - 1)
-                    present = (j < len(docs_c)) & (docs_c[jc] == cand)
-                    entries.append((s, j, present))
-                slot_hits.append(entries)
-            out_docs, out_tf = [], []
-            for i, doc in enumerate(cand):
-                plists = []
-                for entries in slot_hits:
-                    pos = [ti.positions(s + j[i])
-                           for (s, j, present) in entries if present[i]]
-                    if not pos:
-                        break
-                    plists.append(pos[0] if len(pos) == 1
-                                  else np.sort(np.concatenate(pos)))
-                if len(plists) < len(slot_codes):
-                    continue
-                tf = _phrase_freq(plists, q.slop)
-                if tf > 0:
-                    out_docs.append(doc)
-                    out_tf.append(tf)
-            if not out_docs:
+            # spread-window check vectorized across all candidates; each
+            # slot's expansion codes merge into one sorted key stream
+            docs, tfs = _sloppy_phrase_tfs(ti, cand, slot_codes, q.slop)
+            if docs is None:
                 return Hits.empty()
-            docs = np.asarray(out_docs, dtype=np.int64)
-            tfs = np.asarray(out_tf, dtype=np.int32)
         idf = _F32(0.0)
         for codes in slot_codes:
             df = int(sum(ti.term_offsets[c + 1] - ti.term_offsets[c]
@@ -1215,6 +1176,54 @@ def _exact_phrase_tfs(ti, cand: np.ndarray, slot_codes):
         return None, None
     ranks = cur >> 33
     tf = np.bincount(ranks, minlength=len(cand))
+    mask = tf > 0
+    return cand[mask].astype(np.int64), tf[mask].astype(np.int32)
+
+
+def _sloppy_phrase_tfs(ti, cand: np.ndarray, slot_codes, slop: int):
+    """(docs int64, tfs int32) of slop>0 phrase matches over the
+    candidate docs, or (None, None) when nothing matches.  Semantics are
+    identical to the per-doc ``_phrase_freq`` greedy spread check (kept
+    below as the property-test oracle): every slot-0 position anchors an
+    alignment, each later slot contributes its nearest adjusted position
+    (ties to the left), and the alignment counts when the spread
+    ``max - min <= slop``.  Vectorized over every anchor of every
+    candidate at once via the rank-keyed streams of ``_slot_keys`` —
+    same-rank nearest neighbours fall out of one searchsorted per slot,
+    and key differences equal adjusted-position differences because all
+    slots share one offset."""
+    off = len(slot_codes)
+    anchors = np.sort(_slot_keys(ti, cand, slot_codes[0], 0, off))
+    if len(anchors) == 0:
+        return None, None
+    a_rank = anchors >> 33
+    alive = np.ones(len(anchors), dtype=bool)
+    lo = anchors.copy()
+    hi = anchors.copy()
+    for k in range(1, len(slot_codes)):
+        keys = np.sort(_slot_keys(ti, cand, slot_codes[k], k, off))
+        if len(keys) == 0:
+            return None, None
+        j = np.searchsorted(keys, anchors)
+        jl = j - 1
+        has_l = jl >= 0
+        kl = keys[np.maximum(jl, 0)]
+        valid_l = has_l & ((kl >> 33) == a_rank)
+        has_r = j < len(keys)
+        kr = keys[np.minimum(j, len(keys) - 1)]
+        valid_r = has_r & ((kr >> 33) == a_rank)
+        # left candidate is < anchor, right is >= anchor; the scalar
+        # oracle keeps the left on an exact distance tie
+        dist_l = np.where(valid_l, anchors - kl, np.int64(1) << 40)
+        dist_r = np.where(valid_r, kr - anchors, np.int64(1) << 40)
+        best = np.where(dist_l <= dist_r, kl, kr)
+        alive &= valid_l | valid_r
+        lo = np.minimum(lo, best)
+        hi = np.maximum(hi, best)
+        alive &= (hi - lo) <= slop
+        if not alive.any():
+            return None, None
+    tf = np.bincount(a_rank[alive], minlength=len(cand))
     mask = tf > 0
     return cand[mask].astype(np.int64), tf[mask].astype(np.int32)
 

@@ -315,3 +315,48 @@ def test_fuzzy_prefix_mask_matches_bruteforce(query, terms, dist, transp):
              for j in range(len(t) + 1)) for t in terms],
         dtype=bool)
     assert got.tolist() == want.tolist()
+
+
+@given(
+    docs=docs_strategy,
+    phrase=st.lists(st.sampled_from(VOCAB), min_size=2, max_size=4),
+    slop=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_sloppy_phrase_matches_scalar_oracle(docs, phrase, slop):
+    """Vectorized spread-window phrase (slop>0) == the per-doc
+    `_phrase_freq` greedy oracle, doc set AND tf values."""
+    from paradedb_ray.index.searcher import (
+        _phrase_freq, _sloppy_phrase_tfs)
+
+    schema = documents_schema()
+    seg = build_segment(_table(docs), schema)
+    ti = seg.text.get("text")
+    if ti is None:
+        return
+    codes = [ti.term_code(t) for t in phrase]
+    if any(c < 0 for c in codes):
+        return
+    cand = np.arange(len(docs), dtype=np.int64)
+    got_docs, got_tf = _sloppy_phrase_tfs(
+        ti, cand, [[c] for c in codes], slop)
+    want = {}
+    for doc in range(len(docs)):
+        plists = []
+        ok = True
+        for c in codes:
+            docs_c, _, (s, e) = ti.postings(c)
+            j = int(np.searchsorted(docs_c, doc))
+            if j >= len(docs_c) or docs_c[j] != doc:
+                ok = False
+                break
+            plists.append(ti.positions(s + j))
+        if not ok:
+            continue
+        tf = _phrase_freq(plists, slop)
+        if tf > 0:
+            want[doc] = tf
+    if got_docs is None:
+        assert want == {}
+    else:
+        assert dict(zip(got_docs.tolist(), got_tf.tolist())) == want
