@@ -147,8 +147,16 @@ class Segment:
 
 
 def _build_text_index(
-    texts: list, analyzer, store_positions: bool
+    texts: list, analyzer, store_positions: bool,
+    vocab_filter: Optional[np.ndarray] = None,
 ) -> TextFieldIndex:
+    """``vocab_filter`` (sorted-unique object array) restricts the index
+    to those terms only — the single-scan standing-query path: fieldnorms,
+    ``total_tokens`` and ``doc_count`` still reflect the FULL token
+    stream (BM25 norms must see real document lengths), but postings and
+    positions are kept for the filtered vocabulary alone, skipping the
+    full-stream factorize/lexsort.  Position values stay the ORIGINAL
+    token positions, so phrase adjacency over filtered terms is exact."""
     n = len(texts)
     tok_lists = []
     pos_lists = {}  # doc idx -> explicit positions (multi-value docs only)
@@ -218,8 +226,34 @@ def _build_text_index(
             k += m
     doc_ids = np.repeat(np.arange(n, dtype=np.int32), lens)
 
-    codes, uniques = pd.factorize(flat, sort=True)
-    codes = codes.astype(np.int64)
+    if vocab_filter is not None:
+        codes = pd.Index(vocab_filter).get_indexer(flat)
+        keep = codes >= 0
+        codes = codes[keep].astype(np.int64)
+        doc_ids = doc_ids[keep]
+        pos = pos[keep]
+        uniques = vocab_filter
+        kept = len(codes)
+        if kept == 0:
+            nf = len(vocab_filter)
+            return TextFieldIndex(
+                vocab=np.asarray(vocab_filter, dtype=object),
+                term_offsets=np.zeros(nf + 1, dtype=np.int64),
+                g_doc=np.empty(0, dtype=np.int32),
+                g_tf=np.empty(0, dtype=np.int32),
+                g_pos_off=(np.zeros(1, dtype=np.int64)
+                           if store_positions else None),
+                pos_flat=(np.empty(0, dtype=np.int32)
+                          if store_positions else None),
+                fieldnorm_ids=fieldnorm_to_id(lens),
+                total_tokens=total,
+                doc_count=int(has_value.sum()),
+                has_value=has_value,
+            )
+    else:
+        codes, uniques = pd.factorize(flat, sort=True)
+        codes = codes.astype(np.int64)
+        kept = total
 
     # group by (code, doc); positions are already ascending within each doc,
     # and a stable sort keeps them ascending within each group.
@@ -227,7 +261,7 @@ def _build_text_index(
     c_s, d_s, p_s = codes[order], doc_ids[order], pos[order]
 
     # group boundaries
-    newgrp = np.empty(total, dtype=bool)
+    newgrp = np.empty(kept, dtype=bool)
     newgrp[0] = True
     np.not_equal(c_s[1:], c_s[:-1], out=newgrp[1:])
     diffdoc = d_s[1:] != d_s[:-1]
@@ -235,7 +269,7 @@ def _build_text_index(
     grp_starts = np.flatnonzero(newgrp)
     g_doc = d_s[grp_starts].astype(np.int32)
     g_code = c_s[grp_starts]
-    bounds = np.append(grp_starts, total)
+    bounds = np.append(grp_starts, kept)
     g_tf = np.diff(bounds).astype(np.int32)
 
     # per-term ranges over groups (groups sorted by code first)

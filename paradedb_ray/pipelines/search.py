@@ -170,6 +170,121 @@ def search(
     return ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
 
 
+def _arrow_schema(ds) -> "pa.Schema":
+    import pyarrow as pa
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _result_schema(base, output_columns, with_score: bool,
+                   snippet_cfgs=None, query_id: bool = False):
+    """The exact Arrow schema a scorer stage emits: base columns
+    (+``score`` f32, +snippet columns typed by mode), restricted to
+    ``output_columns`` when given, +``query_id``.  Needed up front so an
+    all-empty result can keep its schema (see ``_anchor_empty``)."""
+    import pyarrow as pa
+
+    snip = {}
+    for cfg in (snippet_cfgs or []):
+        snip[cfg.output_name] = (
+            pa.string() if cfg.mode == "single"
+            else pa.list_(pa.list_(pa.int64())) if cfg.mode == "positions"
+            else pa.list_(pa.string()))
+    names = output_columns if output_columns is not None else (
+        list(base.names) + (["score"] if with_score else [])
+        + list(snip))
+    fields = []
+    for c in names:
+        if c == "score":
+            fields.append(pa.field("score", pa.float32()))
+        elif c in snip:
+            fields.append(pa.field(c, snip[c]))
+        else:
+            fields.append(base.field(c))
+    if query_id:
+        fields.append(pa.field("query_id", pa.string()))
+    return pa.schema(fields)
+
+
+def _anchor_empty(result, out_schema):
+    """Prepend a zero-row block carrying ``out_schema``: Ray's
+    ``repartition(1)`` drops an all-empty dataset's blocks entirely
+    (``schema()`` -> None), which breaks consumers that hash empty
+    frames (the driver's oracle compare does)."""
+    import ray.data as rd
+
+    return rd.from_arrow(out_schema.empty_table()).union(result)
+
+
+def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
+                        order_by, output_columns, with_score: bool,
+                        prune_limit: int, query_id: bool):
+    """The single-scan standing-query path, or None when any query is
+    ineligible.  ONE corpus pass builds per-block packets (query-term
+    postings + fieldnorms + candidate docstore rows + exact partial
+    stats); the packet dataset is materialized (the global-stats barrier
+    — bounded by query selectivity, not corpus size), stats are reduced
+    driver-side from the tiny partials, and a second pass over the
+    packets alone scores with the ordinary Searcher (bit-exact f32 vs
+    the two-pass route).  Returns (scored per-block-pruned dataset,
+    output Arrow schema)."""
+    from paradedb_ray.stages.search_stages import (
+        PacketScorer,
+        QueryPacketBuilder,
+        needs_positions,
+        single_scan_terms,
+    )
+
+    term_maps = []
+    for q in queries.values():
+        m = single_scan_terms(q, schema)
+        if m is None:
+            return None
+        term_maps.append(m)
+    terms_by_field: dict = {}
+    for m in term_maps:
+        for f, ts in m.items():
+            terms_by_field.setdefault(f, set()).update(ts)
+    if not terms_by_field:
+        return None
+
+    import pickle
+
+    from paradedb_ray.index.searcher import GlobalStats
+
+    store_pos = any(needs_positions(q, schema) for q in queries.values())
+    sort_cols = [k[0] for k in (order_by or []) if k[0] != "score"]
+    if output_columns is not None:
+        keep = [c for c in dict.fromkeys(list(output_columns) + sort_cols)
+                if c != "score"]
+    else:
+        keep = None
+    read_cols = (sorted(set(keep) | set(terms_by_field))
+                 if keep is not None else None)
+    src = ds.select_columns(read_cols) if read_cols is not None else ds
+    packets = src.map_batches(
+        QueryPacketBuilder(schema, terms_by_field, store_pos, keep),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+    stats = GlobalStats()
+    for row in packets.select_columns(["partial"]).take_all():
+        stats.merge(pickle.loads(row["partial"]))
+
+    out_schema = _result_schema(_arrow_schema(ds), output_columns,
+                                with_score, query_id=query_id)
+    scorer = PacketScorer(schema, queries, stats, out_schema,
+                          with_score=with_score, prune_limit=prune_limit,
+                          sort_keys=list(order_by or []),
+                          output_columns=output_columns,
+                          query_id=query_id)
+    return packets.map_batches(scorer, batch_format="pyarrow",
+                               batch_size=None), out_schema
+
+
 def search_topk(
     ds: ray.data.Dataset,
     schema: IndexSchema,
@@ -195,18 +310,29 @@ def search_topk(
     if order_by is None:
         order_by = [("score", "descending")]
     order_by = list(order_by)
-    ds = _prune_columns(ds, schema, query, output_columns, snippet_cfgs,
-                        extra=[k[0] for k in order_by if k[0] != "score"])
-    if stats is None:
-        stats = compute_global_stats(ds, schema, query)
     need = limit + offset
-    scorer = BatchScorer(schema, query, stats,
-                         with_score=with_score or any(k[0] == "score"
-                                                      for k in order_by),
-                         snippet_cfgs=snippet_cfgs,
-                         prune_limit=need, sort_keys=order_by,
-                         output_columns=output_columns)
-    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
+    want_score = with_score or any(k[0] == "score" for k in order_by)
+    fast = None
+    if stats is None and not snippet_cfgs:
+        fast = _single_scan_scored(
+            ds, schema, {"q": query}, order_by, output_columns,
+            want_score, need, query_id=False)
+    if fast is not None:
+        scored, out_schema = fast
+    else:
+        ds = _prune_columns(ds, schema, query, output_columns, snippet_cfgs,
+                            extra=[k[0] for k in order_by if k[0] != "score"])
+        if stats is None:
+            stats = compute_global_stats(ds, schema, query)
+        out_schema = _result_schema(_arrow_schema(ds), output_columns,
+                                    want_score, snippet_cfgs=snippet_cfgs)
+        scorer = BatchScorer(schema, query, stats,
+                             with_score=want_score,
+                             snippet_cfgs=snippet_cfgs,
+                             prune_limit=need, sort_keys=order_by,
+                             output_columns=output_columns)
+        scored = ds.map_batches(scorer, batch_format="pyarrow",
+                                batch_size=None)
     # Merge-rank: the per-block prune already bounds the candidate set to
     # <= need x blocks rows, so the global ORDER BY is ONE single-block
     # Arrow sort (repartition of tiny blocks + local sort_indices) —
@@ -226,9 +352,11 @@ def search_topk(
         b = b.take(idx.slice(offset, limit))
         return b.drop_columns(helpers) if helpers else b
 
-    return scored.repartition(1).map_batches(merge_rank,
-                                             batch_format="pyarrow",
-                                             batch_size=None)
+    return _anchor_empty(
+        scored.repartition(1).map_batches(merge_rank,
+                                          batch_format="pyarrow",
+                                          batch_size=None),
+        out_schema)
 
 
 def search_topk_multi(
@@ -269,25 +397,37 @@ def search_topk_multi(
 
     from paradedb_ray.index.searcher import GlobalStats
 
-    req = merge_stat_requests(
-        [collect_stat_requests(q, schema) for q in queries.values()])
-    read_cols = sorted({f.split(".")[0] for f in req["fields"]}
-                       | {f.split(".")[0] for f, _ in req["terms"]})
-    stats_ds = ds.select_columns(read_cols) if read_cols else ds
-    parts = stats_ds.map_batches(
-        StatsCollector(schema, req), batch_format="pyarrow", batch_size=None
-    ).take_all()
-    stats = GlobalStats()
-    for row in parts:
-        stats.merge(pickle.loads(row["partial"]))
+    want_score = with_score or any(k == "score" for k, _ in order_by)
+    fast = _single_scan_scored(ds, schema, queries, order_by,
+                               output_columns, want_score, limit,
+                               query_id=True)
+    if fast is not None:
+        scored, out_schema = fast
+    else:
+        req = merge_stat_requests(
+            [collect_stat_requests(q, schema) for q in queries.values()])
+        read_cols = sorted({f.split(".")[0] for f in req["fields"]}
+                           | {f.split(".")[0] for f, _ in req["terms"]})
+        stats_ds = ds.select_columns(read_cols) if read_cols else ds
+        parts = stats_ds.map_batches(
+            StatsCollector(schema, req), batch_format="pyarrow",
+            batch_size=None
+        ).take_all()
+        stats = GlobalStats()
+        for row in parts:
+            stats.merge(pickle.loads(row["partial"]))
 
-    scorer = MultiQueryScorer(
-        schema, queries, stats,
-        with_score=with_score or any(k == "score" for k, _ in order_by),
-        prune_limit=limit, sort_keys=order_by, output_columns=output_columns,
-        store_positions=any(needs_positions(q, schema)
-                            for q in queries.values()))
-    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
+        out_schema = _result_schema(_arrow_schema(ds), output_columns,
+                                    want_score, query_id=True)
+        scorer = MultiQueryScorer(
+            schema, queries, stats,
+            with_score=want_score,
+            prune_limit=limit, sort_keys=order_by,
+            output_columns=output_columns,
+            store_positions=any(needs_positions(q, schema)
+                                for q in queries.values()))
+        scored = ds.map_batches(scorer, batch_format="pyarrow",
+                                batch_size=None)
 
     cols = [k for k, _ in order_by]
     desc = [d == "descending" for _, d in order_by]
@@ -313,8 +453,10 @@ def search_topk_multi(
             return b
         return pa.concat_tables(parts, promote_options="default")
 
-    return scored.repartition(1).map_batches(
-        all_queries_topk, batch_format="pyarrow", batch_size=None)
+    return _anchor_empty(
+        scored.repartition(1).map_batches(
+            all_queries_topk, batch_format="pyarrow", batch_size=None),
+        out_schema)
 
 
 def reciprocal_rank_fusion(

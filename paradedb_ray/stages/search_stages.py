@@ -419,3 +419,243 @@ def _local_topk(table: pa.Table, sort_keys, limit: int) -> pa.Table:
     idx = pc.sort_indices(table, sort_keys=keys)
     out = table.take(idx.slice(0, limit))
     return out.drop_columns(helpers) if helpers else out
+
+
+# ---------------------------------------------------------------------------
+# Single-scan standing-query path
+# ---------------------------------------------------------------------------
+#
+# The classic path above tokenizes the corpus TWICE per query set (stats
+# pass + scoring pass).  For queries whose evaluation only ever looks up a
+# KNOWN term set (terms / matches / phrases on TEXT fields — the common
+# standing-query shape), one scan suffices: tokenize each block once,
+# keep postings (+ original positions) for the query terms alone plus the
+# fieldnorms, candidate rows and exact partial stats derived from the same
+# token stream, and ship that compact packet.  Scoring then runs the
+# ordinary ``Searcher`` over the packet's mini-segment with the merged
+# global stats — the SAME f32 code path as the two-pass route, so scores
+# stay bit-exact by construction.  Vocab-expansion queries (fuzzy, regex,
+# prefix, MoreLikeThis), non-TEXT predicates and snippet projections fall
+# back to the two-pass route.
+
+
+def single_scan_terms(q: ast.Query, schema: IndexSchema,
+                      default_fields: Optional[list] = None):
+    """-> {field: set[term]} when ``q`` is eligible for the single-scan
+    path (every lookup it will perform is a known term on an indexed TEXT
+    field), else None.  The collected terms mirror EXACTLY what each
+    ``_eval_*`` looks up: Term/TermSet/MatchArray normalize the literal,
+    Match/Phrase/TokenizedPhrase run the search analyzer, PhraseArray
+    uses its tokens verbatim."""
+    out: dict = {}
+
+    def text_field(fname):
+        f = schema.fields.get(fname)
+        return f if (f is not None and f.ftype == TEXT and f.indexed
+                     and "." not in fname) else None
+
+    def norm(f, value):
+        toks = f.search_analyzer.filters.apply_texts([str(value)])
+        return toks[0] if toks else str(value)
+
+    def walk(q, dfields) -> bool:
+        if isinstance(q, ast.Boolean):
+            return all(walk(c, dfields)
+                       for c in q.must + q.should + q.must_not)
+        if isinstance(q, ast.DisjunctionMax):
+            return all(walk(c, dfields) for c in q.disjuncts)
+        if isinstance(q, (ast.Boost, ast.ConstScore)):
+            return walk(q.query, dfields)
+        if isinstance(q, ast.ScoreFilter):
+            return q.query is not None and walk(q.query, dfields)
+        if isinstance(q, ast.Parse):
+            from paradedb_ray.query.parser import parse_query_string
+
+            dfs = dfields or schema.default_search_fields
+            try:
+                sub = parse_query_string(q.query_string, schema, dfs,
+                                         bool(q.conjunction_mode),
+                                         bool(q.lenient))
+            except Exception:
+                return False
+            return walk(sub, dfs)
+        if isinstance(q, ast.ParseWithField):
+            from paradedb_ray.query.parser import parse_query_string
+
+            try:
+                sub = parse_query_string(q.query_string, schema, [q.field],
+                                         bool(q.conjunction_mode),
+                                         bool(q.lenient))
+            except Exception:
+                return False
+            return walk(sub, [q.field])
+        if isinstance(q, ast.Term):
+            f = text_field(q.field)
+            if f is None:
+                return False
+            out.setdefault(q.field, set()).add(norm(f, q.value))
+            return True
+        if isinstance(q, ast.TermSet):
+            f = text_field(q.field)
+            if f is None:
+                return False
+            out.setdefault(q.field, set()).update(
+                norm(f, t) for t in q.terms)
+            return True
+        if isinstance(q, ast.MatchArray):
+            f = text_field(q.field)
+            if f is None or q.distance > 0:
+                return False
+            out.setdefault(q.field, set()).update(
+                norm(f, t) for t in q.tokens)
+            return True
+        if isinstance(q, ast.Match):
+            f = text_field(q.field)
+            if f is None or q.distance > 0 or q.tokenizer is not None:
+                return False
+            out.setdefault(q.field, set()).update(
+                f.search_analyzer.tokenize(q.value))
+            return True
+        if isinstance(q, (ast.Phrase, ast.TokenizedPhrase)):
+            f = text_field(q.field)
+            if f is None:
+                return False
+            words = (q.phrases if isinstance(q, ast.Phrase)
+                     else [q.phrase])
+            toks: set = set()
+            for w in words:
+                toks.update(f.search_analyzer.tokenize(w))
+            out.setdefault(q.field, set()).update(toks)
+            return True
+        if isinstance(q, ast.PhraseArray):
+            f = text_field(q.field)
+            if f is None:
+                return False
+            out.setdefault(q.field, set()).update(str(t) for t in q.tokens)
+            return True
+        return False
+
+    return out if walk(q, default_fields) else None
+
+
+def build_query_segment(batch: pa.Table, schema: IndexSchema,
+                        terms_by_field: dict, store_positions: bool,
+                        keep_columns: Optional[list]):
+    """(mini Segment over candidate rows, partial GlobalStats).
+
+    The mini-segment holds vocab-filtered text indexes renumbered to the
+    candidate rows (docs containing >=1 query term), the candidates'
+    docstore columns, and nothing else; the partial stats (num_docs,
+    per-field token totals/doc counts, per-term dfs) come from the same
+    single tokenization, bit-identical to what ``StatsCollector`` counts."""
+    from paradedb_ray.index.segment import Segment, _build_text_index
+
+    n = batch.num_rows
+    g = GlobalStats(num_docs=n)
+    tis = {}
+    for fname, terms in terms_by_field.items():
+        f = schema.fields.get(fname)
+        if f is None or fname not in batch.column_names:
+            continue
+        vf = np.array(sorted(terms), dtype=object)
+        ti = _build_text_index(batch.column(fname).to_pylist(), f.analyzer,
+                               store_positions and f.positions,
+                               vocab_filter=vf)
+        tis[fname] = ti
+        g.field_total_tokens[fname] = ti.total_tokens
+        g.field_doc_count[fname] = ti.doc_count
+        dfs = np.diff(ti.term_offsets)
+        for t, d in zip(ti.vocab, dfs):
+            g.term_df[(fname, str(t))] = int(d)
+    parts = [ti.g_doc for ti in tis.values() if len(ti.g_doc)]
+    if parts:
+        cand = np.unique(np.concatenate(parts))
+    else:
+        cand = np.empty(0, dtype=np.int32)
+    import dataclasses
+
+    mini = {}
+    for fname, ti in tis.items():
+        mini[fname] = dataclasses.replace(
+            ti,
+            g_doc=np.searchsorted(cand, ti.g_doc).astype(np.int32),
+            fieldnorm_ids=ti.fieldnorm_ids[cand],
+            has_value=ti.has_value[cand],
+        )
+    cols = batch.select(keep_columns) if keep_columns is not None else batch
+    table = cols.take(pa.array(cand.astype(np.int64), pa.int64()))
+    seg = Segment(num_docs=len(cand), table=table, schema=schema)
+    seg.text = mini
+    return seg, g
+
+
+class QueryPacketBuilder:
+    """map_batches callable: ONE row per block — pickled partial stats +
+    pickled candidate mini-segment.  The single corpus scan."""
+
+    def __init__(self, schema: IndexSchema, terms_by_field: dict,
+                 store_positions: bool, keep_columns: Optional[list]):
+        self.schema = schema
+        self.terms_by_field = terms_by_field
+        self.store_positions = store_positions
+        self.keep_columns = keep_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seg, partial = build_query_segment(
+            batch, self.schema, self.terms_by_field,
+            self.store_positions, self.keep_columns)
+        return pa.table({
+            "partial": pa.array([pickle.dumps(partial)], pa.binary()),
+            "packet": pa.array([pickle.dumps(seg)], pa.binary()),
+        })
+
+
+class PacketScorer:
+    """map_batches callable over packet rows: evaluate every standing query
+    against each block's mini-segment with the broadcast global stats —
+    the ordinary Searcher code path, so f32 scores match the two-pass
+    route bitwise."""
+
+    def __init__(self, schema: IndexSchema, queries: dict,
+                 stats: GlobalStats, out_schema: pa.Schema,
+                 with_score: bool = True,
+                 prune_limit: Optional[int] = None,
+                 sort_keys: Optional[list] = None,
+                 output_columns: Optional[list] = None,
+                 query_id: bool = True):
+        self.schema = schema
+        self.queries = queries
+        self.stats = stats
+        self.out_schema = out_schema
+        self.with_score = with_score
+        self.prune_limit = prune_limit
+        self.sort_keys = sort_keys
+        self.output_columns = output_columns
+        self.query_id = query_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for blob in batch.column("packet").to_pylist():
+            seg = pickle.loads(blob)
+            if seg.num_docs == 0:
+                continue
+            searcher = Searcher(seg, self.schema, self.stats)
+            for name, q in self.queries.items():
+                hits = searcher.eval(q)
+                out = seg.table.take(pa.array(hits.ids, pa.int64()))
+                if self.with_score:
+                    out = out.append_column(
+                        "score", pa.array(hits.scores, pa.float32()))
+                if self.output_columns:
+                    out = out.select(self.output_columns)
+                if (self.prune_limit is not None
+                        and out.num_rows > self.prune_limit):
+                    out = _local_topk(out, self.sort_keys, self.prune_limit)
+                if self.query_id:
+                    out = out.append_column(
+                        "query_id",
+                        pa.array([name] * out.num_rows, pa.string()))
+                outs.append(out.cast(self.out_schema))
+        if not outs:
+            return self.out_schema.empty_table()
+        return pa.concat_tables(outs)
