@@ -231,7 +231,14 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
     driver-side from the tiny partials, and a second pass over the
     packets alone scores with the ordinary Searcher (bit-exact f32 vs
     the two-pass route).  Returns (scored per-block-pruned dataset,
-    output Arrow schema)."""
+    output Arrow schema).
+
+    Scale note: the packet barrier buffers O(matching docs x projected
+    columns) + O(query-term occurrences) in the (disk-spillable) object
+    store — NOT the corpus.  To keep that product bounded the path only
+    engages with an explicit ``output_columns`` projection; a
+    SELECT-*-shaped query falls back to the two-pass route, which
+    buffers nothing."""
     from paradedb_ray.stages.search_stages import (
         PacketScorer,
         QueryPacketBuilder,
@@ -239,6 +246,8 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
         single_scan_terms,
     )
 
+    if output_columns is None:
+        return None
     term_maps = []
     for q in queries.values():
         m = single_scan_terms(q, schema)
