@@ -360,3 +360,62 @@ def test_sloppy_phrase_matches_scalar_oracle(docs, phrase, slop):
         assert want == {}
     else:
         assert dict(zip(got_docs.tolist(), got_tf.tolist())) == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(docs=docs_strategy, q=query_strategy(),
+       cut_frac=st.floats(min_value=0.0, max_value=1.0))
+def test_single_scan_packets_match_classic(docs, q, cut_frac):
+    """The single-scan packet route (vocab-filtered mini-segments +
+    merged partial stats) must reproduce the classic full-segment route
+    bit-exactly: same global stats for every requested term, same doc
+    set, same f32 scores — for any eligible query and any block split."""
+    from paradedb_ray.index.searcher import GlobalStats
+    from paradedb_ray.stages.search_stages import (
+        build_query_segment,
+        single_scan_terms,
+    )
+
+    schema = documents_schema()
+    m = single_scan_terms(q, schema)
+    if m is None:
+        return
+
+    t = _table(docs)
+    whole = build_segment(t, schema)
+    stats = GlobalStats.from_segment(whole, schema)
+    h = Searcher(whole, schema, stats).eval(q)
+    ref = dict(zip(h.ids.tolist(), h.scores.tolist()))
+
+    cut = min(len(docs) - 1, max(1, int(len(docs) * cut_frac)))
+    parts = [p for p in (t.slice(0, cut), t.slice(cut)) if p.num_rows]
+    merged = GlobalStats()
+    minis = []
+    for part in parts:
+        seg, partial = build_query_segment(part, schema, m, True, ["doc_id"])
+        minis.append(seg)
+        merged.merge(partial)
+
+    # stats parity on everything the searcher will consult
+    assert merged.num_docs == stats.num_docs
+    for fname, terms in m.items():
+        assert merged.field_total_tokens.get(fname, 0) == \
+            stats.field_total_tokens.get(fname, 0)
+        assert merged.field_doc_count.get(fname, 0) == \
+            stats.field_doc_count.get(fname, 0)
+        for term in terms:
+            assert merged.term_df.get((fname, term), 0) == \
+                stats.term_df.get((fname, term), 0), (fname, term)
+
+    got = {}
+    for seg in minis:
+        if seg.num_docs == 0:
+            continue
+        hh = Searcher(seg, schema, merged).eval(q)
+        orig = seg.table.column("doc_id").to_pylist()
+        for i, sc in zip(hh.ids.tolist(), hh.scores.tolist()):
+            got[orig[i]] = sc
+
+    assert set(got) == set(ref), (q.to_json(), docs)
+    for k in ref:
+        assert np.float32(got[k]) == np.float32(ref[k]), (q.to_json(), k)
