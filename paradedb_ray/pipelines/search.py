@@ -407,14 +407,29 @@ def search_topk_multi(
     from paradedb_ray.index.searcher import GlobalStats
 
     want_score = with_score or any(k == "score" for k, _ in order_by)
-    fast = _single_scan_scored(ds, schema, queries, order_by,
-                               output_columns, want_score, limit,
-                               query_id=True)
-    if fast is not None:
-        scored, out_schema = fast
-    else:
+
+    # Split the standing set by single-scan eligibility: known-term
+    # queries score off one corpus pass; only the vocab-expansion /
+    # non-TEXT remainder pays the classic stats+scoring double scan.
+    from paradedb_ray.stages.search_stages import single_scan_terms
+
+    eligible = {n: q for n, q in queries.items()
+                if single_scan_terms(q, schema) is not None}
+    rest = {n: q for n, q in queries.items() if n not in eligible}
+    scored_parts = []
+    out_schema = None
+    if eligible:
+        fast = _single_scan_scored(ds, schema, eligible, order_by,
+                                   output_columns, want_score, limit,
+                                   query_id=True)
+        if fast is None:
+            rest = queries
+        else:
+            scored_parts.append(fast[0])
+            out_schema = fast[1]
+    if rest:
         req = merge_stat_requests(
-            [collect_stat_requests(q, schema) for q in queries.values()])
+            [collect_stat_requests(q, schema) for q in rest.values()])
         read_cols = sorted({f.split(".")[0] for f in req["fields"]}
                            | {f.split(".")[0] for f, _ in req["terms"]})
         stats_ds = ds.select_columns(read_cols) if read_cols else ds
@@ -429,14 +444,21 @@ def search_topk_multi(
         out_schema = _result_schema(_arrow_schema(ds), output_columns,
                                     want_score, query_id=True)
         scorer = MultiQueryScorer(
-            schema, queries, stats,
+            schema, rest, stats,
             with_score=want_score,
             prune_limit=limit, sort_keys=order_by,
             output_columns=output_columns,
             store_positions=any(needs_positions(q, schema)
-                                for q in queries.values()))
-        scored = ds.map_batches(scorer, batch_format="pyarrow",
-                                batch_size=None)
+                                for q in rest.values()))
+        scored_parts.append(ds.map_batches(scorer, batch_format="pyarrow",
+                                           batch_size=None))
+    if not scored_parts:
+        out_schema = _result_schema(_arrow_schema(ds), output_columns,
+                                    want_score, query_id=True)
+        return ray.data.from_arrow(out_schema.empty_table())
+    scored = scored_parts[0]
+    for extra in scored_parts[1:]:
+        scored = scored.union(extra)
 
     cols = [k for k, _ in order_by]
     desc = [d == "descending" for _, d in order_by]

@@ -117,6 +117,29 @@ def test_single_scan_multi_query(items_ds):
     assert sorted(fast, key=key) == sorted(slow, key=key)
 
 
+def test_single_scan_multi_query_mixed_eligibility(items_ds):
+    """A standing set mixing known-term and vocab-expansion queries
+    splits: eligible queries ride the single-scan path, the rest take
+    the classic route, and the union matches classic-only bitwise."""
+    schema = mock_items_schema()
+    queries = {"a": ast.Match("description", "running shoes"),
+               "b": ast.FuzzyTerm("description", "shoez", 1, True, False)}
+    fast = sp.search_topk_multi(
+        items_ds, schema, queries, 3,
+        output_columns=["id", "score"]).take_all()
+    orig = sp._single_scan_scored
+    sp._single_scan_scored = lambda *a, **k: None
+    try:
+        slow = sp.search_topk_multi(
+            items_ds, schema, queries, 3,
+            output_columns=["id", "score"]).take_all()
+    finally:
+        sp._single_scan_scored = orig
+    assert len(fast) > 0
+    key = lambda r: (r["query_id"], -r["score"], r["id"])
+    assert sorted(fast, key=key) == sorted(slow, key=key)
+
+
 def test_vocab_filtered_index_matches_full():
     """_build_text_index(vocab_filter=...) == the full index restricted
     to those terms: same postings, same positions, same fieldnorms."""
