@@ -9,7 +9,8 @@ from typing import Any, Optional, Sequence
 from paradedb_ray.query import ast
 
 __all__ = [
-    "all_query", "empty", "boolean", "boost", "const_score",
+    "all_query", "empty", "boolean", "boost", "boost_cast", "const_score",
+    "const_score_cast",
     "disjunction_max", "parse", "parse_with_field", "term", "term_set",
     "exists", "fuzzy_term", "match_query", "match_conjunction",
     "match_disjunction", "phrase", "phrase_string", "phrase_array",
@@ -41,6 +42,34 @@ def boost(factor: float, query: ast.Query) -> ast.Query:
 
 def const_score(score: float, query: ast.Query) -> ast.Query:
     return ast.ConstScore(query, score)
+
+
+def _f16_typmod(val: float) -> float:
+    """The ``::pdb.boost(x)`` / ``::pdb.const_score(x)`` CAST surface
+    smuggles its factor through a Postgres typmod: f32 -> half::f16 bits
+    -> i32 (`pg_search/src/api/operator.rs:1221-1264`), so cast-applied
+    factors quantize to f16 and only finite values in [-2048, 2048] are
+    accepted (`boost.out`: 3.14159 renders as 3.140625).  The builder
+    FUNCTION surface (``paradedb.boost``) keeps full f32."""
+    import math
+
+    if not (isinstance(val, (int, float)) and math.isfinite(val)
+            and -2048.0 <= float(val) <= 2048.0):
+        raise ValueError(
+            "only 16 bit floats in the range [-2048..2048] are supported")
+    import numpy as np
+
+    return float(np.float32(np.float16(val)))
+
+
+def boost_cast(factor: float, query: ast.Query) -> ast.Query:
+    """``query_string::pdb.boost(factor)`` (`api/operator/boost.rs`)."""
+    return ast.Boost(query, _f16_typmod(factor))
+
+
+def const_score_cast(score: float, query: ast.Query) -> ast.Query:
+    """``query_string::pdb.const_score(s)`` (`api/operator/const_score.rs`)."""
+    return ast.ConstScore(query, _f16_typmod(score))
 
 
 def disjunction_max(disjuncts: Sequence[ast.Query],

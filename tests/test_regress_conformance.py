@@ -994,3 +994,39 @@ def test_require_positions_regress():
     # non-positional queries still work
     h = s.eval(ast.Term("t", "aaa"))
     assert len(h) == 2
+
+
+# -- f16 typmod quantization on the cast surface (boost.out / const_score.out)
+
+
+def test_boost_cast_quantizes_through_f16():
+    """`::pdb.boost(x)` smuggles x through an f16 typmod
+    (`api/operator.rs:1221-1264`); golden renderings from `boost.out` /
+    `const_score.out`: 3.14159 -> 3.140625, bounds at +/-2048."""
+    from paradedb_ray.query import builders as pdb
+
+    inner = ast.Term("description", "shoes")
+    for given, want in [(3, 3.0), (3.14159, 3.140625), (0.5, 0.5),
+                        (0, 0.0), (-100, -100.0), (2048, 2048.0),
+                        (-2048.0, -2048.0)]:
+        assert pdb.boost_cast(given, inner).factor == want, given
+        assert pdb.const_score_cast(given, inner).score == want, given
+    for bad in (2049, -2049, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="16 bit floats"):
+            pdb.boost_cast(bad, inner)
+        with pytest.raises(ValueError, match="16 bit floats"):
+            pdb.const_score_cast(bad, inner)
+
+
+def test_boost_cast_scoring_uses_quantized_factor(mock_searcher):
+    """Scores under a cast boost must be computed from the f16-rounded
+    factor, not the user's literal."""
+    from paradedb_ray.query import builders as pdb
+
+    inner = ast.Term("description", "shoes")
+    cast = mock_searcher.eval(pdb.boost_cast(3.14159, inner))
+    want = mock_searcher.eval(pdb.boost(3.140625, inner))
+    lit = mock_searcher.eval(pdb.boost(3.14159, inner))
+    assert cast.ids.tolist() == want.ids.tolist()
+    assert cast.scores.tobytes() == want.scores.tobytes()
+    assert cast.scores.tobytes() != lit.scores.tobytes()
