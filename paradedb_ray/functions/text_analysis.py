@@ -60,8 +60,10 @@ def tokenize_dataset(ds: ray.data.Dataset, text_col: str,
                 cols = {key_col: pa.array(out_k), **cols}
             return pa.table(cols)
 
+    from paradedb_ray.pipelines.multimodal import _pool
+
     return ds.map_batches(Tok, batch_format="pyarrow", batch_size=None,
-                          concurrency=4)
+                          concurrency=_pool(None))
 
 
 # -- token counting ---------------------------------------------------------
