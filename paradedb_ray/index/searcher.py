@@ -305,17 +305,42 @@ class Searcher:
         self.seg._json_cache[key] = vals
         return vals
 
-    def _json_term_hits(self, field: str, path: str, value, boost=1.0) -> Hits:
+    def _json_term_doc_mask(self, field: str, path: str, value) -> np.ndarray:
+        """Doc mask for a term over a JSON dot-path.  Two routes union,
+        mirroring tantivy's JSON indexing: (a) full-value equality — the
+        typed term tantivy writes for dates/numbers and single-token
+        strings (`json_term_set.out` compares stored strings whole); (b)
+        tokenized containment through the field's analyzer — string
+        leaves are indexed as text, so ``description:test`` matches
+        "A test author" and array elements match individually
+        (`snippet_json_01_basic.sql`)."""
         vals = self.seg.json_path_values(field, path)
+        mask = np.zeros(len(vals), dtype=bool)
         if isinstance(value, str):
-            value = value.lower()  # raw tokenizer + lowercase (regress setup)
-            cmp = np.array([v.lower() if isinstance(v, str) else None for v in vals],
-                           dtype=object)
-            mask = cmp == value
+            vq = value.lower()
+            for i, v in enumerate(vals):
+                if isinstance(v, str):
+                    mask[i] = v.lower() == vq
+                elif isinstance(v, (list, tuple)):
+                    mask[i] = any(isinstance(e, str) and e.lower() == vq
+                                  for e in v)
+            toks = self.schema.field(field).analyzer.tokenize(value)
+            if len(toks) == 1:
+                ti = self.seg.json_text_index(field, path)
+                code = ti.term_code(toks[0])
+                if code >= 0:
+                    mask[ti.postings(code)[0]] = True
         else:
-            mask = np.array([v == value if isinstance(v, (int, float, bool)) else False
-                             for v in vals])
-        return _mask_to_hits(mask)
+            for i, v in enumerate(vals):
+                if isinstance(v, (int, float, bool)):
+                    mask[i] = v == value
+                elif isinstance(v, (list, tuple)):
+                    mask[i] = any(isinstance(e, (int, float, bool))
+                                  and e == value for e in v)
+        return mask
+
+    def _json_term_hits(self, field: str, path: str, value, boost=1.0) -> Hits:
+        return _mask_to_hits(self._json_term_doc_mask(field, path, value))
 
     # -- vocab expansion (fuzzy/regex/prefix): constant-score 1.0 -----------
 
@@ -360,11 +385,8 @@ class Searcher:
             base, path = field.split(".", 1)
             if base in self.schema.fields \
                     and self.schema.field(base).ftype == JSON:
-                vals = self.seg.json_path_values(base, path)
-                tv = value.lower() if isinstance(value, str) else value
-                return np.flatnonzero(np.array(
-                    [(v.lower() if isinstance(v, str) else v) == tv
-                     for v in vals], dtype=bool))
+                return np.flatnonzero(
+                    self._json_term_doc_mask(base, path, value))
         f = self.schema.field(field)
         if f.ftype == TEXT:
             term = self._normalize_query_token(field, value)

@@ -145,6 +145,32 @@ class Segment:
             self._json_cache[key] = vals
         return vals
 
+    def json_text_index(self, field: str, path: str) -> TextFieldIndex:
+        """Tokenized inverted index over a JSON dot-path's STRING leaf
+        values — tantivy indexes JSON string values through the field's
+        text analyzer, so ``description:test`` matches ``"A test
+        author"`` and array elements match individually
+        (`snippet_json_01_basic.sql`).  Arrays keep their string elements
+        as a TEXT[]-style multi-value (POSITION_GAP between elements);
+        non-string leaves contribute nothing."""
+        key = ("_jidx", field, path)
+        got = self._json_cache.get(key)
+        if got is None:
+            vals = self.json_path_values(field, path)
+            texts = np.empty(len(vals), dtype=object)
+            for i, v in enumerate(vals):
+                if isinstance(v, str):
+                    texts[i] = v
+                elif isinstance(v, (list, tuple)):
+                    elems = [e for e in v if isinstance(e, str)]
+                    if elems:
+                        texts[i] = elems
+            analyzer = self.schema.field(field).analyzer
+            got = _build_text_index(list(texts), analyzer,
+                                    store_positions=True)
+            self._json_cache[key] = got
+        return got
+
 
 def _build_text_index(
     texts: list, analyzer, store_positions: bool,

@@ -25,7 +25,7 @@ from typing import Optional
 import pyarrow as pa
 
 from paradedb_ray.query import ast
-from paradedb_ray.schema import TEXT
+from paradedb_ray.schema import JSON, TEXT
 
 
 @dataclass
@@ -139,12 +139,36 @@ def generate(text: Optional[str], analyzer, terms: set, cfg: SnippetConfig):
 def snippet_column(searcher, hits, cfg: SnippetConfig, terms: set) -> pa.Array:
     """Build the snippet output column for matched rows of a batch."""
     schema = searcher.schema
-    fdef = schema.field(cfg.field)
-    if fdef.ftype != TEXT:
-        raise ValueError("snippets only on text fields")
-    texts = searcher.seg.table.column(cfg.field).take(
-        pa.array(hits.ids, pa.int64())).to_pylist()
-    vals = [generate(t, fdef.analyzer, terms, cfg) for t in texts]
+    if "." in cfg.field and cfg.field not in schema.fields:
+        # JSON dot-path snippet (`snippet_json_01_basic.sql`): highlight
+        # the extracted leaf text; arrays render space-joined (the golden
+        # positions {{5,12}} for ["test","snippet"] are offsets into
+        # "test snippet")
+        base, path = cfg.field.split(".", 1)
+        fdef = schema.field(base)
+        if fdef.ftype != JSON:
+            raise ValueError("snippets only on text/json fields")
+        jvals = searcher.seg.json_path_values(base, path)
+        texts = []
+        for i in hits.ids:
+            v = jvals[i]
+            if isinstance(v, (list, tuple)):
+                v = " ".join(e for e in v if isinstance(e, str)) or None
+            elif not isinstance(v, str):
+                v = None
+            texts.append(v)
+        an = fdef.analyzer
+        # query terms arrive un-analyzed for JSON paths — normalize
+        # through the field's chain so they match the token stream
+        terms = {t for q in terms for t in an.tokenize(str(q))}
+        vals = [generate(t, an, terms, cfg) for t in texts]
+    else:
+        fdef = schema.field(cfg.field)
+        if fdef.ftype != TEXT:
+            raise ValueError("snippets only on text fields")
+        texts = searcher.seg.table.column(cfg.field).take(
+            pa.array(hits.ids, pa.int64())).to_pylist()
+        vals = [generate(t, fdef.analyzer, terms, cfg) for t in texts]
     if cfg.mode == "single":
         return pa.array(vals, pa.string())
     if cfg.mode == "positions":

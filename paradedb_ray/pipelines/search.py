@@ -74,7 +74,7 @@ def _prune_columns(ds, schema: IndexSchema, query: ast.Query,
         return ds
     need |= {c for c in output_columns if c != "score"}
     for cfg in snippet_cfgs or ():
-        need.add(cfg.field)
+        need.add(cfg.field.split(".")[0])  # dotted JSON path -> base column
     need |= set(schema.key_fields)
     cols = [c for c in ds.schema().names if c in need]
     if len(cols) < len(ds.schema().names):

@@ -88,6 +88,12 @@ class Field:
         if self.ftype == KEYWORD:
             cfg = self.tokenizer or {"type": "literal"}
             return tokenizer_from_config(cfg)
+        if self.ftype == JSON:
+            # tantivy JSON fields tokenize string leaf values with the
+            # field's text analyzer (default chain unless configured) —
+            # `snippet_json_01_basic.sql`: 'description:test' matches
+            # the value "A test author"
+            return tokenizer_from_config(self.tokenizer)
         raise ValueError(f"field {self.name!r} ({self.ftype}) has no analyzer")
 
 
