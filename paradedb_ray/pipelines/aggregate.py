@@ -216,14 +216,48 @@ def _date_hist_bucketizer(field: str, key_name: str, body: dict):
     return bucketize
 
 
-def _guard_buckets(out: ray.data.Dataset,
-                   bucket_limit: Optional[int]) -> ray.data.Dataset:
+def _empty_bucket_table(input_ds, group_by: list, aggs: dict,
+                        key_types: Optional[dict] = None) -> pa.Table:
+    """Zero-row Arrow table with the exact columns a grouped aggregate
+    would emit — Ray Data drops the schema entirely when a groupby sees
+    no rows (`empty_aggregate.sql`: aggregates over empty matches must
+    keep their shape, issue #2996 in the reference)."""
+    types: dict = {}
+    try:
+        sch = input_ds.schema(fetch_if_missing=False)
+        if sch is not None:
+            for nm, t in zip(sch.names, sch.types):
+                if isinstance(t, pa.DataType):
+                    types[nm] = t
+    except Exception:
+        pass
+    if key_types:
+        types.update(key_types)
+    cols: dict = {}
+    for k in group_by:
+        cols[k] = pa.array([], types.get(k, pa.string()))
+    for name, (kind, col) in aggs.items():
+        if kind in ("count_star", "count", "cardinality"):
+            t = pa.int64()
+        elif kind == "avg":
+            t = pa.float64()
+        else:
+            t = types.get(col, pa.float64())
+        cols[name] = pa.array([], t)
+    return pa.table(cols)
+
+
+def _guard_buckets(out: ray.data.Dataset, bucket_limit: Optional[int],
+                   input_ds=None, group_by: Optional[list] = None,
+                   aggs: Optional[dict] = None,
+                   key_types: Optional[dict] = None) -> ray.data.Dataset:
     """Bucket-count guard (`paradedb.max_term_agg_buckets`,
     `api/aggregate.rs:70-110` / `aggregate/mod.rs` bucket_limit): raise
     instead of returning a silently huge bucket table.  The grouped
     output is materialized first — within the limit it is tiny, and the
     object store spills past memory, so a runaway cardinality fails with
-    this error rather than an OOM."""
+    this error rather than an OOM.  A zero-bucket result is rebuilt with
+    its proper schema (see ``_empty_bucket_table``)."""
     if bucket_limit is None:
         from paradedb_ray.config import DEFAULT
 
@@ -234,6 +268,9 @@ def _guard_buckets(out: ray.data.Dataset,
         raise ValueError(
             f"aggregation produced {n} buckets, exceeding the "
             f"bucket limit {bucket_limit} (max_term_agg_buckets)")
+    if n == 0 and group_by and aggs is not None:
+        return ray.data.from_arrow(
+            _empty_bucket_table(input_ds, group_by, aggs, key_types))
     return out
 
 
@@ -345,6 +382,8 @@ def pdb_agg(
               if any(k in s for k in bucket_kinds)}
     if nested:
         key_cols = []
+        key_types: dict = {}
+        ds0 = ds  # pre-derivation input: keeps inferable key column types
         level_name, level_spec = name, spec
         ex = _metric_extras()
         metric_aggs = {"doc_count": ("count_star", None)}
@@ -353,6 +392,12 @@ def pdb_agg(
             ds, kc = _bucket_key_column(ds, lkind, level_name,
                                         level_spec[lkind])
             key_cols.append(kc)
+            if lkind == "histogram":
+                key_types[kc] = pa.float64()
+            elif lkind == "date_histogram":
+                key_types[kc] = pa.timestamp("us")
+            elif lkind == "range":
+                key_types[kc] = pa.string()
             lsub = level_spec.get("aggs", {})
             lnested = {n: s for n, s in lsub.items()
                        if any(k in s for k in bucket_kinds)}
@@ -364,8 +409,10 @@ def pdb_agg(
             [(level_name, level_spec)] = lnested.items()
         out = _guard_buckets(
             sql_aggregate(_apply_derived(ds, ex), key_cols, metric_aggs),
-            bucket_limit)
-        return _finish_extended(out, ex).sort(key_cols)
+            bucket_limit, ds0, key_cols, metric_aggs, key_types)
+        fin = _finish_extended(out, ex)
+        # Ray's sort drops the schema again on zero rows — skip it
+        return fin if out.count() == 0 else fin.sort(key_cols)
 
     pcts = {n: s for n, s in sub.items() if "percentiles" in s}
     if pcts:
@@ -426,9 +473,12 @@ def pdb_agg(
     if kind == "terms":
         key_col = field
         grouped = _guard_buckets(sql_aggregate(ds, [key_col], aggs),
-                                 bucket_limit)
+                                 bucket_limit, ds, [key_col], aggs)
         size = body.get("size", 10)
-        return _finish_extended(grouped, ex).sort(
+        fin = _finish_extended(grouped, ex)
+        if grouped.count() == 0:  # sort/limit lose the schema on empty
+            return fin
+        return fin.sort(
             ["doc_count", key_col], descending=[True, False]).limit(size)
     if kind == "histogram":
         interval = float(body["interval"])
@@ -441,14 +491,18 @@ def pdb_agg(
 
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
-                             bucket_limit)
-        return _finish_extended(out, ex).sort([f"{name}_key"])
+                             bucket_limit, ds, [f"{name}_key"], aggs,
+                             {f"{name}_key": pa.float64()})
+        fin = _finish_extended(out, ex)
+        return fin if out.count() == 0 else fin.sort([f"{name}_key"])
     if kind == "date_histogram":
         bucketize = _date_hist_bucketizer(field, f"{name}_key", body)
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
-                             bucket_limit)
-        return _finish_extended(out, ex).sort([f"{name}_key"])
+                             bucket_limit, ds, [f"{name}_key"], aggs,
+                             {f"{name}_key": pa.timestamp("us")})
+        fin = _finish_extended(out, ex)
+        return fin if out.count() == 0 else fin.sort([f"{name}_key"])
     if kind == "range":
         ranges = body["ranges"]
 
@@ -464,8 +518,10 @@ def pdb_agg(
 
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
-                             bucket_limit)
-        return _finish_extended(out, ex).sort([f"{name}_key"])
+                             bucket_limit, ds, [f"{name}_key"], aggs,
+                             {f"{name}_key": pa.string()})
+        fin = _finish_extended(out, ex)
+        return fin if out.count() == 0 else fin.sort([f"{name}_key"])
     raise ValueError(f"unsupported bucket kind {kind}")
 
 

@@ -346,3 +346,68 @@ def test_tdigest_in_dsl(ray_session, events_tbl):
     assert got["q_p50"].notna().all()
     med = np.median(events_tbl.column("value").to_numpy())
     assert np.allclose(got["q_p50"], med, atol=10.0)
+
+
+def test_empty_aggregate_keeps_schema(ray_session, events_tbl):
+    """`empty_aggregate.sql` (reference issue #2996): aggregates over an
+    empty match set keep their column shape instead of Ray's schema-less
+    empty frame."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    empty = ray.data.from_arrow(events_tbl.slice(0, 0))
+
+    def shape(out):
+        # Ray's to_pandas() drops columns on zero rows; the DATASET keeps
+        # the restored schema — assert on that (it's what union/write
+        # and further pipeline stages consume)
+        return list(out.schema().names), out.count()
+
+    # terms bucket + metric sub-agg
+    out = pdb_agg(empty, {"t": {"terms": {"field": "event_type"},
+                                "aggs": {"s": {"sum": {"field": "value"}}}}})
+    assert shape(out) == (["event_type", "doc_count", "s"], 0)
+
+    # histogram / date_histogram keep typed key columns
+    out = pdb_agg(empty, {"h": {"histogram": {"field": "value",
+                                              "interval": 10.0}}})
+    assert shape(out) == (["h_key", "doc_count"], 0)
+    sch = out.schema()
+    assert sch.types[sch.names.index("h_key")] == pa.float64()
+    out = pdb_agg(empty, {"d": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d"}}})
+    assert shape(out) == (["d_key", "doc_count"], 0)
+
+    # nested bucket chain
+    out = pdb_agg(empty, {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"byday": {"date_histogram": {"field": "ts",
+                                              "fixed_interval": "1d"},
+                           "aggs": {"m": {"avg": {"field": "value"}}}}}}})
+    assert shape(out) == (["event_type", "byday_key", "doc_count", "m"], 0)
+
+    # bare metric over empty input stays a single row of nulls
+    out = pdb_agg(empty, {"m": {"avg": {"field": "value"}}}).to_pandas()
+    assert list(out.columns) == ["m"] and len(out) == 1
+
+
+def test_bool_terms_agg(ray_session):
+    """`agg-bool-terms.sql`: terms aggregation over a boolean field,
+    NULL bools forming their own group."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    t = pa.table({
+        "id": pa.array(range(7), pa.int64()),
+        "has_attachment": pa.array(
+            [True, False, True, True, False, False, None], pa.bool_()),
+    })
+    out = pdb_agg(ray.data.from_arrow(t),
+                  {"a": {"terms": {"field": "has_attachment",
+                                   "size": 10}}}).to_pandas()
+    got = {(None if v is None or v is pd_NA(v) else bool(v)): int(c)
+           for v, c in zip(out["has_attachment"], out["doc_count"])}
+    assert got == {True: 3, False: 3, None: 1}
+
+
+def pd_NA(v):
+    import pandas as pd
+    return v if v is pd.NA else object()
