@@ -817,6 +817,24 @@ def _q_percentiles(sf):
                            percents=[25, 50, 75, 95])
 
 
+def _q_agg_bool_terms(sf):
+    """Terms aggregation over a BOOLEAN fast field (`agg-bool-terms.sql`):
+    bucket keys keep native Arrow bool (incl. a NULL bucket when
+    present)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+
+    ev = _tbl(sf, "events", columns=["value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column("is_high", pc.greater(b.column("value"), 50.0))
+
+    ds = ev.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return pdb_agg(ds, {"a": {"terms": {"field": "is_high", "size": 10}}})
+
+
 def _q_percentiles_tdigest(sf):
     """t-digest sketch percentiles (reference: tantivy t-digest percentile
     path) — approximate, so rows-only: no oracle_sql entry."""
@@ -1215,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
         "percentiles_tdigest": _q_percentiles_tdigest,
+        "agg_bool_terms": _q_agg_bool_terms,
     }
 
 
@@ -1540,6 +1559,9 @@ def oracle_sql() -> dict[str, str]:
             " WHERE e.label = 3 QUALIFY row_number() OVER ("
             " ORDER BY list_inner_product(e.embedding, q.qe) DESC,"
             " e.vec_id) <= 10",
+        "agg_bool_terms":
+            "SELECT (value > 50) AS is_high, count(*) AS doc_count"
+            " FROM events GROUP BY 1",
         # rows-only (non-SQL-expressible): search_topk_bm25 (BM25 scores),
         # snippet (highlight strings), dedup_minhash/dedup_simhash
         # (probabilistic sketches), langid/fingerprint (heuristics), knn_ivf

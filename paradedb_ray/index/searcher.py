@@ -180,14 +180,14 @@ class Searcher:
 
     # -- term-level evaluation ---------------------------------------------
 
-    def _normalize_query_token(self, field, value) -> str:
-        """Apply the field analyzer's *filters* to a query literal (a Term's
-        value is normalized but not re-tokenized, `pdb_query.rs` Term)."""
-        f = self.schema.field(field)
-        if f.ftype in (TEXT, KEYWORD):
-            out = f.search_analyzer.filters.apply_texts([str(value)])
-            return out[0] if out else str(value)
-        return value
+    def _raw_query_term(self, field, value) -> str:
+        """Term/TermSet/FuzzyTerm query values are RAW — the reference
+        builds ``Term::from_field_text`` without running the analyzer
+        (`query/mod.rs:1630-1660` value_to_term; `citext.out`:
+        ``=== 'QUICK'`` finds nothing because the index stores lowercased
+        tokens).  Query-STRING terms (Parse/@@@) are analyzed by the
+        parser before they reach here, mirroring tantivy's query parser."""
+        return str(value)
 
     def _text_term_hits(self, field: str, term: str, boost: float = 1.0) -> Hits:
         ti = self.seg.text.get(field)
@@ -234,10 +234,10 @@ class Searcher:
     def _term_hits(self, field: str, value, boost: float = 1.0) -> Hits:
         f = self.schema.field(field)
         if f.ftype == TEXT:
-            term = self._normalize_query_token(field, value)
+            term = self._raw_query_term(field, value)
             return self._text_term_hits(field, term, boost)
         if f.ftype == KEYWORD:
-            term = self._normalize_query_token(field, value)
+            term = self._raw_query_term(field, value)
             # keyword columns are matched against the analyzed column value
             vals = self._keyword_values(field)
             mask = vals == term
@@ -389,7 +389,7 @@ class Searcher:
                     self._json_term_doc_mask(base, path, value))
         f = self.schema.field(field)
         if f.ftype == TEXT:
-            term = self._normalize_query_token(field, value)
+            term = self._raw_query_term(field, value)
             ti = self.seg.text.get(field)
             if ti is None:
                 return np.empty(0, dtype=np.int64)
@@ -398,7 +398,7 @@ class Searcher:
                 return np.empty(0, dtype=np.int64)
             return ti.postings(code)[0].astype(np.int64)
         if f.ftype == KEYWORD:
-            term = self._normalize_query_token(field, value)
+            term = self._raw_query_term(field, value)
             return np.flatnonzero(self._keyword_values(field) == term)
         return np.flatnonzero(self._fast_term_mask(field, value))
 
@@ -897,7 +897,7 @@ class Searcher:
 
     def _eval_FuzzyTerm(self, q: ast.FuzzyTerm, boost):
         f = self.schema.field(q.field)
-        term = self._normalize_query_token(q.field, q.value)
+        term = self._raw_query_term(q.field, q.value)
         if f.ftype == TEXT:
             ti = self.seg.text.get(q.field)
             if ti is None:
@@ -929,11 +929,11 @@ class Searcher:
                     rx = _re.compile(clause[1:-1])
                     terms = [t for t in ti.vocab if rx.fullmatch(t)]
                 else:
-                    terms = [self._normalize_query_token(q.field, clause)]
+                    terms = [self._raw_query_term(q.field, clause)]
             elif isinstance(clause, (list, tuple)):
                 for c in clause:
                     terms.extend(
-                        [self._normalize_query_token(q.field, c)]
+                        [self._raw_query_term(q.field, c)]
                         if not (isinstance(c, str) and c.startswith("/"))
                         else [t for t in ti.vocab
                               if _re.compile(c[1:-1]).fullmatch(t)])

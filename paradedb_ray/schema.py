@@ -30,6 +30,10 @@ NUMERIC = "numeric"
 UUID = "uuid"
 INET = "inet"
 LTREE = "ltree"
+#: case-insensitive text (`citext.sql` regress): plain TEXT through the
+#: default tokenizer chain — the chain's lowercase step IS the
+#: case-insensitivity; === stays a raw (case-sensitive) term lookup
+CITEXT = "citext"
 #: pgvector column inside the index (`vector_search_pushdown.sql`,
 #: `pg_search/src/vector/`): fixed-dim float vector served as a fast
 #: field; ``metric`` is the opclass analogue (vector_l2_ops -> "l2",
@@ -111,9 +115,12 @@ class IndexSchema:
         for name, d in field_defs.items():
             if isinstance(d, str):
                 d = {"type": d}
+            ftype = d.get("type", TEXT)
+            if ftype == CITEXT:
+                ftype = TEXT  # citext == TEXT + default (lowercasing) chain
             fields[name] = Field(
                 name=name,
-                ftype=d.get("type", TEXT),
+                ftype=ftype,
                 tokenizer=d.get("tokenizer"),
                 indexed=d.get("indexed", True),
                 fast=d.get("fast", d.get("type") in NUMERIC_TYPES),

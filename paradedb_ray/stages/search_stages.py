@@ -52,10 +52,10 @@ def collect_stat_requests(q: ast.Query, schema: IndexSchema,
         return [value]
 
     def norm_token(field, value):
-        f = schema.fields.get(field.split(".")[0])
-        if f is not None and f.ftype in (TEXT, KEYWORD) and isinstance(value, str):
-            out = f.search_analyzer.filters.apply_texts([value])
-            return out[0] if out else value
+        # Term/MatchArray values are RAW — the reference's value_to_term
+        # never runs the analyzer (`query/mod.rs:1630-1660`; citext.out:
+        # === 'QUICK' matches nothing).  Keys here must mirror what the
+        # Searcher looks up or global df resolution silently misses.
         return value
 
     def walk(q, dfields):
