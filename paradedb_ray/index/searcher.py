@@ -835,9 +835,8 @@ class Searcher:
             return Hits.empty()
         slot_codes = []
         for pat in q.regexes:
-            rx = _re.compile(pat)
-            codes = [i for i, t in enumerate(ti.vocab) if rx.fullmatch(t)]
-            codes = codes[: q.max_expansions]
+            codes = self._regex_vocab_codes(
+                q.field, ti, pat)[: q.max_expansions].tolist()
             if not codes:
                 return Hits.empty()
             slot_codes.append(codes)
@@ -877,23 +876,36 @@ class Searcher:
 
     # -- vocab-expansion queries (const score 1.0) ---------------------------
 
+    def _regex_vocab_codes(self, field: str, ti: TextFieldIndex,
+                           pattern: str) -> np.ndarray:
+        """Vocab codes whose term fullmatches ``pattern`` — vectorized
+        (pandas str.fullmatch keeps Python `re` semantics in a C loop)
+        and cached per segment, so standing queries over persistent
+        streaming segments scan the term dict once, not per epoch."""
+        key = ("_rx", field, pattern)
+        codes = self.seg._json_cache.get(key)
+        if codes is None:
+            import pandas as pd
+
+            m = pd.Series(ti.vocab, dtype=object).str.fullmatch(pattern)
+            codes = np.flatnonzero(m.to_numpy(dtype=bool, na_value=False))
+            self.seg._json_cache[key] = codes
+        return codes
+
     def _eval_Regex(self, q: ast.Regex, boost):
         f = self.schema.field(q.field)
         if f.ftype == TEXT:
             ti = self.seg.text.get(q.field)
             if ti is None:
                 return Hits.empty()
-            rx = _re.compile(q.pattern)
-            codes = np.fromiter(
-                (i for i, t in enumerate(ti.vocab) if rx.fullmatch(t)),
-                dtype=np.int64,
-            )
-            return self._expand_union(q.field, codes)
+            return self._expand_union(
+                q.field, self._regex_vocab_codes(q.field, ti, q.pattern))
         # keyword fast field: regex over column values
+        import pandas as pd
+
         vals = self._keyword_values(q.field)
-        rx = _re.compile(q.pattern)
-        mask = np.array([bool(v is not None and rx.fullmatch(v)) for v in vals])
-        return _mask_to_hits(mask)
+        m = pd.Series(vals, dtype=object).str.fullmatch(q.pattern)
+        return _mask_to_hits(m.to_numpy(dtype=bool, na_value=False))
 
     def _eval_FuzzyTerm(self, q: ast.FuzzyTerm, boost):
         f = self.schema.field(q.field)
@@ -911,8 +923,7 @@ class Searcher:
         if f.ftype == TEXT:
             return self._expand_union(q.field, matches.astype(np.int64))
         vals = self._keyword_values(q.field)
-        ok = set(vocab[i] for i in matches)
-        mask = np.array([v in ok for v in vals])
+        mask = np.isin(vals, vocab[matches])
         return _mask_to_hits(mask)
 
     def _eval_Proximity(self, q: ast.Proximity, boost):
@@ -926,8 +937,8 @@ class Searcher:
             terms = []
             if isinstance(clause, str):
                 if clause.startswith("/") and clause.endswith("/"):
-                    rx = _re.compile(clause[1:-1])
-                    terms = [t for t in ti.vocab if rx.fullmatch(t)]
+                    terms = ti.vocab[self._regex_vocab_codes(
+                        q.field, ti, clause[1:-1])].tolist()
                 else:
                     terms = [self._raw_query_term(q.field, clause)]
             elif isinstance(clause, (list, tuple)):
@@ -935,8 +946,8 @@ class Searcher:
                     terms.extend(
                         [self._raw_query_term(q.field, c)]
                         if not (isinstance(c, str) and c.startswith("/"))
-                        else [t for t in ti.vocab
-                              if _re.compile(c[1:-1]).fullmatch(t)])
+                        else ti.vocab[self._regex_vocab_codes(
+                            q.field, ti, c[1:-1])].tolist())
             posmap: dict = {}
             for t in terms:
                 c = ti.term_code(str(t))
