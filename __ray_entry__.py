@@ -835,6 +835,33 @@ def _q_agg_bool_terms(sf):
     return pdb_agg(ds, {"a": {"terms": {"field": "is_high", "size": 10}}})
 
 
+def _q_is_null(sf):
+    """IS NULL pushdown (`is_null_pushdown.sql`): NULL is modeled as
+    must_not Exists.  The nullable column derives from ``value`` so every
+    sf has both NULL and non-NULL rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    ev = _tbl(sf, "events", columns=["event_id", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        return b.append_column(
+            "v10", pc.if_else(pc.greater_equal(v, 10.0), v, None))
+
+    ds = ev.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    schema = IndexSchema.build(
+        "event_id", event_id={"type": "i64", "fast": True},
+        value={"type": "f64", "fast": True},
+        v10={"type": "f64", "fast": True})
+    return search(ds, schema, pdb.is_null("v10"), with_score=False,
+                  output_columns=["event_id"])
+
+
 def _q_percentiles_tdigest(sf):
     """t-digest sketch percentiles (reference: tantivy t-digest percentile
     path) — approximate, so rows-only: no oracle_sql entry."""
@@ -1234,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_agg": _q_score_agg,
         "percentiles_tdigest": _q_percentiles_tdigest,
         "agg_bool_terms": _q_agg_bool_terms,
+        "is_null": _q_is_null,
     }
 
 
@@ -1562,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_bool_terms":
             "SELECT (value > 50) AS is_high, count(*) AS doc_count"
             " FROM events GROUP BY 1",
+        "is_null":
+            "SELECT event_id FROM events WHERE value < 10",
         # rows-only (non-SQL-expressible): search_topk_bm25 (BM25 scores),
         # snippet (highlight strings), dedup_minhash/dedup_simhash
         # (probabilistic sketches), langid/fingerprint (heuristics), knn_ivf

@@ -234,3 +234,56 @@ def match_array(field: str, tokens, **kw) -> ast.Query:
     """Pre-split Match (`pdb.match` with a token array,
     `pdb_query.rs:222-228`)."""
     return ast.MatchArray(field, list(tokens), **kw)
+
+
+def is_not_null(field: str) -> ast.Query:
+    """``field IS NOT NULL`` pushdown -> Exists (`is_null_pushdown.sql`)."""
+    return ast.Exists(field)
+
+
+def is_null(field: str) -> ast.Query:
+    """``field IS NULL`` pushdown -> must_not Exists
+    (`is_null_pushdown.sql`: "pushed to the index as NOT EXISTS")."""
+    return ast.Boolean(must=[ast.All()], must_not=[ast.Exists(field)])
+
+
+def term_with_operator(field: str, operator: str, value) -> ast.Query:
+    """``paradedb.term_with_operator(field, op, value)`` — the planner's
+    comparison pushdown (`api/builder_fns/paradedb.rs:109-165`): ``=`` ->
+    Term, ``<>`` -> Exists AND NOT Term (NULL rows never match), and the
+    four inequalities -> half-open ranges."""
+    op = operator.strip()
+    if op == "=":
+        return ast.Term(field, value)
+    if op == "<>":
+        return ast.Boolean(must=[ast.Exists(field)],
+                           must_not=[ast.Term(field, value)])
+    if op == ">":
+        return range(field, lower=value, lower_inclusive=False)
+    if op == ">=":
+        return range(field, lower=value, lower_inclusive=True)
+    if op == "<":
+        return range(field, upper=value, upper_inclusive=False)
+    if op == "<=":
+        return range(field, upper=value, upper_inclusive=True)
+    raise ValueError(f"unsupported operator: {op}")
+
+
+def terms_with_operator(field: str, operator: str, values,
+                        conjunction_mode: bool = False) -> ast.Query:
+    """``paradedb.terms_with_operator(field, op, ARRAY[...], conj)`` —
+    ``= ANY`` / ``IN`` / ``<> ALL`` pushdown
+    (`api/builder_fns/paradedb.rs:181-267`): the ``= ANY`` disjunction
+    optimizes to a TermSet with NULL elements skipped; any other form
+    builds a Boolean of per-element quals; a conjunction containing a
+    NULL element can never match -> Empty."""
+    values = list(values)
+    if not conjunction_mode and operator.strip() == "=":
+        return ast.TermSet(field, [v for v in values if v is not None])
+    if conjunction_mode and any(v is None for v in values):
+        return ast.Empty()
+    quals = [term_with_operator(field, operator, v)
+             for v in values if v is not None]
+    if conjunction_mode:
+        return ast.Boolean(must=quals)
+    return ast.Boolean(should=quals)
