@@ -661,7 +661,14 @@ class Searcher:
 
     def _field_tokens(self, field: str, value: str) -> list:
         # query-side tokenization honours search_tokenizer
-        # (`search_tokenizer.sql` autocomplete pattern)
+        # (`search_tokenizer.sql` autocomplete pattern); a JSON dot-path
+        # (`metadata->>'color' ||| 'white'`, `json_operator.sql`)
+        # tokenizes with the base JSON field's analyzer
+        if "." in field and field not in self.schema.fields:
+            base = field.split(".", 1)[0]
+            f = self.schema.fields.get(base)
+            if f is not None and f.ftype == JSON:
+                return f.analyzer.tokenize(value)
         return self.schema.field(field).search_analyzer.tokenize(value)
 
     def _eval_Match(self, q: ast.Match, boost):

@@ -124,3 +124,15 @@ def test_json_snippet_search_pipeline(ray_session, json_searcher):
     ).to_pandas()
     assert out["id"].tolist() == [1]
     assert out["snippet"].tolist() == ["A <b>test</b> author"]
+
+
+def test_json_match_operator(json_searcher):
+    """`json_operator.sql`: ||| / &&& over a JSON dot-path tokenize with
+    the base field's analyzer."""
+    s = json_searcher
+    q = ast.Match("metadata_jsonb.details.author.description", "test author",
+                  conjunction_mode=True)
+    assert _row_ids(s, s.eval(q)) == [1]
+    q = ast.Match("metadata_json.tags", "snippet missing",
+                  conjunction_mode=False)
+    assert _row_ids(s, s.eval(q)) == [1]
