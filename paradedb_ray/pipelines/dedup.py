@@ -231,15 +231,20 @@ def _colliding_buckets(sigs: "ray.data.Dataset", key_col: str,
     row per bucket with >1 member — a vanishing fraction of the corpus —
     and it both gates the no-duplicates short-circuit and feeds the
     candidate join."""
-    aggs = ([Min(on=key_col, alias_name="dup_of")] if with_canonical else [])
-    agg = sigs.groupby(bucket_cols).aggregate(*aggs,
-                                              Count(alias_name="__n"))
+    # two-stage vectorized hash aggregate (stages/hash_agg.py) — Ray's
+    # native groupby shuffle costs ~17s at 1.6M signature rows where the
+    # arithmetic is milliseconds
+    from paradedb_ray.stages.hash_agg import grouped_min_count
+
+    agg = grouped_min_count(sigs, bucket_cols, key_col,
+                            min_alias="dup_of", count_alias="__n",
+                            only_colliding=True)
     keep = bucket_cols + (["dup_of"] if with_canonical else [])
     sig_schema = _pa_schema(sigs)
     key_types = {c: sig_schema.field(c).type for c in bucket_cols}
 
-    def only_colliding(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b.column("__n"), 1)).select(keep)
+    def project(b: pa.Table) -> pa.Table:
+        b = b.select(keep)
         # the aggregate output may promote bucket-key types (int32->int64);
         # cast back so the join keys match the signature stream exactly
         for c, t in key_types.items():
@@ -248,7 +253,7 @@ def _colliding_buckets(sigs: "ray.data.Dataset", key_col: str,
                                  b.column(c).cast(t))
         return b
 
-    return agg.map_batches(only_colliding, batch_format="pyarrow",
+    return agg.map_batches(project, batch_format="pyarrow",
                            batch_size=None).materialize()
 
 
@@ -278,8 +283,12 @@ def _lsh_bucket_pairs(sigs: "ray.data.Dataset", key_col: str,
     if not dedup:
         return pairs
     # a key may collide in several bands: keep the smallest dup_of per key
-    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
-                                                alias_name="dup_of"))
+    from paradedb_ray.stages.hash_agg import grouped_min_count
+
+    out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
+                            min_alias="dup_of", count_alias="__n")
+    return out.map_batches(lambda b: b.select([key_col, "dup_of"]),
+                           batch_format="pyarrow", batch_size=None)
 
 
 def _filter_colliding(sigs: "ray.data.Dataset", bucket_cols: list,

@@ -1,0 +1,132 @@
+"""Two-stage vectorized hash-shuffle MIN/COUNT aggregate.
+
+Ray Data's native ``groupby().aggregate()`` routes through a sort-based
+(or actor-pool hash) shuffle whose constant factors dwarf the actual
+aggregation for metadata-sized streams — the LSH bucket aggregate over
+16 signature rows/doc measured 17 s (sort) / 45 s (hash actors) at
+100k docs where the arithmetic is milliseconds.  The classic two-stage
+hash aggregate is exactly expressible with raw Ray tasks (the documented
+escape hatch for what the Dataset API can't express efficiently):
+
+* **stage 1** (one task per input block): block-local partial aggregate
+  via ``pa.Table.group_by`` (Arrow's C++ hash aggregation), then split
+  into ``P`` sub-tables by key hash (``num_returns=P`` — each aggregator
+  fetches only its slice, the all-to-all stays object-store-native);
+* **stage 2** (one task per partition): concat + final ``group_by``,
+  optional collision filter pushed into the reducer so only buckets
+  with >1 member ever leave it.
+
+Partitioning assumption: every group's rows land in one stage-2 task
+(hash-partitioned by full key), so per-aggregator memory is
+``corpus_keys / P`` — size ``P`` to the cluster (``min(64, CPUs)``
+locally; one per node-core-pair at fleet scale).
+
+Reference analogue: pg_search runs the same shape inside tantivy's
+segment-parallel aggregation tree (`aggregate/mod.rs:503-560` partial ->
+merge), with Postgres workers as stage 1 and the leader as stage 2.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _key_hash(tbl: pa.Table, key_cols: list) -> np.ndarray:
+    """uint64 hash over the key column(s) — one vectorized pass each."""
+    h = None
+    for c in key_cols:
+        col = tbl.column(c).to_numpy(zero_copy_only=False)
+        hc = pd.util.hash_array(col)
+        h = hc if h is None else (h * np.uint64(0x9E3779B97F4A7C15)) ^ hc
+    return h
+
+
+@ray.remote
+def _partial_split(tbl: pa.Table, key_cols: list, min_col: str, P: int,
+                   template: pa.Table):
+    """Block-local partial MIN/COUNT per key, hash-split into P parts.
+    ``template`` is a zero-row table with the input schema — Ray emits
+    schema-less empty blocks for all-filtered batches."""
+    if not all(c in tbl.column_names for c in key_cols + [min_col]):
+        tbl = template
+    part = tbl.group_by(key_cols).aggregate(
+        [(min_col, "min"), ([], "count_all")])
+    # -> columns: key_cols + f"{min_col}_min" + "count_all"
+    if part.num_rows == 0:
+        return tuple(part for _ in range(P)) if P > 1 else part
+    h = (_key_hash(part, key_cols) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    sorted_h = h[order]
+    bounds = np.searchsorted(sorted_h, np.arange(P + 1))
+    idx = pa.array(order, pa.int64())
+    out = tuple(
+        part.take(idx.slice(bounds[p], bounds[p + 1] - bounds[p]))
+        for p in range(P))
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _final_merge(key_cols: list, min_col: str, only_colliding: bool,
+                 min_alias: str, count_alias: str, *parts) -> pa.Table:
+    tabs = [p for p in parts if p.num_rows] or [parts[0]]
+    t = pa.concat_tables(tabs, promote_options="default")
+    out = t.group_by(key_cols).aggregate(
+        [(f"{min_col}_min", "min"), ("count_all", "sum")])
+    mn = out.column(f"{min_col}_min_min")
+    cnt = out.column("count_all_sum")
+    out = pa.table(
+        {**{c: out.column(c) for c in key_cols},
+         min_alias: mn, count_alias: cnt})
+    if only_colliding:
+        out = out.filter(pc.greater(out.column(count_alias), 1))
+    return out
+
+
+def grouped_min_count(
+    ds: ray.data.Dataset,
+    key_cols: list,
+    min_col: str,
+    min_alias: str = "dup_of",
+    count_alias: str = "__n",
+    num_partitions: Optional[int] = None,
+    only_colliding: bool = False,
+) -> ray.data.Dataset:
+    """GROUP BY ``key_cols`` -> (min(min_col), count(*)) as a two-stage
+    hash aggregate; with ``only_colliding`` only groups with >1 row
+    survive (the LSH candidate shape)."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus))
+    P = num_partitions
+    sch = ds.schema()
+    template = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        empty = pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
+                          min_alias: pa.array([], pa.int64()),
+                          count_alias: pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    split = _partial_split.options(num_returns=P if P > 1 else 1)
+    parts_per_block = [split.remote(b, key_cols, min_col, P, template)
+                       for b in blocks]
+    if P == 1:
+        parts_per_block = [[r] for r in parts_per_block]
+    finals = [
+        _final_merge.remote(key_cols, min_col, only_colliding,
+                            min_alias, count_alias,
+                            *[pb[p] for pb in parts_per_block])
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(finals)
