@@ -134,7 +134,26 @@ def sql_aggregate(
             ray_aggs.append(_ray_agg(kind, col, name))
 
     if group_by:
-        return ds.groupby(group_by).aggregate(*ray_aggs)
+        # two-stage vectorized hash aggregate (stages/hash_agg.py) — the
+        # native groupby's sort shuffle costs seconds of overhead per
+        # grouped query at bench scale; partial math mirrors Ray's
+        # aggregates exactly.  NOTE: output has no ordering contract
+        # (callers sort).
+        from paradedb_ray.stages.hash_agg import hash_group_aggregate
+
+        haggs = {}
+        for name, (kind, col) in aggs.items():
+            if name in needs_mask:
+                haggs[name] = ("count" if kind == "count_star" else kind,
+                               f"__mask_{name}")
+            else:
+                haggs[name] = (kind, col)
+        try:
+            return hash_group_aggregate(ds, group_by, haggs)
+        except ValueError:
+            # schema-less (all-empty) input: the native path returns the
+            # same empty result; _guard_buckets restores the schema
+            return ds.groupby(group_by).aggregate(*ray_aggs)
     row = ds.aggregate(*ray_aggs)
     for n in star_names:
         row[n] = int(row[n] or 0)
@@ -335,6 +354,19 @@ def _derive_json_path_fields(ds, schema, agg_json):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def _sort_null_safe(out: ray.data.Dataset, keys: list,
+                    descending=None) -> ray.data.Dataset:
+    """Sort with NULL string keys sentinel-encoded through Ray's
+    range-partitioned sort (it samples object-dtype blocks and cannot
+    order None among strings); decoded back to NULL after."""
+    enc = out.map_batches(lambda t: _sentinel_encode(t, keys),
+                          batch_format="pyarrow", batch_size=None)
+    s = (enc.sort(keys, descending=descending) if descending is not None
+         else enc.sort(keys))
+    return s.map_batches(lambda t: _sentinel_decode(t, keys),
+                         batch_format="pyarrow", batch_size=None)
+
+
 def pdb_agg(
     ds: ray.data.Dataset,
     agg_json: dict,
@@ -412,7 +444,7 @@ def pdb_agg(
             bucket_limit, ds0, key_cols, metric_aggs, key_types)
         fin = _finish_extended(out, ex)
         # Ray's sort drops the schema again on zero rows — skip it
-        return fin if out.count() == 0 else fin.sort(key_cols)
+        return fin if out.count() == 0 else _sort_null_safe(fin, key_cols)
 
     pcts = {n: s for n, s in sub.items() if "percentiles" in s}
     if pcts:
@@ -478,8 +510,8 @@ def pdb_agg(
         fin = _finish_extended(grouped, ex)
         if grouped.count() == 0:  # sort/limit lose the schema on empty
             return fin
-        return fin.sort(
-            ["doc_count", key_col], descending=[True, False]).limit(size)
+        return _sort_null_safe(fin, ["doc_count", key_col],
+                               descending=[True, False]).limit(size)
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
@@ -521,7 +553,8 @@ def pdb_agg(
                              bucket_limit, ds, [f"{name}_key"], aggs,
                              {f"{name}_key": pa.string()})
         fin = _finish_extended(out, ex)
-        return fin if out.count() == 0 else fin.sort([f"{name}_key"])
+        return fin if out.count() == 0 else _sort_null_safe(
+            fin, [f"{name}_key"])
     raise ValueError(f"unsupported bucket kind {kind}")
 
 

@@ -90,6 +90,119 @@ def _final_merge(key_cols: list, min_col: str, only_colliding: bool,
     return out
 
 
+#: stage-1 partial spec per agg kind: list of (pa-agg-fn, needs_col)
+_PARTIALS = {
+    "count_star": [("count_all", False)],
+    "count": [("count", True)],
+    "sum": [("sum", True)],
+    "min": [("min", True)],
+    "max": [("max", True)],
+    "avg": [("sum", True), ("count", True)],
+}
+
+#: stage-2 combine fn over the stage-1 partial column
+_COMBINE = {"count_all": "sum", "count": "sum", "sum": "sum",
+            "min": "min", "max": "max"}
+
+
+@ray.remote
+def _agg_partial_split(tbl: pa.Table, key_cols: list, specs: list, P: int,
+                       template: pa.Table):
+    """Block-local partial aggregate (pa.Table.group_by) hash-split into
+    P parts.  ``specs``: deduped [(col|None, pa_fn)] pairs."""
+    if not all(c in tbl.column_names for c in key_cols):
+        tbl = template
+    part = tbl.group_by(key_cols).aggregate(
+        [((c if c is not None else []), fn) for c, fn in specs])
+    if part.num_rows == 0 or P == 1:
+        return tuple(part for _ in range(P)) if P > 1 else part
+    h = (_key_hash(part, key_cols) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    bounds = np.searchsorted(h[order], np.arange(P + 1))
+    idx = pa.array(order, pa.int64())
+    return tuple(part.take(idx.slice(bounds[p], bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _agg_final(key_cols: list, specs: list, aggs: dict, *parts) -> pa.Table:
+    tabs = [p for p in parts if p.num_rows] or [parts[0]]
+    t = pa.concat_tables(tabs, promote_options="default")
+    combine = []
+    for c, fn in specs:
+        pname = f"{c}_{fn}" if c is not None else "count_all"
+        combine.append((pname, _COMBINE[fn]))
+    out = t.group_by(key_cols).aggregate(combine)
+
+    def partial_col(c, fn):
+        pname = f"{c}_{fn}" if c is not None else "count_all"
+        return out.column(f"{pname}_{_COMBINE[fn]}")
+
+    cols = {c: out.column(c) for c in key_cols}
+    for name, (kind, col) in aggs.items():
+        if kind == "avg":
+            s = partial_col(col, "sum").to_numpy(zero_copy_only=False)
+            n = partial_col(col, "count").to_numpy(zero_copy_only=False)
+            n = n.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(n > 0, s.astype(np.float64) / n, np.nan)
+            cols[name] = pa.array(v, pa.float64())
+            # groups whose column is all-null: count 0 -> null mean
+            cols[name] = pc.if_else(pa.array(n > 0), cols[name], None)
+        elif kind == "count_star":
+            cols[name] = partial_col(None, "count_all")
+        else:
+            cols[name] = partial_col(col, _PARTIALS[kind][0][0])
+    return pa.table(cols)
+
+
+def hash_group_aggregate(
+    ds: ray.data.Dataset,
+    key_cols: list,
+    aggs: dict,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """GROUP BY ``key_cols`` with ``aggs``: name -> (kind, col|None),
+    kind in count_star|count|sum|avg|min|max — the general two-stage
+    hash aggregate (same shape and caveats as :func:`grouped_min_count`).
+    Partial math mirrors Ray's Mean exactly (total sum / total count), so
+    results are bit-identical to the native groupby for the integer-valued
+    columns the oracle entries aggregate."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus))
+    P = num_partitions
+    specs: list = []
+    for kind, col in aggs.values():
+        for fn, needs_col in _PARTIALS[kind]:
+            spec = (col if needs_col else None, fn)
+            if spec not in specs:
+                specs.append(spec)
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("hash_group_aggregate: input has no schema "
+                         "(all-empty dataset) — caller should fall back")
+    template = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        blocks = [ray.put(template)]
+    split = _agg_partial_split.options(num_returns=P if P > 1 else 1)
+    parts_per_block = [split.remote(b, key_cols, specs, P, template)
+                       for b in blocks]
+    if P == 1:
+        parts_per_block = [[r] for r in parts_per_block]
+    finals = [
+        _agg_final.remote(key_cols, specs, aggs,
+                          *[pb[p] for pb in parts_per_block])
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(finals)
+
+
 def grouped_min_count(
     ds: ray.data.Dataset,
     key_cols: list,
