@@ -71,16 +71,14 @@ def sql_aggregate(
     # back onto the other aggregates' (small) result
     card = {n: c for n, (k, c) in aggs.items() if k == "cardinality"}
     if card:
+        from paradedb_ray.stages.hash_agg import hash_distinct_count
+
         rest = {n: kc for n, kc in aggs.items() if kc[0] != "cardinality"}
         outs = []
         for name, col in card.items():
-            dd = ds.groupby((group_by or []) + [col]).aggregate(
-                Count(alias_name="__c"))
-            if group_by:
-                o = dd.groupby(group_by).aggregate(Count(alias_name=name))
-            else:
-                o = ray.data.from_items([{name: dd.count()}])
-            outs.append(o)
+            # two-stage hash distinct (stages/hash_agg.py): block-local
+            # dedup -> tuple-hash split -> per-part dedup + partial counts
+            outs.append(hash_distinct_count(ds, group_by or [], col, name))
         if rest:
             outs.insert(0, sql_aggregate(ds, group_by, rest,
                                          agg_filters=agg_filters))

@@ -203,6 +203,93 @@ def hash_group_aggregate(
     return ray.data.from_arrow_refs(finals)
 
 
+@ray.remote
+def _distinct_split(tbl: pa.Table, key_cols: list, col: str, P: int,
+                    template: pa.Table):
+    """Block-local distinct over (key_cols, col), hash-split by the FULL
+    tuple — each distinct tuple lands in exactly one reducer."""
+    cols = key_cols + [col]
+    if not all(c in tbl.column_names for c in cols):
+        tbl = template
+    part = tbl.select(cols).group_by(cols).aggregate([])
+    if part.num_rows == 0 or P == 1:
+        return tuple(part for _ in range(P)) if P > 1 else part
+    h = (_key_hash(part, cols) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    bounds = np.searchsorted(h[order], np.arange(P + 1))
+    idx = pa.array(order, pa.int64())
+    return tuple(part.take(idx.slice(bounds[p], bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _distinct_final(key_cols: list, col: str, alias: str,
+                    *parts) -> pa.Table:
+    tabs = [p for p in parts if p.num_rows] or [parts[0]]
+    t = pa.concat_tables(tabs, promote_options="default")
+    cols = key_cols + [col]
+    d = t.group_by(cols).aggregate([])
+    if not key_cols:
+        # SQL COUNT(DISTINCT) never counts NULL values
+        n = pc.sum(pc.is_valid(d.column(col)).cast(pa.int64())).as_py() or 0
+        return pa.table({alias: pa.array([int(n)], pa.int64())})
+    # per-part counts are PARTIAL per key (a key's values spread across
+    # parts by the (key, col) hash) — summed in the driver-side combine.
+    # pa "count" skips null col values, while the null tuple keeps an
+    # all-NULL group alive with count 0 (SQL GROUP BY semantics)
+    g = d.group_by(key_cols).aggregate([(col, "count")])
+    return pa.table({**{k: g.column(k) for k in key_cols},
+                     alias: g.column(f"{col}_count")})
+
+
+def hash_distinct_count(
+    ds: ray.data.Dataset,
+    key_cols: list,
+    col: str,
+    alias: str,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """COUNT(DISTINCT col) [GROUP BY key_cols] as a two-stage hash
+    distinct: block-local dedup -> tuple-hash split -> per-part dedup;
+    the per-key partial counts (tiny) combine in one final pass."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus))
+    P = num_partitions
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("hash_distinct_count: input has no schema")
+    template = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        blocks = [ray.put(template)]
+    split = _distinct_split.options(num_returns=P if P > 1 else 1)
+    parts_per_block = [split.remote(b, key_cols, col, P, template)
+                       for b in blocks]
+    if P == 1:
+        parts_per_block = [[r] for r in parts_per_block]
+    finals = ray.get([
+        _distinct_final.remote(key_cols, col, alias,
+                               *[pb[p] for pb in parts_per_block])
+        for p in range(P)
+    ])
+    # combine the tiny per-part tables (partial counts per key)
+    t = pa.concat_tables([f for f in finals if f.num_rows]
+                         or [finals[0]], promote_options="default")
+    if key_cols:
+        g = t.group_by(key_cols).aggregate([(alias, "sum")])
+        out = pa.table({**{k: g.column(k) for k in key_cols},
+                        alias: g.column(f"{alias}_sum")})
+    else:
+        out = pa.table({alias: pa.array(
+            [pc.sum(t.column(alias)).as_py() or 0], pa.int64())})
+    return ray.data.from_arrow(out)
+
+
 def grouped_min_count(
     ds: ray.data.Dataset,
     key_cols: list,
