@@ -93,14 +93,28 @@ def exact_dedup(
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # group = one content hash; resolve hash collisions by exact text
-        g = g.sort_values(key_col, kind="mergesort")
-        out = g.drop_duplicates(subset=[text_col], keep="first")
-        return out.drop(columns="__h")
+    # two-stage hash-partitioned reduce (stages/hash_agg.py): each content
+    # hash meets in one reducer; the same keep-extreme-key-per-text step
+    # runs as the block-local combiner (dup-heavy blocks shrink before the
+    # all-to-all) and again in the reducer.  Hash collisions resolve by
+    # exact text (the group key is (__h, text)).
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
 
-    return hashed.groupby("__h").map_groups(first_per_group,
-                                            batch_format="pandas")
+    agg_fn = "min" if keep == "min" else "max"
+
+    def keep_one(t: pa.Table, drop: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__h"]) if drop else t
+        w = t.group_by(["__h", text_col]).aggregate([(key_col, agg_fn)])
+        mask = pc.is_in(t.column(key_col),
+                        value_set=w.column(f"{key_col}_{agg_fn}"))
+        t = t.filter(mask)
+        return t.drop_columns(["__h"]) if drop else t
+
+    return hash_partition_apply(
+        hashed, ["__h"],
+        reduce_fn=lambda t: keep_one(t, True),
+        pre_fn=lambda t: keep_one(t, False))
 
 
 def _shingles(tokens: list, k: int) -> set:

@@ -25,17 +25,9 @@ def filter_batches(ds: ray.data.Dataset,
 
 
 def distinct(ds: ray.data.Dataset, columns: list) -> ray.data.Dataset:
-    """DISTINCT over columns: per-block unique (combiner) then one groupby
-    shuffle; output has exactly ``columns``."""
+    """DISTINCT over columns: two-stage hash dedup (block-local unique,
+    tuple-hash split, per-part unique — `stages/hash_agg.py`); output has
+    exactly ``columns``."""
+    from paradedb_ray.stages.hash_agg import hash_distinct
 
-    def local_unique(batch: pa.Table) -> pa.Table:
-        return batch.select(columns).group_by(columns).aggregate([])
-
-    pruned = ds.map_batches(local_unique, batch_format="pyarrow",
-                            batch_size=None)
-    import pandas as pd
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pruned.groupby(columns).map_groups(first, batch_format="pandas")
+    return hash_distinct(ds.select_columns(columns), columns)

@@ -223,6 +223,109 @@ def _distinct_split(tbl: pa.Table, key_cols: list, col: str, P: int,
 
 
 @ray.remote
+def _rows_split(tbl: pa.Table, key_cols: list, P: int, template: pa.Table,
+                pre_fn):
+    """Split full rows by key hash into P parts, after an optional
+    block-local shrink (``pre_fn``, e.g. a local dedup)."""
+    if not all(c in tbl.column_names for c in key_cols):
+        tbl = template
+    if pre_fn is not None:
+        tbl = pre_fn(tbl)
+    if tbl.num_rows == 0 or P == 1:
+        return tuple(tbl for _ in range(P)) if P > 1 else tbl
+    h = (_key_hash(tbl, key_cols) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    bounds = np.searchsorted(h[order], np.arange(P + 1))
+    idx = pa.array(order, pa.int64())
+    return tuple(tbl.take(idx.slice(bounds[p], bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+@ray.remote
+def _apply_final(reduce_fn, *parts) -> pa.Table:
+    tabs = [p for p in parts if p.num_rows] or [parts[0]]
+    return reduce_fn(pa.concat_tables(tabs, promote_options="default"))
+
+
+def hash_partition_apply(
+    ds: ray.data.Dataset,
+    key_cols: list,
+    reduce_fn,
+    pre_fn=None,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Generic hash-partitioned reduce: rows route to ``P`` reducers by
+    key hash (every row of a key meets in ONE reducer), each reducer runs
+    ``reduce_fn(pa.Table) -> pa.Table``.  ``pre_fn`` shrinks blocks before
+    the all-to-all (the combiner slot)."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus))
+    P = num_partitions
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("hash_partition_apply: input has no schema")
+    template = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        blocks = [ray.put(template)]
+    split = _rows_split.options(num_returns=P if P > 1 else 1)
+    parts_per_block = [split.remote(b, key_cols, P, template, pre_fn)
+                       for b in blocks]
+    if P == 1:
+        parts_per_block = [[r] for r in parts_per_block]
+    finals = [_apply_final.remote(reduce_fn,
+                                  *[pb[p] for pb in parts_per_block])
+              for p in range(P)]
+    return ray.data.from_arrow_refs(finals)
+
+
+@ray.remote
+def _unique_final(cols: list, *parts) -> pa.Table:
+    tabs = [p for p in parts if p.num_rows] or [parts[0]]
+    t = pa.concat_tables(tabs, promote_options="default")
+    return t.group_by(cols).aggregate([])
+
+
+def hash_distinct(
+    ds: ray.data.Dataset,
+    columns: list,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """DISTINCT over ``columns`` as a two-stage hash dedup: block-local
+    unique -> tuple-hash split -> per-part unique.  Each distinct tuple
+    lands in exactly one reducer, so the union of reducer outputs IS the
+    distinct set."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus))
+    P = num_partitions
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("hash_distinct: input has no schema")
+    template = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        blocks = [ray.put(template)]
+    split = _distinct_split.options(num_returns=P if P > 1 else 1)
+    parts_per_block = [split.remote(b, columns[:-1], columns[-1], P, template)
+                       for b in blocks]
+    if P == 1:
+        parts_per_block = [[r] for r in parts_per_block]
+    finals = [_unique_final.remote(columns, *[pb[p] for pb in parts_per_block])
+              for p in range(P)]
+    return ray.data.from_arrow_refs(finals)
+
+
+@ray.remote
 def _distinct_final(key_cols: list, col: str, alias: str,
                     *parts) -> pa.Table:
     tabs = [p for p in parts if p.num_rows] or [parts[0]]
