@@ -136,3 +136,34 @@ def test_json_match_operator(json_searcher):
     q = ast.Match("metadata_json.tags", "snippet missing",
                   conjunction_mode=False)
     assert _row_ids(s, s.eval(q)) == [1]
+
+
+def test_json_vs_text_term_property():
+    """Differential oracle: a JSON string leaf must match single-token
+    term queries exactly like the same string indexed as a TEXT field
+    (tantivy tokenizes JSON string values with the field analyzer)."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    docs = st.lists(st.lists(words, min_size=0, max_size=6), min_size=1,
+                    max_size=12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(docs=docs, q=words)
+    def check(docs, q):
+        texts = [" ".join(d) for d in docs]
+        schema = IndexSchema.build(
+            "id", body={"type": "text"}, meta={"type": "json"})
+        t = pa.table({
+            "id": pa.array(range(len(texts)), pa.int64()),
+            "body": pa.array(texts),
+            "meta": pa.array([json.dumps({"body": x}) for x in texts]),
+        })
+        s = Searcher(build_segment(t, schema), schema)
+        a = _row_ids(s, s.eval(ast.Term("body", q)))
+        b = _row_ids(s, s.eval(ast.Term("meta.body", q)))
+        assert a == b, (texts, q)
+
+    check()
