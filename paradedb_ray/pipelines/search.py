@@ -13,11 +13,34 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import ray
 import ray.data
 
 from paradedb_ray.query import ast
 from paradedb_ray.schema import IndexSchema
 from paradedb_ray.stages.search_stages import BatchScorer, compute_global_stats
+
+
+@ray.remote
+def _block_partials(tbl) -> list:
+    """Extract the pickled stats partials from one packet block (bytes
+    only — candidate rows never travel to the driver)."""
+    return tbl.column("partial").to_pylist()
+
+
+@ray.remote
+def _apply_block(fn, tbl):
+    """Run a table->table stage callable on one materialized block."""
+    return fn(tbl)
+
+
+@ray.remote
+def _merge_blocks(fn, *tabs):
+    """Concat small blocks (schema-less empties dropped) and apply fn."""
+    import pyarrow as pa
+
+    keep = [t for t in tabs if t.num_rows] or list(tabs[:1])
+    return fn(pa.concat_tables(keep, promote_options="default"))
 
 SortKey = tuple  # (column, "ascending"|"descending"); "score" allowed
 
@@ -279,9 +302,16 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
         QueryPacketBuilder(schema, terms_by_field, store_pos, keep),
         batch_format="pyarrow", batch_size=None,
     ).materialize()
+    # post-packet work runs as RAW tasks over the materialized blocks —
+    # three extra Dataset launches (partial select, scorer map,
+    # merge repartition) cost ~0.1-0.3 s of fixed overhead EACH at 32
+    # CPUs, a pure Amdahl tax on the N -> 4N scaling of a phase whose
+    # distributed part is already sub-second
+    refs = packets.to_arrow_refs()
     stats = GlobalStats()
-    for row in packets.select_columns(["partial"]).take_all():
-        stats.merge(pickle.loads(row["partial"]))
+    for buf in ray.get([_block_partials.remote(r) for r in refs]):
+        for b in buf:
+            stats.merge(pickle.loads(b))
 
     out_schema = _result_schema(_arrow_schema(ds), output_columns,
                                 with_score, query_id=query_id)
@@ -290,8 +320,8 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
                           sort_keys=list(order_by or []),
                           output_columns=output_columns,
                           query_id=query_id)
-    return packets.map_batches(scorer, batch_format="pyarrow",
-                               batch_size=None), out_schema
+    scored_refs = [_apply_block.remote(scorer, r) for r in refs]
+    return ray.data.from_arrow_refs(scored_refs), out_schema
 
 
 def search_topk(
@@ -484,10 +514,13 @@ def search_topk_multi(
             return b
         return pa.concat_tables(parts, promote_options="default")
 
-    return _anchor_empty(
-        scored.repartition(1).map_batches(
-            all_queries_topk, batch_format="pyarrow", batch_size=None),
-        out_schema)
+    # ONE raw merge task instead of a repartition(1) pipeline — the
+    # anchor empty table rides along so an all-empty result keeps its
+    # schema through the concat
+    refs = scored.to_arrow_refs()
+    merged = _merge_blocks.remote(all_queries_topk,
+                                  ray.put(out_schema.empty_table()), *refs)
+    return ray.data.from_arrow_refs([merged])
 
 
 def reciprocal_rank_fusion(
