@@ -826,29 +826,52 @@ def percentiles_agg(
 
     percents = list(percents)
 
-    def q(g: pa.Table) -> pa.Table:
-        x = g.column(col).to_numpy(zero_copy_only=False).astype(float)
-        x = np.sort(x[~np.isnan(x)])
-        out = {k: [g.column(k)[0].as_py()] for k in group_by}
-        for p in percents:
-            if len(x):
-                h = (len(x) - 1) * (p / 100.0)
-                lo, hi = x[math.floor(h)], x[math.ceil(h)]
-                f = h - math.floor(h)
-                v = float((1.0 - f) * lo + f * hi)
-            else:
-                v = None
-            out[f"{prefix}{int(p) if float(p).is_integer() else p}"] = [v]
+    def group_quantiles(t: pa.Table) -> pa.Table:
+        """Per-group quantiles VECTORIZED across all groups of a
+        hash partition: one multi-key sort, reduceat group boundaries,
+        fancy-indexed lo/hi interpolation (same float64 ops as the old
+        per-group scalar path — bit-identical results)."""
+        import pandas as pd
+
+        pnames = [f"{prefix}{int(p) if float(p).is_integer() else p}"
+                  for p in percents]
+        if t.num_rows == 0:
+            return pa.table(
+                {**{k: t.column(k) for k in group_by},
+                 **{n: pa.array([], pa.float64()) for n in pnames}})
+        idx = pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in group_by]
+            + [(col, "ascending")], null_placement="at_end")
+        t = t.take(idx)
+        kdf = t.select(group_by).to_pandas()
+        codes = np.zeros(len(kdf), dtype=np.int64)
+        for k in group_by:
+            ck, _ = pd.factorize(kdf[k], use_na_sentinel=False)
+            codes = codes * (int(ck.max()) + 1) + ck
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+        valid = ~np.isnan(x)
+        nn = np.add.reduceat(valid.astype(np.int64), starts)
+        out = {k: t.column(k).take(pa.array(starts, pa.int64()))
+               for k in group_by}
+        for p, name in zip(percents, pnames):
+            h = (nn - 1) * (p / 100.0)
+            lo = starts + np.floor(h).astype(np.int64)
+            hi = starts + np.ceil(h).astype(np.int64)
+            f = h - np.floor(h)
+            lo = np.clip(lo, 0, len(x) - 1)
+            hi = np.clip(hi, 0, len(x) - 1)
+            v = (1.0 - f) * x[lo] + f * x[hi]
+            v = np.where(nn > 0, v, np.nan)
+            # NaN -> SQL NULL (all-null groups)
+            out[name] = pa.array(v, pa.float64(), from_pandas=True)
         return pa.table(out)
 
     if group_by:
-        pruned = ds.select_columns(list(group_by) + [col]).map_batches(
-            lambda t: _sentinel_encode(t, group_by),
-            batch_format="pyarrow", batch_size=None)
-        return pruned.groupby(group_by).map_groups(
-            q, batch_format="pyarrow").map_batches(
-            lambda t: _sentinel_decode(t, group_by),
-            batch_format="pyarrow", batch_size=None)
+        from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+        pruned = ds.select_columns(list(group_by) + [col])
+        return hash_partition_apply(pruned, group_by, group_quantiles)
 
     # ungrouped: exact DISTRIBUTED selection via histogram pruning — the
     # driver never sees the value column, only per-block histograms and
