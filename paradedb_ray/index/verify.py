@@ -72,3 +72,65 @@ def verify_segment(seg, schema: IndexSchema) -> dict:
             # not corruption — tolerated (stores build uniform segments)
             pass
     return ok
+
+
+def schema_info(schema: IndexSchema):
+    """``paradedb.schema(index)`` analogue (`api/index.rs` schema table
+    function; regress `tokenize-uuid.sql` output shape): one row per
+    field with the tantivy-style type name, flags and tokenizer chain.
+
+    Columns mirror the reference: name, field_type, stored, indexed,
+    fast, fieldnorms, expand_dots, tokenizer, record, normalizer.
+    """
+    import pyarrow as pa
+
+    from paradedb_ray import schema as S
+
+    type_names = {
+        S.TEXT: "Str", S.KEYWORD: "Str", S.I64: "I64", S.U64: "U64",
+        S.F64: "F64", S.BOOL: "Bool", S.DATE: "Date", S.JSON: "Json",
+        S.UUID: "Str", S.INET: "Str", S.LTREE: "Facet",
+        S.VECTOR: "F32Vec",
+    }
+
+    def tok_str(f) -> str:
+        if f.ftype not in (S.TEXT, S.KEYWORD, S.JSON):
+            return ""
+        cfg = dict(f.tokenizer or {})
+        t = cfg.pop("type", "default")
+        extras = ",".join(f"{k}={v}" for k, v in sorted(cfg.items()))
+        return f"{t}[{extras}]" if extras else t
+
+    rows = {"name": [], "field_type": [], "stored": [], "indexed": [],
+            "fast": [], "fieldnorms": [], "expand_dots": [],
+            "tokenizer": [], "record": [], "normalizer": []}
+    for f in schema.fields.values():
+        if f.ftype == S.NUMERIC:
+            ftype = "I64" if f.scale is not None else "Bytes"
+        else:
+            ftype = type_names.get(f.ftype, "Str")
+        text_like = f.ftype in (S.TEXT, S.JSON)
+        rows["name"].append(f.name)
+        rows["field_type"].append(ftype)
+        rows["stored"].append(True)  # the docstore IS the heap here
+        rows["indexed"].append(bool(f.indexed))
+        rows["fast"].append(bool(f.fast))
+        rows["fieldnorms"].append(text_like)
+        rows["expand_dots"].append(True if f.ftype == S.JSON else None)
+        rows["tokenizer"].append(tok_str(f))
+        rows["record"].append(
+            ("position" if f.positions else "freq") if text_like
+            else ("basic" if f.ftype == S.KEYWORD else ""))
+        rows["normalizer"].append("raw" if f.ftype == S.KEYWORD else "")
+    return pa.table({
+        "name": pa.array(rows["name"], pa.string()),
+        "field_type": pa.array(rows["field_type"], pa.string()),
+        "stored": pa.array(rows["stored"], pa.bool_()),
+        "indexed": pa.array(rows["indexed"], pa.bool_()),
+        "fast": pa.array(rows["fast"], pa.bool_()),
+        "fieldnorms": pa.array(rows["fieldnorms"], pa.bool_()),
+        "expand_dots": pa.array(rows["expand_dots"], pa.bool_()),
+        "tokenizer": pa.array(rows["tokenizer"], pa.string()),
+        "record": pa.array(rows["record"], pa.string()),
+        "normalizer": pa.array(rows["normalizer"], pa.string()),
+    })

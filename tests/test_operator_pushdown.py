@@ -61,3 +61,23 @@ def test_terms_with_operator(s):
     # disjunction of ranges: rating < 2 OR rating > 3
     q = pdb.terms_with_operator("rating", ">", [3])
     assert _ids(s, s.eval(q)) == [4]
+
+
+def test_schema_info_shape():
+    """paradedb.schema() analogue: one row per field, reference column
+    set, tantivy-style type names (tokenize-uuid.sql output shape)."""
+    from paradedb_ray.index.verify import schema_info
+    from paradedb_ray.schema import mock_items_schema
+
+    t = schema_info(mock_items_schema())
+    assert t.column_names == ["name", "field_type", "stored", "indexed",
+                              "fast", "fieldnorms", "expand_dots",
+                              "tokenizer", "record", "normalizer"]
+    rows = {r["name"]: r for r in t.to_pylist()}
+    assert rows["description"]["field_type"] == "Str"
+    assert rows["description"]["record"] == "position"
+    assert rows["rating"]["field_type"] == "I64"
+    assert rows["metadata"]["field_type"] == "Json"
+    assert rows["metadata"]["expand_dots"] is True
+    assert rows["category"]["normalizer"] == "raw"
+    assert rows["category"]["tokenizer"] == "keyword"
