@@ -206,10 +206,11 @@ def bench_transcripts_stream(path: str, num_cpus: int) -> dict:
     shutil.rmtree(sink, ignore_errors=True)
     eng = StreamEngine(transcripts_schema(),
                        StreamConfig(num_partitions=P, mutable_rows=10000))
-    # warm THIS engine's actor processes (spawn + imports) before timing:
-    # a standing deployment's actors are persistent, so the timed run
-    # should not pay process cold-start (hot protocol, BASELINE.md)
-    eng.metrics()
+    # warm THIS engine's actor processes (spawn + imports + ingest code
+    # path on throwaway data) before timing: a standing deployment's
+    # actors are persistent, so the timed run should not pay process
+    # cold-start (hot protocol, BASELINE.md)
+    eng.warm()
     try:
         r = EpochRunner(eng, sink,
                         {"q": pdb.term("text", "merge")}, topk=10,

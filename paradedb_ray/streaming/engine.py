@@ -510,6 +510,12 @@ class StreamEngine:
     def metrics(self) -> list:
         return ray.get([a.metrics.remote() for a in self.actors])
 
+    def warm(self) -> None:
+        """Exercise every partition actor's ingest code path with
+        throwaway local data (no state change) — a standing deployment's
+        actors are persistent, so timed runs should be hot."""
+        ray.get([a.warm.remote() for a in self.actors])
+
     def num_docs(self) -> int:
         return sum(ray.get([a.num_docs.remote() for a in self.actors]))
 

@@ -917,6 +917,35 @@ class Bm25PartitionStore:
                          "store_bytes": int(t.nbytes)})
         return rows
 
+    def warm(self) -> bool:
+        """Exercise the ingest code path once with throwaway data so the
+        first REAL epoch doesn't pay per-actor import/codegen cost
+        (hot-protocol warmup; a standing deployment's actors are long-
+        lived).  No state mutation — everything is local."""
+        import pyarrow as pa
+
+        from paradedb_ray.index.segment import build_segment
+
+        cols: dict = {}
+        for f in self.schema.fields.values():
+            if f.ftype == "text":
+                cols[f.name] = pa.array(["warm up tokens"])
+            elif f.ftype == "keyword":
+                cols[f.name] = pa.array(["w"])
+            elif f.ftype == "date":
+                cols[f.name] = pa.array([0], pa.timestamp("us"))
+            elif f.ftype in ("i64", "u64"):
+                cols[f.name] = pa.array([0], pa.int64())
+            elif f.ftype == "f64":
+                cols[f.name] = pa.array([0.0], pa.float64())
+            else:
+                continue
+        try:
+            build_segment(pa.table(cols), self.schema)
+        except Exception:
+            pass
+        return True
+
     def metrics(self) -> dict:
         return dict(self.metrics_, part=self.part_id,
                     sealed_segments=len(self.sealed),
