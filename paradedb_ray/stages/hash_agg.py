@@ -21,6 +21,12 @@ Partitioning assumption: every group's rows land in one stage-2 task
 ``corpus_keys / P`` — size ``P`` to the cluster (``min(64, CPUs)``
 locally; one per node-core-pair at fleet scale).
 
+Scale bound: the driver tracks B x P object refs (B input blocks).  At
+128 MB blocks that is fine through tens of TB (B in the thousands -> a
+few hundred thousand tiny refs); past ``_MAX_FANOUT_BLOCKS`` blocks an
+extra combiner level concatenates neighbor blocks first so the fan-out
+stays bounded at any corpus size.
+
 Reference analogue: pg_search runs the same shape inside tantivy's
 segment-parallel aggregation tree (`aggregate/mod.rs:503-560` partial ->
 merge), with Postgres workers as stage 1 and the leader as stage 2.
@@ -37,6 +43,26 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+
+#: above this many input blocks, neighbor blocks coalesce first so the
+#: stage-1 fan-out (B x P refs) stays bounded
+_MAX_FANOUT_BLOCKS = 2048
+
+
+@ray.remote
+def _concat_blocks(*tabs) -> pa.Table:
+    keep = [t for t in tabs if t.num_rows] or list(tabs[:1])
+    return pa.concat_tables(keep, promote_options="default")
+
+
+def _bounded_blocks(blocks: list) -> list:
+    """Coalesce neighbor blocks until len(blocks) <= _MAX_FANOUT_BLOCKS."""
+    if len(blocks) <= _MAX_FANOUT_BLOCKS:
+        return blocks
+    k = -(-len(blocks) // _MAX_FANOUT_BLOCKS)  # ceil
+    return [_concat_blocks.remote(*blocks[i: i + k])
+            for i in range(0, len(blocks), k)]
 
 
 def _key_hash(tbl: pa.Table, key_cols: list) -> np.ndarray:
@@ -187,7 +213,7 @@ def hash_group_aggregate(
                          "(all-empty dataset) — caller should fall back")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = ds.to_arrow_refs()
+    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _agg_partial_split.options(num_returns=P if P > 1 else 1)
@@ -270,7 +296,7 @@ def hash_partition_apply(
         raise ValueError("hash_partition_apply: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = ds.to_arrow_refs()
+    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _rows_split.options(num_returns=P if P > 1 else 1)
@@ -312,7 +338,7 @@ def hash_distinct(
         raise ValueError("hash_distinct: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = ds.to_arrow_refs()
+    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _distinct_split.options(num_returns=P if P > 1 else 1)
@@ -367,7 +393,7 @@ def hash_distinct_count(
         raise ValueError("hash_distinct_count: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = ds.to_arrow_refs()
+    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _distinct_split.options(num_returns=P if P > 1 else 1)
@@ -415,7 +441,7 @@ def grouped_min_count(
     sch = ds.schema()
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = ds.to_arrow_refs()
+    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         empty = pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
                           min_alias: pa.array([], pa.int64()),
