@@ -98,28 +98,64 @@ def session_window(
     """
     gap_us = _parse_fixed_interval(gap)
     aggs = aggs or {}
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    _PD_AGG = {"count": "count", "sum": "sum", "avg": "mean",
-               "min": "min", "max": "max"}
-
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="mergesort")
-        t = g[ts_col].astype("int64").to_numpy()
-        new = np.ones(len(t), dtype=bool)
-        new[1:] = (t[1:] - t[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        g = g.assign(__sid=sid, __ts_us=t)
-        spec = {"session_start": ("__ts_us", "min"),
-                "session_end": ("__ts_us", "max"),
-                "n_events": ("__ts_us", "count")}
+    def sessions_part(t: pa.Table) -> pa.Table:
+        """All keys of one hash partition, vectorized: one (key, ts)
+        sort, boundary flags (key change OR gap exceeded), reduceat
+        session aggregates — no per-key Python call."""
+        pnames = list(aggs)
+        if t.num_rows == 0:
+            cols = {key: t.column(key) if key in t.column_names
+                    else pa.array([], pa.string()),
+                    "session_start": pa.array([], pa.timestamp("ns")),
+                    "session_end": pa.array([], pa.timestamp("ns")),
+                    "n_events": pa.array([], pa.int64())}
+            for n in pnames:
+                cols[n] = pa.array([], pa.float64())
+            return pa.table(cols)
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            (ts_col, "ascending")])
+        t = t.take(idx)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(t.column(key).to_pandas(),
+                                use_na_sentinel=False)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (codes[1:] != codes[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ts)]
+        take = pa.array(starts, pa.int64())
+        # ns timestamps mirror the previous pandas to_datetime output
+        cols = {key: t.column(key).take(take),
+                "session_start": pa.array(ts[starts] * 1000,
+                                          pa.timestamp("ns")),
+                "session_end": pa.array(ts[ends - 1] * 1000,
+                                        pa.timestamp("ns")),
+                "n_events": pa.array(ends - starts, pa.int64())}
         for name, (kind, col) in aggs.items():
-            spec[name] = (col, _PD_AGG[kind])
-        out = g.groupby("__sid", sort=True).agg(**spec).reset_index(drop=True)
-        for c in ("session_start", "session_end"):
-            out[c] = pd.to_datetime(out[c], unit="us")
-        out.insert(0, key, g[key].iloc[0])
-        return out
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+            valid = ~np.isnan(v)
+            nv = np.add.reduceat(valid.astype(np.int64), starts)
+            if kind == "count":
+                cols[name] = pa.array(nv, pa.int64())
+                continue
+            if kind in ("sum", "avg"):
+                s = np.add.reduceat(np.where(valid, v, 0.0), starts)
+                out = s if kind == "sum" else s / np.maximum(nv, 1)
+            elif kind == "min":
+                out = np.minimum.reduceat(np.where(valid, v, np.inf), starts)
+            else:  # max
+                out = np.maximum.reduceat(np.where(valid, v, -np.inf), starts)
+            out = np.where(nv > 0, out, np.nan)
+            cols[name] = pa.array(out, pa.float64(), from_pandas=True)
+        return pa.table(cols)
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    need = list(dict.fromkeys(
+        [key, ts_col] + [c for _, c in aggs.values()]))
+    return hash_partition_apply(ds.select_columns(need), [key],
+                                sessions_part)
 
 
