@@ -1148,36 +1148,83 @@ def partitioned_window(
     and processed vectorized.  ``funcs``: name -> (kind, col|None) with
     kind in row_number | rank | dense_rank | lag | lead | running_sum.
     """
+    import pandas as pd
+
     ob_cols = [c for c, _ in order_by]
     ob_desc = [d == "descending" for _, d in order_by]
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ob_cols, ascending=[not d for d in ob_desc],
-                          kind="mergesort").reset_index(drop=True)
-        keys = [tuple(r) for r in g[ob_cols].itertuples(index=False)]
+    def _codes(t: pa.Table, cols: list) -> np.ndarray:
+        c = np.zeros(t.num_rows, dtype=np.int64)
+        for k in cols:
+            ck, _ = pd.factorize(t.column(k).to_pandas(),
+                                 use_na_sentinel=False)
+            c = c * (int(ck.max()) + 1) + ck
+        return c
+
+    def win_part(t: pa.Table) -> pa.Table:
+        """All partitions of one hash slice, vectorized: one sort, then
+        boundary-flag arithmetic — no per-partition Python call."""
+        if t.num_rows == 0:
+            for name, (kind, col) in funcs.items():
+                typ = (pa.int64() if kind in
+                       ("row_number", "rank", "dense_rank")
+                       else pa.float64())
+                t = t.append_column(name, pa.array([], typ))
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in partition_by]
+            + [(c, "descending" if d else "ascending")
+               for c, d in zip(ob_cols, ob_desc)])
+        t = t.take(idx)
+        n = t.num_rows
+        pcode = _codes(t, partition_by)
+        newp = np.r_[True, pcode[1:] != pcode[:-1]]
+        ocode = _codes(t, ob_cols)
+        newtie = newp | np.r_[True, ocode[1:] != ocode[:-1]]
+        pstarts = np.flatnonzero(newp)
+        pcounts = np.diff(np.r_[pstarts, n])
+        pos = np.arange(n) - np.repeat(pstarts, pcounts)  # 0-based in part
+        row_number = pos + 1
         for name, (kind, col) in funcs.items():
             if kind == "row_number":
-                g[name] = np.arange(1, len(g) + 1)
-            elif kind in ("rank", "dense_rank"):
-                ranks, dense, prev = [], 0, None
-                for i, k in enumerate(keys):
-                    if k != prev:
-                        dense += 1
-                        prev = k
-                        start = i + 1
-                    ranks.append(start if kind == "rank" else dense)
-                g[name] = ranks
-            elif kind == "lag":
-                g[name] = g[col].shift(1)
-            elif kind == "lead":
-                g[name] = g[col].shift(-1)
+                t = t.append_column(name, pa.array(row_number, pa.int64()))
+            elif kind == "rank":
+                tstarts = np.flatnonzero(newtie)
+                tcounts = np.diff(np.r_[tstarts, n])
+                r = np.repeat(row_number[tstarts], tcounts)
+                t = t.append_column(name, pa.array(r, pa.int64()))
+            elif kind == "dense_rank":
+                d = np.cumsum(newtie)
+                base = np.repeat(d[pstarts], pcounts) - 1
+                t = t.append_column(name, pa.array(d - base, pa.int64()))
+            elif kind in ("lag", "lead"):
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                out = np.full(n, np.nan)
+                if kind == "lag":
+                    out[1:] = v[:-1]
+                    out[newp] = np.nan
+                else:
+                    out[:-1] = v[1:]
+                    nxt = np.r_[newp[1:], True]
+                    out[nxt] = np.nan
+                t = t.append_column(
+                    name, pa.array(out, pa.float64(), from_pandas=True))
             elif kind == "running_sum":
-                g[name] = g[col].cumsum()
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                valid = ~np.isnan(v)
+                c = np.cumsum(np.where(valid, v, 0.0))
+                base = np.where(pstarts > 0, c[pstarts - 1], 0.0)
+                out = c - np.repeat(base, pcounts)
+                out[~valid] = np.nan
+                t = t.append_column(
+                    name, pa.array(out, pa.float64(), from_pandas=True))
             else:
                 raise ValueError(kind)
-        return g
+        return t
 
-    return ds.groupby(partition_by).map_groups(win, batch_format="pandas")
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    return hash_partition_apply(ds, partition_by, win_part)
 
 
 def window_aggregate(ds: ray.data.Dataset, aggs: dict,
