@@ -530,8 +530,13 @@ def embedding_near_duplicates(
             self.P = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = np.stack([np.asarray(v, dtype=np.float32)
-                          for v in batch.column(vec_col).to_pylist()])
+            col = batch.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # zero-copy list flatten (same pattern as Segment.vector_matrix)
+            flat = np.asarray(pc.list_flatten(col)).astype(np.float32,
+                                                           copy=False)
+            V = flat.reshape(len(col), flat.size // max(len(col), 1))
             if self.P is None:
                 rng = np.random.RandomState(seed)
                 self.P = rng.standard_normal((V.shape[1], n_bits)).astype(
