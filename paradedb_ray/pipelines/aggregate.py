@@ -1105,22 +1105,49 @@ def top_hits_agg(
     one row per hit with a ``hit_rank`` column (the reference returns the
     nested ES JSON; the flat layout is the Arrow/SQL-comparable twin).
 
-    One groupby shuffle; each group sorts only its own rows."""
-    cols = [c for c, _ in sort]
-    asc = [d != "descending" for _, d in sort]
-
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(cols, ascending=asc, kind="mergesort").head(size)
-        g = g.reset_index(drop=True)
-        g["hit_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        keep = (group_by + ["hit_rank"]
-                + [c for c in (source_cols or g.columns)
-                   if c not in group_by and c != "hit_rank"])
-        return g[[c for c in dict.fromkeys(keep) if c in g.columns]]
-
+    Hash-partitioned reduce with a block-local combiner: each block keeps
+    only its own top ``size`` per bucket before the all-to-all, so the
+    shuffle carries at most ``size x buckets`` rows per block — not the
+    corpus."""
     import pandas as pd
 
-    return ds.groupby(group_by).map_groups(head, batch_format="pandas")
+    sort_keys = [(k, "ascending") for k in group_by] + [
+        (c, d if d in ("ascending", "descending") else "ascending")
+        for c, d in sort]
+
+    def _topn(t: pa.Table, final: bool) -> pa.Table:
+        if t.num_rows == 0:
+            if final and "hit_rank" not in t.column_names:
+                t = t.append_column("hit_rank", pa.array([], pa.int64()))
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys,
+                              null_placement="at_end")
+        t = t.take(idx)
+        codes = np.zeros(t.num_rows, dtype=np.int64)
+        for k in group_by:
+            ck, _ = pd.factorize(t.column(k).to_pandas(),
+                                 use_na_sentinel=False)
+            codes = codes * (int(ck.max()) + 1) + ck
+        newp = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(newp)
+        counts = np.diff(np.r_[starts, t.num_rows])
+        pos = np.arange(t.num_rows) - np.repeat(starts, counts)
+        mask = pos < size
+        t = t.filter(pa.array(mask))
+        if not final:
+            return t
+        t = t.append_column("hit_rank", pa.array(pos[mask] + 1, pa.int64()))
+        keep = (group_by + ["hit_rank"]
+                + [c for c in (source_cols or t.column_names)
+                   if c not in group_by and c != "hit_rank"])
+        return t.select([c for c in dict.fromkeys(keep)
+                         if c in t.column_names])
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    return hash_partition_apply(ds, group_by,
+                                reduce_fn=lambda t: _topn(t, True),
+                                pre_fn=lambda t: _topn(t, False))
 
 
 def facet_terms(ds: ray.data.Dataset, field: str, size: Optional[int] = None,
