@@ -419,8 +419,12 @@ def simhash_duplicates(
 
     pairs = cand.groupby(["band", "chunk"]).map_groups(bucket,
                                                        batch_format="pandas")
-    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
-                                                alias_name="dup_of"))
+    from paradedb_ray.stages.hash_agg import grouped_min_count
+
+    out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
+                            min_alias="dup_of", count_alias="__n")
+    return out.map_batches(lambda b: b.select([key_col, "dup_of"]),
+                           batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -462,11 +466,10 @@ def ngram_jaccard_duplicates(
         batch_format="pyarrow", batch_size=None).materialize()
     pairs = _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"],
                               dedup=False)
-    # distinct (key, dup_of): one groupby — pairs ≈ duplicates only
-    pairs = pairs.groupby([key_col, "dup_of"]).aggregate(
-        Count(alias_name="__c"))
-    pairs = pairs.map_batches(lambda b: b.select([key_col, "dup_of"]),
-                              batch_format="pyarrow", batch_size=None)
+    # distinct (key, dup_of): two-stage hash dedup — pairs ≈ dups only
+    from paradedb_ray.stages.hash_agg import hash_distinct
+
+    pairs = hash_distinct(pairs.materialize(), [key_col, "dup_of"])
     pairs = pairs.materialize()  # tiny: candidate pairs only
     if pairs.count() == 0:
         return _empty_pairs(key_col, key_type,
@@ -493,12 +496,22 @@ def ngram_jaccard_duplicates(
     verified = with_ab.map_batches(verify, batch_format="pyarrow",
                                    batch_size=None)
 
-    def canonical(g: pd.DataFrame) -> pd.DataFrame:
-        # keep one canonical target per duplicate key (smallest dup_of)
-        return g.sort_values("dup_of", kind="mergesort").head(1)
+    def canonical(t: pa.Table) -> pa.Table:
+        # keep one canonical target per duplicate key (smallest dup_of),
+        # carrying that pair's jaccard — vectorized first-per-key
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            ("dup_of", "ascending")])
+        t = t.take(idx)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        first = np.r_[True, k[1:] != k[:-1]]
+        return t.filter(pa.array(first))
 
-    return verified.groupby(key_col).map_groups(canonical,
-                                                batch_format="pandas")
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    return hash_partition_apply(verified.materialize(), [key_col],
+                                canonical)
 
 
 # ---------------------------------------------------------------------------
@@ -617,5 +630,9 @@ def embedding_near_duplicates(
 
     pairs = cand.groupby(["band", "bucket"]).map_groups(
         bucket, batch_format="pandas")
-    return pairs.groupby(key_col).aggregate(Min(on="dup_of",
-                                                alias_name="dup_of"))
+    from paradedb_ray.stages.hash_agg import grouped_min_count
+
+    out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
+                            min_alias="dup_of", count_alias="__n")
+    return out.map_batches(lambda b: b.select([key_col, "dup_of"]),
+                           batch_format="pyarrow", batch_size=None)
