@@ -546,25 +546,40 @@ def reciprocal_rank_fusion(
                                               for c in key_cols],
         output_columns=list(key_cols) + ["score"])
 
-    def add_rank(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        idx = pc.sort_indices(g, sort_keys=[("score", "descending")] + [
-            (c, "ascending") for c in key_cols])
-        g = g.take(idx)
-        rr = pa.array(1.0 / (k + np.arange(1, g.num_rows + 1)), pa.float64())
-        return g.append_column("rrf_part", rr)
-
     import numpy as np
 
-    from ray.data.aggregate import Sum
+    def fuse(t: pa.Table) -> pa.Table:
+        """Rank per query + RRF sum + final head, in ONE task — the
+        candidate set is <= |queries| x per_query_limit rows, so two
+        Dataset groupby launches were pure fixed overhead."""
+        import pandas as pd
+        import pyarrow.compute as pc
 
-    with_rank = ranked.groupby("query_id").map_groups(
-        add_rank, batch_format="pyarrow")
-    fused = with_rank.groupby(key_cols).aggregate(
-        Sum(on="rrf_part", alias_name="rrf_score"))
-    return fused.sort(["rrf_score"] + key_cols,
-                      descending=[True] + [False] * len(key_cols)).limit(limit)
+        if t.num_rows == 0:
+            return t.select(key_cols).append_column(
+                "rrf_score", pa.array([], pa.float64()))
+        idx = pc.sort_indices(
+            t, sort_keys=[("query_id", "ascending"),
+                          ("score", "descending")]
+            + [(c, "ascending") for c in key_cols])
+        t = t.take(idx)
+        q, _ = pd.factorize(t.column("query_id").to_pandas())
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        counts = np.diff(np.r_[starts, t.num_rows])
+        rank = np.arange(t.num_rows) - np.repeat(starts, counts) + 1
+        part = t.select(key_cols).append_column(
+            "rrf_part", pa.array(1.0 / (k + rank), pa.float64()))
+        g = part.group_by(key_cols).aggregate([("rrf_part", "sum")])
+        g = pa.table({**{c: g.column(c) for c in key_cols},
+                      "rrf_score": g.column("rrf_part_sum")})
+        idx = pc.sort_indices(
+            g, sort_keys=[("rrf_score", "descending")]
+            + [(c, "ascending") for c in key_cols])
+        return g.take(idx.slice(0, limit))
+
+    refs = ranked.to_arrow_refs()
+    merged = _merge_blocks.remote(fuse, *refs)
+    return ray.data.from_arrow_refs([merged])
 
 
 def search_topk_with_facet(
