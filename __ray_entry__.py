@@ -835,6 +835,22 @@ def _q_agg_bool_terms(sf):
     return pdb_agg(ds, {"a": {"terms": {"field": "is_high", "size": 10}}})
 
 
+def _q_agg_filter_groupby(sf):
+    """GROUP BY + per-aggregate FILTER clauses together
+    (`groupby-agg-filter.sql`): masked value columns feed the same
+    hash-aggregate shuffle."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    li = _tbl(sf, "lineitem", columns=["l_returnflag", "l_quantity"])
+    flt = lambda b: pc.greater(b.column("l_quantity"), 25.0)  # noqa: E731
+    return sql_aggregate(
+        li, ["l_returnflag"],
+        {"n": ("count_star", None),
+         "n_big": ("count_star", None),
+         "qty_big": ("sum", "l_quantity")},
+        agg_filters={"n_big": flt, "qty_big": flt})
+
+
 def _q_is_null(sf):
     """IS NULL pushdown (`is_null_pushdown.sql`): NULL is modeled as
     must_not Exists.  The nullable column derives from ``value`` so every
@@ -1262,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_tdigest": _q_percentiles_tdigest,
         "agg_bool_terms": _q_agg_bool_terms,
         "is_null": _q_is_null,
+        "agg_filter_groupby": _q_agg_filter_groupby,
     }
 
 
@@ -1592,6 +1609,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1",
         "is_null":
             "SELECT event_id FROM events WHERE value < 10",
+        "agg_filter_groupby":
+            "SELECT l_returnflag, count(*) AS n,"
+            " count(*) FILTER (WHERE l_quantity > 25) AS n_big,"
+            " sum(l_quantity) FILTER (WHERE l_quantity > 25) AS qty_big"
+            " FROM lineitem GROUP BY l_returnflag",
         # rows-only (non-SQL-expressible): search_topk_bm25 (BM25 scores),
         # snippet (highlight strings), dedup_minhash/dedup_simhash
         # (probabilistic sketches), langid/fingerprint (heuristics), knn_ivf
