@@ -208,12 +208,49 @@ def hash_token(t: str) -> int:
         hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % _M
 
 
+def _fingerprint_from_hashes(hs: list, window: int) -> int:
+    """The rolling-min recurrence of :func:`rolling_fingerprint`, over
+    precomputed token hashes (bit-identical values)."""
+    if not hs:
+        return 0
+    if len(hs) <= window:
+        acc = 0
+        for h in hs:
+            acc = (acc * _B + h) % _M
+        return acc
+    best = None
+    acc = 0
+    poww = pow(_B, window - 1, _M)
+    for i, h in enumerate(hs):
+        if i < window:
+            acc = (acc * _B + h) % _M
+            if i == window - 1 and (best is None or acc < best):
+                best = acc
+        else:
+            acc = ((acc - hs[i - window] * poww) * _B + h) % _M
+            if best is None or acc < best:
+                best = acc
+    return best
+
+
 def add_fingerprint(ds: ray.data.Dataset, text_col: str,
                     out_col: str = "fingerprint",
                     window: int = 8) -> ray.data.Dataset:
     def fp(batch: pa.Table) -> pa.Table:
-        vals = [rolling_fingerprint(t, window)
-                for t in batch.column(text_col).to_pylist()]
+        # blake2b once per UNIQUE token (vocabulary cost, not corpus
+        # cost) — the rolling recurrence itself is cheap integer math
+        tok_lists = [(t or "").split()
+                     for t in batch.column(text_col).to_pylist()]
+        memo: dict = {}
+        vals = []
+        for toks in tok_lists:
+            hs = []
+            for t in toks:
+                h = memo.get(t)
+                if h is None:
+                    h = memo[t] = hash_token(t)
+                hs.append(h)
+            vals.append(_fingerprint_from_hashes(hs, window))
         return batch.append_column(out_col, pa.array(vals, pa.int64()))
 
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)
