@@ -1175,12 +1175,40 @@ def _q_knn_filtered_ip(sf):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver checks the FIRST 50 entries against the
-    # oracle; they are arranged so every operator FAMILY (search algebra,
-    # agg DSL incl. siblings/calendar, windows, joins, dedup, text
-    # analysis, KNN) is inside the window — near-duplicate search variants
-    # are demoted past 50 and verified locally (VERDICT r1 #9).
+    # oracle. Round-3 rotation (VERDICT r2 #2): the window leads with the 24
+    # entries that never received a driver row in r1/r2 plus the repaired
+    # json_agg, then fills with one representative per already-green family.
+    # Everything past 50 has a green driver row from r1/r2 and is re-verified
+    # locally via tools/check_correctness.py each round.
     return {
-        # search algebra core
+        # --- never driver-checked before r3 (24) ---
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_features": _q_multimodal_features,
+        "knn_ivf": _q_knn_ivf,
+        "knn_filtered_l2": _q_knn_filtered_l2,
+        "knn_filtered_ip": _q_knn_filtered_ip,
+        "nulls_ordering": _q_nulls_ordering,
+        "text_array_term": _q_text_array_term,
+        "search_match_array": _q_match_array,
+        "agg_join_semi": _q_agg_join_semi,
+        "join_left_outer": _q_join_left_outer,
+        "extended_stats": _q_extended_stats,
+        "top_hits": _q_top_hits,
+        "sliding_1h_30m": _q_sliding_1h_30m,
+        "date_histogram_month": _q_date_histogram_month,
+        "percentiles_tdigest": _q_percentiles_tdigest,
+        "agg_bool_terms": _q_agg_bool_terms,
+        "is_null": _q_is_null,
+        "agg_filter_groupby": _q_agg_filter_groupby,
+        # --- repaired in r3 (oracle dtype fix) ---
+        "json_agg": _q_json_agg,
+        # --- family representatives already green in r1/r2 (fill to 50) ---
         "search_term": _q_search_term,
         "search_boolean": _q_search_boolean,
         "search_parse": _q_search_parse,
@@ -1188,34 +1216,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_fuzzy": _q_search_fuzzy,
         "search_regex": _q_search_regex,
         "search_proximity": _q_search_proximity,
-        "search_range_term": _q_search_range_term,
-        "numeric_term": _q_numeric_term,
-        "numeric_range": _q_numeric_range,
-        "search_topk_field": _q_search_topk_field,
-        "search_count": _q_search_count,
-        "search_dismax": _q_search_dismax,
         "search_exists": _q_search_exists,
-        "search_keyword": _q_search_keyword,
         "keyset_paging": _q_keyset_paging,
         "heap_filter": _q_heap_filter,
         "json_term": _q_json_term,
         "facet_lang": _q_facet_lang,
-        # aggregation DSL + windows
+        "numeric_range": _q_numeric_range,
         "agg_groupby": _q_agg_groupby,
         "agg_filter": _q_agg_filter,
         "histogram": _q_histogram,
         "date_histogram": _q_date_histogram,
         "agg_siblings": _q_agg_siblings,
         "terms_agg": _q_terms_agg,
-        "json_agg": _q_json_agg,
         "nested_agg": _q_nested_agg,
         "stats_agg": _q_stats_agg,
         "cardinality": _q_cardinality,
         "percentiles": _q_percentiles,
         "range_agg": _q_range_agg,
         "window_count_over": _q_window_count_over,
+        # ---- entries past the driver's 50-entry window (all have green
+        # driver rows from r1/r2; re-verified locally each round) ----
         "window_rank": _q_window_rank,
-        # relational
         "filter_project": _q_filter_project,
         "topk_orders": _q_topk_orders,
         "join_inner": _q_join_inner,
@@ -1224,7 +1245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": _q_join_hash,
         "distinct": _q_distinct,
         "union_all": _q_union_all,
-        # streaming windows + LLM-pipeline operators
         "tumbling_1h": _q_tumbling_1h,
         "session_30m": _q_session_30m,
         "dedup_exact": _q_dedup_exact,
@@ -1234,34 +1254,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_filtered": _q_knn_filtered,
         "hybrid_rrf": _q_hybrid_rrf,
-        "agg_join_semi": _q_agg_join_semi,
-        "join_left_outer": _q_join_left_outer,
-        # ---- entries past the driver's 50-entry window (locally verified)
-        "extended_stats": _q_extended_stats,
-        "top_hits": _q_top_hits,
+        "numeric_term": _q_numeric_term,
+        "search_topk_field": _q_search_topk_field,
+        "search_count": _q_search_count,
+        "search_dismax": _q_search_dismax,
+        "search_keyword": _q_search_keyword,
+        "search_range_term": _q_search_range_term,
         "search_ts_range": _q_search_ts_range,
         "join_anti": _q_join_anti,
-        "sliding_1h_30m": _q_sliding_1h_30m,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_features": _q_multimodal_features,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
         "search_multi": _q_search_multi,
-        "knn_ivf": _q_knn_ivf,
         "json_range": _q_json_range,
-        "date_histogram_month": _q_date_histogram_month,
-        "knn_filtered_l2": _q_knn_filtered_l2,
-        "nulls_ordering": _q_nulls_ordering,
-        "text_array_term": _q_text_array_term,
-        "knn_filtered_ip": _q_knn_filtered_ip,
         "search_term_set": _q_search_term_set,
         "search_match_conjunction": _q_match_conjunction,
         "search_match_disjunction": _q_match_disjunction,
-        "search_match_array": _q_match_array,
         "search_match_fuzzy": _q_match_fuzzy,
         "search_phrase_slop": _q_search_phrase_slop,
         "search_phrase_prefix": _q_search_phrase_prefix,
@@ -1275,10 +1280,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
-        "percentiles_tdigest": _q_percentiles_tdigest,
-        "agg_bool_terms": _q_agg_bool_terms,
-        "is_null": _q_is_null,
-        "agg_filter_groupby": _q_agg_filter_groupby,
     }
 
 
@@ -1448,9 +1449,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",
         "json_agg":
+            # Outer CAST matters: DuckDB's sum(BIGINT) yields HUGEINT which
+            # pandas widens to float64, while the pipeline emits int64 — the
+            # driver hashes dtypes bit-exactly (VERDICT r2 #1).
             "SELECT event_type, count(*) AS doc_count,"
-            " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
-            " AS k_sum FROM events GROUP BY event_type",
+            " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            " AS BIGINT) AS k_sum FROM events GROUP BY event_type",
         "terms_agg":
             "SELECT event_type, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type",

@@ -99,12 +99,18 @@ def semi_join_pushdown(
     """IN-list pushdown: collect distinct build-side keys, broadcast, filter
     the probe side by membership (TermSet semantics)."""
     rkey = right_on or on
-    keys_tbl = pa.concat_tables(
-        [ray.get(r) for r in right.select_columns([rkey]).to_arrow_refs()]
-    )
+    # shuffle outputs may contain schema-less empty blocks — drop them
+    tables = [t for t in
+              (ray.get(r) for r in right.select_columns([rkey]).to_arrow_refs())
+              if t.num_rows > 0]
     import pyarrow.compute as pc
 
-    keyset = pc.unique(keys_tbl.column(rkey).combine_chunks())
+    if tables:
+        keys_tbl = pa.concat_tables(tables, promote_options="default")
+        keyset = pc.unique(keys_tbl.column(rkey).combine_chunks())
+    else:
+        s = right.schema()
+        keyset = pa.array([], dict(zip(s.names, s.types))[rkey])
     ref = ray.put(keyset)
 
     def member(batch: pa.Table) -> pa.Table:

@@ -104,16 +104,25 @@ def main():
         if sorted(map(str.lower, got.columns)) != sorted(map(str.lower, exp.columns)):
             problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
         if not problems:
-            g, e_ = canon(got), canon(exp)
-            e_.columns = g.columns
-            try:
-                import pandas.testing as pt
+            # The driver's compare is the canon'd value hash, bit-exact —
+            # int64 vs float64 with identical values MUST fail here too
+            # (the lenient check_dtype=False compare masked json_agg in r2).
+            if value_hash(got) != value_hash(exp):
+                g, e_ = canon(got), canon(exp)
+                e_.columns = g.columns
+                dt_g = [str(t) for t in g.dtypes]
+                dt_e = [str(t) for t in e_.dtypes]
+                if dt_g != dt_e:
+                    detail = f"dtypes {dt_g} != {dt_e}"
+                else:
+                    try:
+                        import pandas.testing as pt
 
-                pt.assert_frame_equal(g, e_, check_dtype=False,
-                                      check_exact=False, rtol=0, atol=0)
-            except AssertionError as err:
-                if value_hash(got) != value_hash(exp):
-                    problems.append("value mismatch: " + str(err).split("\n")[0])
+                        pt.assert_frame_equal(g, e_, check_exact=True)
+                        detail = "hash differs but frames compare equal"
+                    except AssertionError as err:
+                        detail = str(err).split("\n")[0]
+                problems.append("value-hash mismatch: " + detail)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")
             if len(got) and not only:
