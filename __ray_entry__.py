@@ -931,9 +931,20 @@ def _q_session_30m(sf):
 
 
 def _q_dedup_exact(sf):
+    """The documents fixture is dup-free at every sf, so the entry PLANTS
+    one exact copy per doc (doc_id + 1000000, same text) — the pipeline
+    must remove exactly the planted copies (min key survives)."""
     from paradedb_ray.pipelines.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf, columns=["doc_id", "text"]),
+    docs = _docs(sf, columns=["doc_id", "text"])
+
+    def shift(b):
+        i = b.column_names.index("doc_id")
+        return b.set_column(i, "doc_id",
+                            pc.add(b.column("doc_id"), 1000000))
+
+    copies = docs.map_batches(shift, batch_format="pyarrow", batch_size=None)
+    return exact_dedup(docs.union(copies),
                        "text", "doc_id").select_columns(["doc_id"])
 
 
@@ -961,11 +972,22 @@ def _q_dedup_ngram_jaccard(sf):
 
 
 def _q_dedup_embedding(sf):
+    """The embeddings fixture has NO true near-pairs at any sf (max cross
+    cosine 0.60), so the entry PLANTS one exact copy per vector
+    (vec_id + 1000000): identical vectors share every LSH band, so the
+    expected output is deterministic ((v+1000000) -> v for every v) and
+    oracle-checkable."""
     from paradedb_ray.pipelines.dedup import embedding_near_duplicates
 
     emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_duplicates(emb, "embedding", "vec_id",
-                                     threshold=0.9)
+
+    def shift(b):
+        i = b.column_names.index("vec_id")
+        return b.set_column(i, "vec_id", pc.add(b.column("vec_id"), 1000000))
+
+    copies = emb.map_batches(shift, batch_format="pyarrow", batch_size=None)
+    return embedding_near_duplicates(emb.union(copies), "embedding",
+                                     "vec_id", threshold=0.9)
 
 
 def _q_multimodal_decode(sf):
@@ -1546,8 +1568,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
             " count(*) AS n_events FROM s GROUP BY user_id, sid",
         "dedup_exact":
-            "SELECT doc_id FROM documents QUALIFY"
+            # the entry unions documents with planted copies (doc_id +
+            # 1000000, same text); keep-min leaves exactly the originals
+            "WITH u AS (SELECT doc_id, text FROM documents UNION ALL"
+            " SELECT doc_id + 1000000, text FROM documents)"
+            " SELECT doc_id FROM u QUALIFY"
             " row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+        "dedup_embedding":
+            # planted exact copies are the ONLY cosine>=0.9 pairs (max
+            # cross-pair cosine in the fixture is 0.60 at every sf), and
+            # identical vectors collide in every LSH band — deterministic
+            "SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id,"
+            " vec_id AS dup_of FROM embeddings",
         "token_count":
             f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
         "quality":

@@ -412,14 +412,86 @@ def simhash64_batch(token_lists: list) -> np.ndarray:
     return out
 
 
+#: in-bucket verification is all-pairs (O(m^2)); buckets beyond this many
+#: members are salt-split into ~CAP-sized subgroups first, so a degenerate
+#: hot bucket (boilerplate content at billions of docs) costs
+#: O(m * CAP) instead of O(m^2) — at the price of splitting that one
+#: giant duplicate cluster into m/CAP canonical survivors (documented
+#: degradation; VERDICT r2 #4)
+_BUCKET_CAP = 512
+
+
+def _salt_groups(keys: np.ndarray, cap: int):
+    """Yield index arrays splitting the bucket into <=~cap-sized subgroups
+    by a deterministic key hash (identical across block layouts)."""
+    m = len(keys)
+    if m <= cap:
+        yield np.arange(m)
+        return
+    n_sub = -(-m // cap)  # ceil
+    salt = pd.util.hash_array(np.asarray(keys)) % np.uint64(n_sub)
+    for s in range(n_sub):
+        idx = np.flatnonzero(salt == s)
+        if len(idx) >= 2:
+            yield idx
+
+
+def _hamming_matrix(sims: np.ndarray) -> np.ndarray:
+    """All-pairs hamming distance over uint64 fingerprints (vectorized
+    XOR + unpackbits popcount)."""
+    x = sims[:, None] ^ sims[None, :]
+    m = len(sims)
+    return np.unpackbits(x.view(np.uint8).reshape(m, m, 8),
+                         axis=2).sum(axis=2, dtype=np.int64)
+
+
+def _banded_hamming_pairs(sig: "ray.data.Dataset", key_col: str,
+                          hamming_k: int) -> "ray.data.Dataset":
+    """(key, band, chunk, sim) signature rows -> verified (key, dup_of)
+    pairs.  Verification is ALL-PAIRS inside each (salt-capped) colliding
+    bucket — not star-vs-canonical, so a true pair neither member of which
+    is the bucket minimum still surfaces (VERDICT r2 #4)."""
+    cand = _filter_colliding(sig, ["band", "chunk"], key_col)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        if len(g) < 2:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        keys = g[key_col].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+        out_k, out_d = [], []
+        for idx in _salt_groups(keys, _BUCKET_CAP):
+            d = _hamming_matrix(sims[idx])
+            ii, jj = np.nonzero(np.triu(d <= hamming_k, 1))
+            if len(ii):
+                kk = keys[idx]
+                out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
+                out_d.append(kk[ii])
+        if not out_k:
+            return pd.DataFrame({key_col: [], "dup_of": []})
+        return pd.DataFrame({key_col: np.concatenate(out_k),
+                             "dup_of": np.concatenate(out_d)})
+
+    pairs = cand.groupby(["band", "chunk"]).map_groups(bucket,
+                                                       batch_format="pandas")
+    from paradedb_ray.stages.hash_agg import grouped_min_count
+
+    out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
+                            min_alias="dup_of", count_alias="__n")
+    return out.map_batches(lambda b: b.select([key_col, "dup_of"]),
+                           batch_format="pyarrow", batch_size=None)
+
+
 def simhash_duplicates(
     ds: ray.data.Dataset,
     text_col: str,
     key_col: str,
     hamming_k: int = 3,
 ) -> ray.data.Dataset:
-    """SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks;
-    docs sharing a chunk are candidates, verified by hamming distance <= k."""
+    """SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks
+    (any pair within hamming <= 3 shares at least one chunk, by
+    pigeonhole); docs sharing a chunk are candidates, verified ALL-PAIRS
+    by hamming distance <= k inside salt-capped buckets."""
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -433,8 +505,9 @@ def simhash_duplicates(
         band = np.tile(np.arange(4, dtype=np.int32), n)
         chunk = ((np.repeat(s, 4) >> (np.uint64(16) * band.astype(np.uint64)))
                  & np.uint64(0xFFFF)).astype(np.int64)
-        sim = np.repeat((s & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
-                        4)
+        # bit-view keeps all 64 fingerprint bits (the old mask dropped the
+        # MSB from verification)
+        sim = np.repeat(s.view(np.int64), 4)
         return pa.table({key_col: rep_keys,
                          "band": pa.array(band, pa.int32()),
                          "chunk": pa.array(chunk, pa.int64()),
@@ -444,31 +517,7 @@ def simhash_duplicates(
     # (bucket aggregate + candidate join)
     sig = ds.map_batches(sigs, batch_format="pyarrow",
                          batch_size=None).materialize()
-    cand = _filter_colliding(sig, ["band", "chunk"], key_col)
-
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if g[key_col].nunique() < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        keys = g[key_col].tolist()
-        hams = g["sim"].to_numpy()
-        out_k, out_d = [], []
-        canon = keys[0]
-        for i in range(1, len(keys)):
-            d = bin(int(hams[0]) ^ int(hams[i])).count("1")
-            if d <= hamming_k:
-                out_k.append(keys[i])
-                out_d.append(canon)
-        return pd.DataFrame({key_col: out_k, "dup_of": out_d})
-
-    pairs = cand.groupby(["band", "chunk"]).map_groups(bucket,
-                                                       batch_format="pandas")
-    from paradedb_ray.stages.hash_agg import grouped_min_count
-
-    out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
-                            min_alias="dup_of", count_alias="__n")
-    return out.map_batches(lambda b: b.select([key_col, "dup_of"]),
-                           batch_format="pyarrow", batch_size=None)
+    return _banded_hamming_pairs(sig, key_col, hamming_k)
 
 
 # ---------------------------------------------------------------------------
@@ -477,13 +526,81 @@ def simhash_duplicates(
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    """Exact word-k-gram Jaccard similarity (verification kernel)."""
+    """Exact word-k-gram Jaccard similarity (scalar reference kernel;
+    the batch path is :func:`ngram_jaccard_batch`)."""
     sa, sb = _shingles((a or "").split(), k), _shingles((b or "").split(), k)
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+_POLY_C = np.uint64(0x100000001B3)  # odd multiplier for the window combine
+
+
+def _shingle_hash_sets(texts: list, k: int) -> list:
+    """Sorted-unique 64-bit shingle-hash array per text, with NO shingle
+    strings ever built: tokens hash once per unique token (vocabulary
+    cost), then every k-window combines as one vectorized polynomial pass
+    over the flat token-hash stream.  A shingle's identity is the
+    polynomial of its k token hashes, so equal word windows hash equal
+    across docs; collisions are ~2^-64.  Docs shorter than k contribute
+    their whole token list as one window (matching ``_shingles``)."""
+    toks = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in toks], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    flat = np.asarray([w for ts in toks for w in ts], dtype=object)
+    if flat.size == 0:
+        return [np.empty(0, np.uint64) for _ in texts]
+    # one flat siphash pass; vocabulary memoization does NOT pay here —
+    # np.unique on an object array costs 15x the hash itself
+    th = pd.util.hash_array(flat)
+    # uint64 wraparound is the hash arithmetic — silence numpy's warning
+    with np.errstate(over="ignore"):
+        # all k-windows of the flat stream in one shot (per-doc slices
+        # below exclude windows that straddle doc boundaries)
+        if len(th) >= k:
+            wh = th[: len(th) - k + 1] * (_POLY_C ** np.uint64(k - 1))
+            for j in range(1, k):
+                wh = wh + th[j: len(th) - k + 1 + j] * (
+                    _POLY_C ** np.uint64(k - 1 - j))
+        else:
+            wh = np.empty(0, np.uint64)
+        out = []
+        for i, n in enumerate(counts):
+            if n == 0:
+                out.append(np.empty(0, np.uint64))
+            elif n < k:
+                # whole doc as a single window (degree n-1 polynomial —
+                # can't collide with a k-window's degree-(k-1) form
+                # except by chance)
+                h = th[bounds[i]]
+                for j in range(bounds[i] + 1, bounds[i + 1]):
+                    h = h * _POLY_C + th[j]
+                out.append(np.array([h], np.uint64))
+            else:
+                out.append(np.unique(wh[bounds[i]: bounds[i + 1] - k + 1]))
+    return out
+
+
+def ngram_jaccard_batch(ta: list, tb: list, k: int = 3) -> np.ndarray:
+    """Vectorized pairwise word-k-gram Jaccard (VERDICT r2 #7): shingle
+    hashing is one vectorized pass per batch side; per-pair set algebra
+    is a sorted-array intersection on int64 hashes — no Python string-set
+    operations in the loop."""
+    ha = _shingle_hash_sets(ta, k)
+    hb = _shingle_hash_sets(tb, k)
+    out = np.empty(len(ta), np.float64)
+    for i, (a, b) in enumerate(zip(ha, hb)):
+        if not len(a) and not len(b):
+            out[i] = 1.0
+        elif not len(a) or not len(b):
+            out[i] = 0.0
+        else:
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            out[i] = inter / (len(a) + len(b) - inter)
+    return out
 
 
 def ngram_jaccard_duplicates(
@@ -529,10 +646,8 @@ def ngram_jaccard_duplicates(
     with_ab = _candidate_join(texts_b, with_a, on="dup_of")
 
     def verify(b: pa.Table) -> pa.Table:
-        ta = b.column("__ta").to_pylist()
-        tb = b.column("__tb").to_pylist()
-        j = np.array([ngram_jaccard(x, y, shingle_k)
-                      for x, y in zip(ta, tb)])
+        j = ngram_jaccard_batch(b.column("__ta").to_pylist(),
+                                b.column("__tb").to_pylist(), shingle_k)
         b = b.append_column("jaccard", pa.array(j, pa.float64()))
         return b.filter(pa.array(j >= threshold)).select(
             [key_col, "dup_of", "jaccard"])
@@ -568,14 +683,19 @@ def embedding_near_duplicates(
     vec_col: str,
     key_col: str,
     threshold: float = 0.95,
-    n_bits: int = 16,
-    bands: int = 4,
+    n_bits: int = 128,
+    bands: int = 8,
     seed: int = 42,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: random-hyperplane LSH (sign bits of
     ``V @ P``), banded; within each colliding bucket exact cosine verifies
-    pairs >= threshold.  Emits (key, dup_of) with the bucket-minimal key
-    canonical.
+    pairs >= threshold ALL-PAIRS.  Emits (key, dup_of) with the smallest
+    matching key canonical per duplicate.
+
+    Round-3 bucketing (VERDICT r2 #3/#4): 128 signature bits in 8 bands of
+    16 bits — 65k buckets per band instead of the old 16, so buckets stay
+    selective at corpus scale; oversize buckets salt-split to
+    ``_BUCKET_CAP`` before the O(m^2) verify.
 
     The LSH shuffle ships ONLY ``(key, band, bucket)`` — the vectors are
     joined back onto the (tiny) colliding fraction afterwards, so the
@@ -665,12 +785,21 @@ def embedding_near_duplicates(
             return pd.DataFrame({key_col: [], "dup_of": [], "cosine": []})
         V = np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        keys = g[key_col].tolist()
-        cos = V[1:] @ V[0]
-        m = cos >= threshold
-        return pd.DataFrame({key_col: np.asarray(keys[1:])[m],
-                             "dup_of": keys[0],
-                             "cosine": cos[m].astype(float)})
+        keys = g[key_col].to_numpy()
+        out_k, out_d, out_c = [], [], []
+        for idx in _salt_groups(keys, _BUCKET_CAP):
+            C = V[idx] @ V[idx].T
+            ii, jj = np.nonzero(np.triu(C >= threshold, 1))
+            if len(ii):
+                kk = keys[idx]
+                out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
+                out_d.append(kk[ii])
+                out_c.append(C[ii, jj].astype(np.float64))
+        if not out_k:
+            return pd.DataFrame({key_col: [], "dup_of": [], "cosine": []})
+        return pd.DataFrame({key_col: np.concatenate(out_k),
+                             "dup_of": np.concatenate(out_d),
+                             "cosine": np.concatenate(out_c)})
 
     pairs = cand.groupby(["band", "bucket"]).map_groups(
         bucket, batch_format="pandas")

@@ -70,3 +70,132 @@ def test_exact_dedup_block_layout_invariance(ray_session):
         outs.append(sorted(
             exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"]))
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# LSH all-pairs verification (VERDICT r2 #4): planted duplicate pairs whose
+# members are BOTH non-minimal in every shared bucket — the old
+# star-vs-canonical verify dropped them.
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pair_not_containing_bucket_min(ray_session):
+    from paradedb_ray.pipelines.dedup import _banded_hamming_pairs
+
+    B = np.uint64(0x0123456789ABCDEF)
+    C = B ^ np.uint64(0b11)  # hamming 2 (flips land in chunk 0)
+    # per-band colliders: keep chunk i identical to B, trash the rest
+    trash = np.uint64(0x5A5A5A5A5A5A5A5A)
+    sims, keys = [], []
+    for i, k in ((1, 0), (2, 1), (3, 2)):
+        mask = ~(np.uint64(0xFFFF) << np.uint64(16 * i))
+        sims.append((B ^ (trash & mask)) & np.uint64(0xFFFFFFFFFFFFFFFF))
+        keys.append(k)
+    sims += [B, C]
+    keys += [10, 11]
+    rows_k, rows_b, rows_c, rows_s = [], [], [], []
+    for k, s in zip(keys, sims):
+        for b in range(4):
+            rows_k.append(k)
+            rows_b.append(b)
+            rows_c.append(int((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+            rows_s.append(int(s.view(np.int64)))
+    sig = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows_k, pa.int64()),
+        "band": pa.array(rows_b, pa.int32()),
+        "chunk": pa.array(rows_c, pa.int64()),
+        "sim": pa.array(rows_s, pa.int64())}))
+    out = _banded_hamming_pairs(sig.materialize(), "doc_id",
+                                hamming_k=3).to_pandas()
+    # every bucket that holds both B and C also holds a smaller collider
+    # with huge hamming distance; all-pairs still surfaces (C -> B)
+    assert dict(zip(out["doc_id"], out["dup_of"])) == {11: 10}
+
+
+def test_embedding_dup_pair_not_containing_bucket_min(ray_session):
+    from paradedb_ray.pipelines.dedup import embedding_near_duplicates
+
+    dim, n_bits, bands, seed = 64, 128, 8, 42
+    bpb = n_bits // bands
+    rng = np.random.RandomState(seed)
+    P = rng.standard_normal((dim, n_bits)).astype(np.float32)  # pipeline's planes
+    gen = np.random.RandomState(7)
+    B = gen.standard_normal(dim).astype(np.float32)
+    B /= np.linalg.norm(B)
+    C = B + gen.standard_normal(dim).astype(np.float32) * 1e-4
+    vecs, keys = [], []
+    for i in range(bands):
+        # n_i orthogonal to band i's plane normals AND to B: A_i = B + n_i
+        # shares band i's bucket with B/C exactly, at cosine ~0.707 < 0.95
+        basis = np.column_stack([P[:, i * bpb:(i + 1) * bpb], B])
+        q, _ = np.linalg.qr(basis)
+        r = gen.standard_normal(dim).astype(np.float64)
+        n = r - q @ (q.T @ r)
+        n = (n / np.linalg.norm(n)).astype(np.float32)
+        a = B + n
+        assert np.all(np.sign(a @ P[:, i * bpb:(i + 1) * bpb])
+                      == np.sign(B @ P[:, i * bpb:(i + 1) * bpb]))
+        assert float(a @ B) / np.linalg.norm(a) < 0.95
+        vecs.append(a)
+        keys.append(i)  # keys 0..7 — all smaller than B/C
+    vecs += [B, C]
+    keys += [100, 101]
+    t = pa.table({"vec_id": pa.array(keys, pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = embedding_near_duplicates(
+        ray.data.from_arrow(t), "embedding", "vec_id",
+        threshold=0.95, seed=seed).to_pandas()
+    assert dict(zip(out["vec_id"], out["dup_of"])) == {101: 100}
+
+
+def test_bucket_salt_cap_splits_giant_cluster(ray_session):
+    """Oversize buckets salt-split before the O(m^2) verify: subgroup
+    sizes stay near the cap and every index appears at most once."""
+    from paradedb_ray.pipelines.dedup import _salt_groups, simhash_duplicates
+
+    keys = np.arange(1000, dtype=np.int64)
+    groups = list(_salt_groups(keys, cap=64))
+    seen = np.concatenate(groups)
+    assert len(seen) == len(np.unique(seen))  # disjoint
+    assert all(len(g) <= 3 * 64 for g in groups)  # hash-balanced near cap
+    assert len(seen) >= 990  # only sub-2-member groups may drop out
+    # end-to-end: a giant identical cluster still links every member to
+    # some smaller canonical
+    texts = ["identical duplicate document body here"] * 24
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(24), pa.int64()),
+        "text": pa.array(texts)}))
+    out = simhash_duplicates(ds, "text", "doc_id").to_pandas()
+    assert (out["dup_of"] < out["doc_id"]).all()
+    assert len(out) == 23
+
+
+def test_ngram_jaccard_batch_matches_scalar(ray_session):
+    """The vectorized sorted-hash-intersection kernel must produce the
+    exact float the string-set scalar kernel produces (same integer
+    |A∩B| / |A∪B| arithmetic; 64-bit hash collisions are ~impossible at
+    this scale)."""
+    from paradedb_ray.pipelines.dedup import ngram_jaccard, ngram_jaccard_batch
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    ta, tb = [], []
+    for _ in range(50):
+        a = doc(rng.randint(0, 40))
+        b_toks = a.split()
+        # mutate a random fraction so jaccard spans (0, 1)
+        for j in range(len(b_toks)):
+            if rng.rand() < 0.3:
+                b_toks[j] = rng.choice(vocab)
+        ta.append(a)
+        tb.append(" ".join(b_toks))
+    ta += ["", "one two three", ""]
+    tb += ["", "", "x y z"]
+    got = ngram_jaccard_batch(ta, tb, k=3)
+    want = np.array([ngram_jaccard(a, b, 3) for a, b in zip(ta, tb)])
+    assert np.array_equal(got, want)

@@ -9,8 +9,14 @@ through ``minhash_lsh_duplicates`` (signature -> band groupby ->
 candidate join — no driver-side dicts), then the planted-pair recall and
 cross-cluster false positives are computed with dataset ops.
 
-Usage: RAY_GRAFT_CPUS=32 python tools/dedup_soak.py [n_docs]
-"""
+Usage: RAY_GRAFT_CPUS=32 python tools/dedup_soak.py [n_docs] [mode]
+
+Modes: ``minhash`` (default) — LSH near-dup recall/throughput over the
+~3%-mutated corpus; ``exact`` — byte-identical planted copies
+(mutate_pct=0) through the metadata-only exact_dedup (survivor-set
+identity is asserted, so this is also a correctness soak); ``ngram`` —
+LSH + exact-Jaccard verification, plus a verify-kernel microbench
+(scalar string-set vs vectorized sorted-hash-intersection)."""
 
 import os
 import sys
@@ -64,8 +70,65 @@ def gen_corpus(n_docs: int, n_unique: int, doc_len: int = 60,
         build, batch_format="pyarrow")
 
 
+def run_exact(corpus, n_docs: int, n_unique: int):
+    """Planted byte-identical copies through the metadata-only exact
+    dedup: survivors must be EXACTLY the n_unique base ids (keep=min)."""
+    from paradedb_ray.pipelines.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    out = exact_dedup(corpus, "text", "doc_id").materialize()
+    dt = time.perf_counter() - t0
+    n_out = out.count()
+    max_id = out.max("doc_id")
+    print(f"docs={n_docs} planted_copies={n_docs - n_unique} "
+          f"wall={dt:.1f}s throughput={n_docs / dt:,.0f} docs/s")
+    print(f"survivors={n_out} (want {n_unique}) max_survivor_id={max_id} "
+          f"(want < {n_unique})")
+    assert n_out == n_unique and max_id == n_unique - 1, "exact soak FAILED"
+    print("exact-mode soak OK: survivor set is exactly the base ids")
+
+
+def run_ngram(corpus, n_docs: int, n_unique: int):
+    from paradedb_ray.pipelines.dedup import (ngram_jaccard,
+                                              ngram_jaccard_batch,
+                                              ngram_jaccard_duplicates)
+
+    t0 = time.perf_counter()
+    pairs = ngram_jaccard_duplicates(corpus, "text", "doc_id",
+                                     threshold=0.7).materialize()
+    dt = time.perf_counter() - t0
+    caught = fp = 0
+    for ref in pairs.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        a = t.column("doc_id").to_numpy()
+        b = t.column("dup_of").to_numpy()
+        hi, lo = np.maximum(a, b), np.minimum(a, b)
+        planted = (hi >= n_unique) & (lo == hi - n_unique)
+        caught += int(planted.sum())
+        fp += int((~planted).sum())
+    n_planted = n_docs - n_unique
+    print(f"docs={n_docs} wall={dt:.1f}s throughput={n_docs/dt:,.0f} docs/s "
+          f"pairs={pairs.count()} recall={caught/max(n_planted,1):.4f} fp={fp}")
+    # verify-kernel microbench: scalar string-set vs vectorized hashes
+    sample = corpus.limit(4000).to_pandas()["text"].tolist()
+    ta, tb = sample[: len(sample) // 2], sample[len(sample) // 2:]
+    t0 = time.perf_counter()
+    want = np.array([ngram_jaccard(a, b, 3) for a, b in zip(ta, tb)])
+    t_scalar = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got = ngram_jaccard_batch(ta, tb, 3)
+    t_batch = time.perf_counter() - t0
+    assert np.array_equal(got, want), "kernel mismatch"
+    print(f"verify kernel: scalar {len(ta)/t_scalar:,.0f} pairs/s, "
+          f"batch {len(ta)/t_batch:,.0f} pairs/s "
+          f"({t_scalar/t_batch:.1f}x), identical values")
+
+
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "minhash"
     n_unique = int(n_docs * 0.8)
     if not ray.is_initialized():
         ray.init(address="local",
@@ -73,9 +136,20 @@ def main():
                  include_dashboard=False)
     from paradedb_ray.pipelines.dedup import minhash_lsh_duplicates
 
-    corpus = gen_corpus(n_docs, n_unique).materialize()  # exclude gen cost
+    mutate = 0 if mode == "exact" else 3
+    corpus = gen_corpus(n_docs, n_unique,
+                        mutate_pct=mutate).materialize()  # exclude gen cost
     # warm the worker pool (cold actors cost ~10s at 32 CPUs)
     corpus.map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    if mode == "exact":
+        run_exact(corpus, n_docs, n_unique)
+        ray.shutdown()
+        return
+    if mode == "ngram":
+        run_ngram(corpus, n_docs, n_unique)
+        ray.shutdown()
+        return
 
     t0 = time.perf_counter()
     pairs = minhash_lsh_duplicates(corpus, "text", "doc_id").materialize()
