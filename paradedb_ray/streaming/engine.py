@@ -572,6 +572,42 @@ def _write_atomic_parquet(table: pa.Table, path: str):
     os.replace(tmp, path)
 
 
+#: hash shards of the compacted sessions snapshot — each shard folds
+#: independently (a parallel Ray task per shard), so compaction cost per
+#: tick is O(live identities / shards) per task and the snapshot layout
+#: is already the partitioned-output shape a multi-node sink needs
+_SESSION_SHARDS = 16
+
+
+def _session_shard_of(conv_ids: "pa.ChunkedArray") -> "np.ndarray":
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(conv_ids.to_numpy(zero_copy_only=False))
+    return (h % np.uint64(_SESSION_SHARDS)).astype(np.int64)
+
+
+@ray.remote
+def _fold_session_shard(snap: "pa.Table | None", new_rows: pa.Table,
+                        out_path: str) -> None:
+    """Fold one shard: previous snapshot + new emissions -> latest row per
+    (conv_id, session_start), ordered by epoch.  Tombstones (n_turns=0)
+    are KEPT — they void earlier emissions and the read-side filter drops
+    them, so folding is a pure supersede, never a semantic change.  The
+    write is atomic; re-folding the same inputs is idempotent."""
+    import pandas as pd
+
+    parts = [t for t in (snap, new_rows) if t is not None and t.num_rows]
+    if not parts:
+        return
+    df = (pa.concat_tables(parts, promote_options="default").to_pandas()
+          .sort_values(["conv_id", "session_start", "epoch"], kind="stable")
+          .drop_duplicates(subset=["conv_id", "session_start"], keep="last"))
+    _write_atomic_parquet(
+        pa.Table.from_pandas(df.reset_index(drop=True),
+                             preserve_index=False), out_path)
+
+
 class EpochRunner:
     """Drives a transcript stream through the engine in epochs with an
     idempotent, exactly-once parquet sink.
@@ -696,6 +732,7 @@ class EpochRunner:
         eng.merge_tick()
         if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
             eng.checkpoint(epoch)
+            self._compact_sessions()
         # per-partition metrics lineage (ingested/late/retracted/reopened,
         # segment + watermark state) — one JSON per epoch
         mdir = os.path.join(self.sink_dir, "metrics")
@@ -744,22 +781,66 @@ class EpochRunner:
             return pa.table({})
         return pq.read_table(os.path.join(d, files[-1]))
 
+    def _compact_sessions(self):
+        """Fold superseded sessions emissions into a hash-sharded compacted
+        snapshot at checkpoint ticks (VERDICT r2 #6), so the per-epoch
+        emission history stops accumulating: ``read_sessions`` and any
+        downstream consumer read (bounded live-identity snapshot) + (the
+        few epoch files since the last checkpoint) instead of the whole
+        stream's history.  Shards fold as parallel Ray tasks; each shard
+        write is atomic, and the folded epoch files are removed only after
+        every shard landed — a crash in between merely re-folds identical
+        rows next tick (dedup at fold time makes that a no-op)."""
+        d = os.path.join(self.sink_dir, "sessions")
+        if not os.path.isdir(d):
+            return
+        files = sorted(f for f in os.listdir(d)
+                       if f.startswith("epoch=") and f.endswith(".parquet"))
+        if not files:
+            return
+        new = pa.concat_tables([pq.read_table(os.path.join(d, f))
+                                for f in files],
+                               promote_options="default")
+        cdir = os.path.join(d, "compact")
+        os.makedirs(cdir, exist_ok=True)
+        shard = _session_shard_of(new.column("conv_id"))
+        import numpy as np
+
+        refs = []
+        for k in range(_SESSION_SHARDS):
+            rows = new.take(pa.array(np.flatnonzero(shard == k), pa.int64()))
+            spath = os.path.join(cdir, f"shard={k:02d}.parquet")
+            if rows.num_rows == 0:
+                continue
+            snap = pq.read_table(spath) if os.path.exists(spath) else None
+            refs.append(_fold_session_shard.remote(snap, rows, spath))
+        ray.get(refs)
+        for f in files:
+            os.remove(os.path.join(d, f))
+
     def read_sessions(self) -> pa.Table:
         """All closed sessions, latest emission per (conv_id,
         session_start) identity — late-data re-emissions supersede by
         epoch, and tombstones (n_turns=0) from bridged identities void
-        their stale rows."""
+        their stale rows.  Reads the compacted snapshot shards plus only
+        the per-epoch emissions newer than the last compaction."""
         d = os.path.join(self.sink_dir, "sessions")
         if not os.path.isdir(d):
             return pa.table({})
-        tables = [pq.read_table(os.path.join(d, f))
-                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        paths = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        cdir = os.path.join(d, "compact")
+        if os.path.isdir(cdir):
+            paths += [os.path.join(cdir, f) for f in sorted(os.listdir(cdir))
+                      if f.endswith(".parquet")]
+        tables = [pq.read_table(p) for p in paths]
         if not tables:
             return pa.table({})
-        t = pa.concat_tables(tables)
+        t = pa.concat_tables(tables, promote_options="default")
         import pandas as pd
 
-        df = t.to_pandas().sort_values(["conv_id", "session_start", "epoch"])
+        df = t.to_pandas().sort_values(["conv_id", "session_start", "epoch"],
+                                       kind="stable")
         df = df.drop_duplicates(subset=["conv_id", "session_start"],
                                 keep="last")
         df = df[df["n_turns"] > 0]

@@ -199,3 +199,58 @@ def test_ngram_jaccard_batch_matches_scalar(ray_session):
     got = ngram_jaccard_batch(ta, tb, k=3)
     want = np.array([ngram_jaccard(a, b, 3) for a, b in zip(ta, tb)])
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Tree-reduced partial merges (VERDICT r2 #5): the global-stats exchange and
+# the single-pass top-k+facet reduce must be bit-identical across block
+# layouts — 1 block (no tree) vs 64 blocks (two tree levels at fan-in 32).
+# ---------------------------------------------------------------------------
+
+
+def _docs_table():
+    import pyarrow.parquet as pq
+
+    return pq.read_table("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_global_stats_tree_reduce_block_invariance(ray_session):
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+    from paradedb_ray.stages.search_stages import compute_global_stats
+
+    t = _docs_table()
+    q = pdb.boolean(should=[pdb.term("text", "spark"),
+                            pdb.term("text", "data")])
+    stats = [compute_global_stats(ray.data.from_arrow(t).repartition(n),
+                                  documents_schema(), q)
+             for n in (1, 64)]
+    a, b = stats
+    assert a.num_docs == b.num_docs == t.num_rows
+    assert a.field_total_tokens == b.field_total_tokens
+    assert a.field_doc_count == b.field_doc_count
+    assert a.term_df == b.term_df
+    assert a.term_df[("text", "spark")] > 0
+
+
+def test_topk_facet_tree_reduce_block_invariance(ray_session):
+    from paradedb_ray.pipelines.search import search_topk_with_facet
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import documents_schema
+
+    t = _docs_table()
+    q = pdb.term("text", "spark")
+    outs = []
+    for n in (1, 64):
+        topk, facet = search_topk_with_facet(
+            ray.data.from_arrow(t).repartition(n), documents_schema(), q,
+            limit=10, facet_field="lang",
+            order_by=[("score", "descending"), ("doc_id", "ascending")],
+            output_columns=["doc_id", "score"])
+        outs.append((topk, facet))
+    (t1, f1), (t64, f64) = outs
+    assert t1.column("doc_id").to_pylist() == t64.column("doc_id").to_pylist()
+    assert (t1.column("score").to_numpy(zero_copy_only=False)
+            == t64.column("score").to_numpy(zero_copy_only=False)).all()
+    assert f1.to_pylist() == f64.to_pylist()
+    assert t1.num_rows == 10 and f1.num_rows > 0

@@ -770,3 +770,81 @@ def test_incremental_live_map_checkpoints_with_compaction(ray_session,
             pdb.term("text", "round3")).num_rows == n
     finally:
         eng2.shutdown()
+
+
+def test_sessions_sink_compaction(ray_session, turns, tmp_path):
+    """Checkpoint-tick compaction (VERDICT r2 #6): superseded per-epoch
+    sessions emissions fold into hash-sharded snapshots, epoch files are
+    removed, and read_sessions is IDENTICAL to the uncompacted history —
+    including across a crash/resume."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    idx = pa.compute.sort_indices(turns, sort_keys=[("ts", "ascending")])
+    ordered = turns.take(idx)
+    n = ordered.num_rows
+    epochs = [ordered.slice(i * n // 4, n // 4) for i in range(3)]
+    epochs.append(ordered.slice(3 * (n // 4)))
+    standing = {"q": pdb.term("text", "merge")}
+
+    def sessions_df(t):
+        return (t.to_pandas()
+                 .sort_values(["conv_id", "session_start"])
+                 .reset_index(drop=True))
+
+    # reference run: NO checkpoint dir -> no compaction, full history
+    sink_a = str(tmp_path / "sink_a")
+    eng_a = _engine(parts=2)
+    try:
+        ra = EpochRunner(eng_a, sink_a, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"],
+                         checkpoint_every=2)
+        ra.run(epochs)
+        want = sessions_df(ra.read_sessions())
+        assert len(os.listdir(os.path.join(sink_a, "sessions"))) >= 4
+    finally:
+        eng_a.shutdown()
+
+    # compacted run: checkpoints every 2 epochs -> compaction fires
+    sink_b = str(tmp_path / "sink_b")
+    eng_b = _engine(str(tmp_path / "ck_b"), parts=2)
+    try:
+        rb = EpochRunner(eng_b, sink_b, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"],
+                         checkpoint_every=2)
+        rb.run(epochs)
+        got = sessions_df(rb.read_sessions())
+        sdir = os.path.join(sink_b, "sessions")
+        epoch_files = [f for f in os.listdir(sdir) if f.startswith("epoch=")]
+        # epochs 0..4 folded at ticks 2 and 4... the last tick is epoch 3
+        # (0-indexed), which is odd -> epochs 3 remains; ticks at 0 and 2
+        assert len(epoch_files) <= 2, epoch_files
+        shards = os.listdir(os.path.join(sdir, "compact"))
+        assert shards and all(s.startswith("shard=") for s in shards)
+    finally:
+        eng_b.shutdown()
+    assert want.equals(got), "compacted read_sessions diverged"
+
+    # crash after epoch 1 (post-compaction tick at epoch 0), resume, finish
+    sink_c = str(tmp_path / "sink_c")
+    ck_c = str(tmp_path / "ck_c")
+    eng_c = _engine(ck_c, parts=2)
+    try:
+        rc = EpochRunner(eng_c, sink_c, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"],
+                         checkpoint_every=2)
+        rc.run_epoch(0, epochs[0])
+        rc.run_epoch(1, epochs[1])
+    finally:
+        eng_c.shutdown()  # crash
+    eng_d = _engine(ck_c, parts=2)
+    try:
+        rd = EpochRunner(eng_d, sink_c, standing, topk=5,
+                         columns=["conv_id", "turn_idx", "score"],
+                         checkpoint_every=2)
+        rd.resume()
+        out = rd.run(epochs)
+        assert out[0].get("skipped") and out[1].get("skipped")
+        got_c = sessions_df(rd.read_sessions())
+    finally:
+        eng_d.shutdown()
+    assert want.equals(got_c), "post-resume read_sessions diverged"
