@@ -44,6 +44,10 @@ class EngineConfig:
     topk_prune_limit: int = 1000
     #: terms-agg bucket cap (`max_term_agg_buckets`, `gucs.rs`)
     bucket_limit: int = 65_000
+    #: aggregation-state byte budget (`pdb.agg` memory_limit,
+    #: `api/aggregate.rs:143` default 500MB): abort with an error instead
+    #: of letting runaway bucket state grow unbounded
+    memory_limit: int = 500_000_000
     #: snippet defaults (`projections/snippet.rs:33-37`)
     snippet_max_chars: int = 150
     snippet_limit: int = 5

@@ -264,27 +264,46 @@ def _empty_bucket_table(input_ds, group_by: list, aggs: dict,
     return pa.table(cols)
 
 
+class AggregationLimitError(ValueError):
+    """`pdb.agg` limits tripped (tantivy's AggregationLimitsGuard,
+    surfaced through `api/aggregate.rs:70-110`): bucket_limit caps bucket
+    COUNT, memory_limit caps aggregation-state BYTES."""
+
+
 def _guard_buckets(out: ray.data.Dataset, bucket_limit: Optional[int],
                    input_ds=None, group_by: Optional[list] = None,
                    aggs: Optional[dict] = None,
-                   key_types: Optional[dict] = None) -> ray.data.Dataset:
-    """Bucket-count guard (`paradedb.max_term_agg_buckets`,
-    `api/aggregate.rs:70-110` / `aggregate/mod.rs` bucket_limit): raise
-    instead of returning a silently huge bucket table.  The grouped
-    output is materialized first — within the limit it is tiny, and the
-    object store spills past memory, so a runaway cardinality fails with
-    this error rather than an OOM.  A zero-bucket result is rebuilt with
-    its proper schema (see ``_empty_bucket_table``)."""
-    if bucket_limit is None:
-        from paradedb_ray.config import DEFAULT
+                   key_types: Optional[dict] = None,
+                   memory_limit: Optional[int] = None) -> ray.data.Dataset:
+    """Bucket-count + state-byte guard (`paradedb.max_term_agg_buckets` +
+    `memory_limit`, `api/aggregate.rs:70-110,143` / `aggregate/mod.rs`
+    AggregationLimitsGuard): raise instead of returning a silently huge
+    bucket table.  The grouped output is materialized first — within the
+    limits it is tiny, and the object store spills past memory, so a
+    runaway cardinality fails with this error rather than an OOM.  The
+    byte check runs against the merged bucket state: Ray's streaming
+    executor spills block-local partials (each at most the merged
+    cardinality), so the merged state is where unbounded growth
+    surfaces — the same abort point as tantivy's collector budget.  A
+    zero-bucket result is rebuilt with its proper schema (see
+    ``_empty_bucket_table``)."""
+    from paradedb_ray.config import DEFAULT
 
+    if bucket_limit is None:
         bucket_limit = DEFAULT.bucket_limit
+    if memory_limit is None:
+        memory_limit = DEFAULT.memory_limit
     out = out.materialize()
     n = out.count()
     if n > bucket_limit:
-        raise ValueError(
+        raise AggregationLimitError(
             f"aggregation produced {n} buckets, exceeding the "
             f"bucket limit {bucket_limit} (max_term_agg_buckets)")
+    nbytes = out.size_bytes() or 0
+    if nbytes > memory_limit:
+        raise AggregationLimitError(
+            f"aborting aggregation: bucket state is {nbytes} bytes, "
+            f"exceeding the memory limit {memory_limit}")
     if n == 0 and group_by and aggs is not None:
         return ray.data.from_arrow(
             _empty_bucket_table(input_ds, group_by, aggs, key_types))
@@ -371,6 +390,7 @@ def pdb_agg(
     schema: Optional[IndexSchema] = None,
     filter_query: Optional[ast.Query] = None,
     bucket_limit: Optional[int] = None,
+    memory_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Subset of the tantivy/ES aggregation DSL
     (`api/aggregate.rs:18-120`): one bucket level (terms | histogram |
@@ -389,7 +409,7 @@ def pdb_agg(
     ds = _derive_json_path_fields(ds, schema, agg_json)
     entries = list(agg_json.items())
     if len(entries) != 1 or _has_sibling_buckets(entries[0][1]):
-        return _pdb_agg_flat(ds, agg_json, bucket_limit)
+        return _pdb_agg_flat(ds, agg_json, bucket_limit, memory_limit)
     [(name, spec)] = entries
     bucket_kinds = {"terms", "histogram", "date_histogram", "range"}
     kind = next((k for k in spec if k in bucket_kinds), None)
@@ -439,7 +459,8 @@ def pdb_agg(
             [(level_name, level_spec)] = lnested.items()
         out = _guard_buckets(
             sql_aggregate(_apply_derived(ds, ex), key_cols, metric_aggs),
-            bucket_limit, ds0, key_cols, metric_aggs, key_types)
+            bucket_limit, ds0, key_cols, metric_aggs, key_types,
+            memory_limit=memory_limit)
         fin = _finish_extended(out, ex)
         # Ray's sort drops the schema again on zero rows — skip it
         return fin if out.count() == 0 else _sort_null_safe(fin, key_cols)
@@ -457,7 +478,8 @@ def pdb_agg(
         rest = {n: s for n, s in sub.items() if n not in pcts}
         base = pdb_agg(ds, {name: {"terms": dict(body, size=1 << 30),
                                    "aggs": rest}},
-                       bucket_limit=bucket_limit).to_pandas()
+                       bucket_limit=bucket_limit,
+                       memory_limit=memory_limit).to_pandas()
         key_col = body["field"]
         for mname, mspec in pcts.items():
             pb = mspec["percentiles"]
@@ -503,7 +525,8 @@ def pdb_agg(
     if kind == "terms":
         key_col = field
         grouped = _guard_buckets(sql_aggregate(ds, [key_col], aggs),
-                                 bucket_limit, ds, [key_col], aggs)
+                                 bucket_limit, ds, [key_col], aggs,
+                                 memory_limit=memory_limit)
         size = body.get("size", 10)
         fin = _finish_extended(grouped, ex)
         if grouped.count() == 0:  # sort/limit lose the schema on empty
@@ -522,7 +545,8 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit, ds, [f"{name}_key"], aggs,
-                             {f"{name}_key": pa.float64()})
+                             {f"{name}_key": pa.float64()},
+                             memory_limit=memory_limit)
         fin = _finish_extended(out, ex)
         return fin if out.count() == 0 else fin.sort([f"{name}_key"])
     if kind == "date_histogram":
@@ -530,7 +554,8 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit, ds, [f"{name}_key"], aggs,
-                             {f"{name}_key": pa.timestamp("us")})
+                             {f"{name}_key": pa.timestamp("us")},
+                             memory_limit=memory_limit)
         fin = _finish_extended(out, ex)
         return fin if out.count() == 0 else fin.sort([f"{name}_key"])
     if kind == "range":
@@ -549,7 +574,8 @@ def pdb_agg(
         ds2 = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
         out = _guard_buckets(sql_aggregate(ds2, [f"{name}_key"], aggs),
                              bucket_limit, ds, [f"{name}_key"], aggs,
-                             {f"{name}_key": pa.string()})
+                             {f"{name}_key": pa.string()},
+                             memory_limit=memory_limit)
         fin = _finish_extended(out, ex)
         return fin if out.count() == 0 else _sort_null_safe(
             fin, [f"{name}_key"])
@@ -624,7 +650,8 @@ def _key_strings(series):
 
 
 def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict,
-                  bucket_limit: Optional[int] = None
+                  bucket_limit: Optional[int] = None,
+                  memory_limit: Optional[int] = None
                   ) -> ray.data.Dataset:
     """SIBLING bucket aggregations (several independent bucket trees in
     one request — the reference merges arbitrary sub-agg trees,
@@ -672,7 +699,7 @@ def _pdb_agg_flat(ds: ray.data.Dataset, agg_json: dict,
         res = _finish_extended(
             _guard_buckets(
                 sql_aggregate(_apply_derived(ds2, ex), key_cols, aggs),
-                bucket_limit), ex).to_pandas()
+                bucket_limit, memory_limit=memory_limit), ex).to_pandas()
         out = pd.DataFrame({"agg_name": [".".join(names)] * len(res)})
         for i in range(max_depth):
             out[f"key_{i + 1}"] = (_key_strings(res[key_cols[i]])

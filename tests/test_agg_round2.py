@@ -221,6 +221,22 @@ def test_bucket_limit_guard(ray_session, events_tbl):
     assert len(out) == 4
 
 
+def test_memory_limit_guard(ray_session, events_tbl):
+    """`pdb.agg` memory_limit (tantivy AggregationLimitsGuard through
+    `api/aggregate.rs:70-110`, GUC default 500MB `api/aggregate.rs:143`):
+    aggregation state beyond the byte budget ABORTS with an error instead
+    of growing unbounded; within the budget the result is unchanged."""
+    from paradedb_ray.pipelines.aggregate import AggregationLimitError, pdb_agg
+
+    ds = ray.data.from_arrow(events_tbl)
+    spec = {"by_user": {"terms": {"field": "user_id", "size": 100000},
+                        "aggs": {"v": {"avg": {"field": "value"}}}}}
+    with pytest.raises(AggregationLimitError, match="memory limit"):
+        pdb_agg(ds, spec, memory_limit=64)  # 64 bytes: always trips
+    ok = pdb_agg(ds, spec).to_pandas()  # default 500MB: never trips here
+    assert len(ok) == events_tbl.column("user_id").to_pandas().nunique()
+
+
 def test_ungrouped_percentiles_distributed_bitwise(ray_session, events_tbl):
     """Ungrouped percentiles must not take_all() the column; the
     histogram-prune path stays bit-identical to DuckDB quantile_cont."""
