@@ -305,12 +305,25 @@ class CjkBigramTokenizer(Tokenizer):
 
 class JiebaTokenizer(CjkBigramTokenizer):
     """``pdb.jieba``: real jieba word segmentation when the library is
-    importable (not in this container), CJK-bigram fallback otherwise.
-    ``chinese_convert`` (t2s/s2t/...) applies via OpenCC when importable,
-    else it is a no-op (documented approximation —
-    `jieba_chinese_convert.sql` needs the conversion tables)."""
+    importable (not in this container); otherwise the bundled
+    dictionary segmenter (`text/cjk_dict.py`): DAG + max-probability
+    route over a curated word-frequency table in jieba's search mode
+    (in-dict 2/3-gram subwords emitted before compounds, matching the
+    index expansion of `jieba_chinese_convert.out` tests 1-3) — with
+    single-ideograph fallback for out-of-vocabulary Han runs (jieba's
+    HMM there is a data file this repo does not bundle; its goldens'
+    test 4 is the documented delta).  Kana runs keep the bigram
+    fallback; Latin/hangul runs stay whole tokens.
+
+    ``chinese_convert`` (t2s/s2t/tw2s/s2tw/tw2sp) applies via OpenCC
+    when importable, else the bundled character+phrase tables (same
+    observable behavior as the reference build: character conversion,
+    no Taiwan vocabulary substitution — see golden test 13).  The
+    bundled conversion is length-preserving, so token offsets refer to
+    the original text."""
 
     name = "jieba"
+    _HAN_RE = re.compile(r"[一-鿿㐀-䶿]")
 
     def __init__(self, chinese_convert: Optional[str] = None,
                  filters: Optional[dict] = None):
@@ -332,12 +345,30 @@ class JiebaTokenizer(CjkBigramTokenizer):
                 pass
 
     def _segments(self, text: str):
+        from paradedb_ray.text import cjk_dict
+
         if self._cc is not None:  # pragma: no cover
             text = self._cc.convert(text)
+        elif self.chinese_convert:
+            text = cjk_dict.convert(text, self.chinese_convert)
         if self._jieba is not None:  # pragma: no cover
-            return [(w, s, e) for w, s, e in self._jieba.tokenize(text)
-                    if w.strip()]
-        return super()._segments(text)
+            return [(w, s, e) for w, s, e in self._jieba.tokenize(
+                text, mode="search") if w.strip()]
+        out = []
+        for m in _CJK_RUN_RE.finditer(text):
+            run, s = m.group(), m.start()
+            if self._HAN_RE.match(run):
+                out.extend((w, s + ws, s + we)
+                           for w, ws, we in cjk_dict.cut_for_search(run))
+            elif self._CJK_ONE.match(run):  # kana: bigram fallback
+                if len(run) == 1:
+                    out.append((run, s, s + 1))
+                else:
+                    out.extend((run[i:i + 2], s + i, s + i + 2)
+                               for i in range(len(run) - 1))
+            else:
+                out.append((run, s, m.end()))
+        return out
 
 
 class IcuTokenizer(Tokenizer):
@@ -474,10 +505,17 @@ class TokenFilterChain:
         return t
 
     def _keep_pre(self, t: str) -> bool:
+        # TokenLengthFilter measures UTF-8 BYTES and keeps == max
+        # (`tokenizers/src/token_length.rs:36-43`; the jieba golden's
+        # remove_long=10 drops 4-char/12-byte 繁体中文).  ASCII tokens
+        # skip the encode — len() is already the byte count.
         n = len(t)
+        if (self.remove_long is not None or self.remove_short is not None) \
+                and not t.isascii():
+            n = len(t.encode("utf-8"))
         if self.remove_short is not None and n < self.remove_short:
             return False
-        if self.remove_long is not None and n >= self.remove_long:
+        if self.remove_long is not None and n > self.remove_long:
             return False
         return True
 

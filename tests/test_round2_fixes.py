@@ -169,9 +169,10 @@ def test_cjk_tokenizers_fallback():
         ("中文", 0, 2), ("文测", 1, 3), ("测试", 2, 4)]
     assert tokenizer_from_config({"type": "icu"}).tokenize(
         "中文 mixed ラーメン") == ["中", "文", "mixed", "ラーメン"]
-    # jieba / lindera fall back to bigrams when the libs are absent
+    # jieba falls back to the bundled dictionary segmenter (search mode:
+    # in-dict subwords before the compound); lindera to bigrams
     assert tokenizer_from_config({"type": "jieba"}).tokenize(
-        "运动鞋") == ["运动", "动鞋"]
+        "运动鞋") == ["运动", "运动鞋"]
     assert tokenizer_from_config({"type": "korean_lindera"}).tokenize(
         "한국어 테스트") == ["한국어", "테스트"]
 

@@ -99,9 +99,16 @@ def test_stemmer_english():
 
 
 def test_length_filter():
+    """TokenLengthFilter semantics (`tokenizers/src/token_length.rs:36-43`):
+    UTF-8 bytes, drop < min or > max (== max kept)."""
     tok = tokenizer_from_config({"type": "whitespace", "remove_short": 2,
                                  "remove_long": 5})
-    assert tok.tokenize("a ab abcd abcde") == ["ab", "abcd"]
+    assert tok.tokenize("a ab abcd abcde abcdef") == ["ab", "abcd", "abcde"]
+    # bytes, not chars: 中文 is 2 chars / 6 bytes
+    tok = tokenizer_from_config({"type": "cjk_bigram", "remove_long": 5})
+    assert tok.tokenize("中文") == []
+    tok = tokenizer_from_config({"type": "cjk_bigram", "remove_long": 6})
+    assert tok.tokenize("中文") == ["中文"]
 
 
 def test_positions_have_gaps_after_stopword_removal():
