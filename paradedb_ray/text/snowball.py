@@ -23,11 +23,24 @@ from __future__ import annotations
 def _longest(word: str, suffixes) -> str | None:
     """The longest suffix of ``word`` among ``suffixes`` (Snowball
     ``among`` semantics: commit to the longest match, apply only its
-    rule — a failed region condition does NOT fall back to shorter
+    rule — a failed CONDITION does NOT fall back to shorter
     suffixes)."""
     best = None
     for s in suffixes:
         if word.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _longest_in(word: str, suffixes, start: int) -> str | None:
+    """The longest suffix of ``word`` among ``suffixes`` lying entirely
+    within ``word[start:]`` — Snowball ``setlimit tomark pX for
+    [substring] among(...)`` semantics: a suffix that pokes out of the
+    region never matches, so SHORTER in-region suffixes do."""
+    best = None
+    for s in suffixes:
+        if (word.endswith(s) and len(word) - len(s) >= start
+                and (best is None or len(s) > len(best))):
             best = s
     return best
 
@@ -72,13 +85,13 @@ def stem_german(word: str) -> str:
         if suf in ("e", "en", "es") and word.endswith("niss"):
             word = word[:-1]
 
-    # step 2
+    # step 2 (deletes in R1 — not R2; `derbsten` family in the spec)
     suf = _longest(word, ("est", "en", "er", "st"))
     if suf == "st":
         if (len(word) >= 6 and word[-3] in _DE_ST_END
-                and len(word) - 2 >= r2):
+                and len(word) - 2 >= r1):
             word = word[:-2]
-    elif suf is not None and len(word) - len(suf) >= r2:
+    elif suf is not None and len(word) - len(suf) >= r1:
         word = word[: -len(suf)]
 
     # step 3 (d-suffixes)
@@ -123,7 +136,7 @@ _DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
 _DA_STEP1 = (
     "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
     "ere", "en", "heden", "eren", "er", "heder", "erer", "heds", "es",
-    "endes", "eredes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
     "ers", "ets", "erets", "et", "eret",
 )
 
@@ -135,29 +148,28 @@ def _scand_r1(word: str, vowels) -> int:
 def stem_danish(word: str) -> str:
     r1 = _scand_r1(word, _DA_V)
 
-    # step 1
-    suf = _longest(word, _DA_STEP1 + ("s",))
+    # step 1 (among restricted to R1: out-of-region longest suffixes do
+    # not shadow shorter in-region ones)
+    suf = _longest_in(word, _DA_STEP1 + ("s",), r1)
     if suf == "s":
-        if (len(word) >= 2 and word[-2] in _DA_S_END
-                and len(word) - 1 >= r1):
+        if len(word) >= 2 and word[-2] in _DA_S_END:
             word = word[:-1]
-    elif suf is not None and len(word) - len(suf) >= r1:
+    elif suf is not None:
         word = word[: -len(suf)]
 
-    # step 2: consonant-pair tail
-    if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 1 >= r1:
+    # step 2: consonant-pair tail (pair matched within R1, ONE deleted)
+    if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 2 >= r1:
         word = word[:-1]
 
     # step 3
-    if word.endswith("igst"):
+    if word.endswith("igst"):  # outside the setlimit in danish.sbl
         word = word[:-2]
-    suf = _longest(word, ("elig", "lig", "els", "ig", "løst"))
+    suf = _longest_in(word, ("elig", "lig", "els", "ig", "løst"), r1)
     if suf == "løst":
-        if len(word) - 1 >= r1:
-            word = word[:-1]
-    elif suf is not None and len(word) - len(suf) >= r1:
+        word = word[:-1]
+    elif suf is not None:
         word = word[: -len(suf)]
-        if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 1 >= r1:
+        if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 2 >= r1:
             word = word[:-1]
 
     # step 4: undouble a final double consonant in R1
@@ -184,25 +196,23 @@ _NO_STEP1 = (
 def stem_norwegian(word: str) -> str:
     r1 = _scand_r1(word, _NO_V)
 
-    suf = _longest(word, _NO_STEP1 + ("s", "erte", "ert"))
+    suf = _longest_in(word, _NO_STEP1 + ("s", "erte", "ert"), r1)
     if suf == "s":
         prev = word[-2] if len(word) >= 2 else ""
-        ok = prev in _NO_S_END or (
-            prev == "k" and len(word) >= 3 and word[-3] not in _NO_V)
-        if ok and len(word) - 1 >= r1:
+        if prev in _NO_S_END or (
+                prev == "k" and len(word) >= 3 and word[-3] not in _NO_V):
             word = word[:-1]
     elif suf in ("erte", "ert"):
-        if len(word) - len(suf) >= r1:
-            word = word[: -len(suf)] + "er"
-    elif suf is not None and len(word) - len(suf) >= r1:
+        word = word[: -len(suf)] + "er"
+    elif suf is not None:
         word = word[: -len(suf)]
 
-    if word[-2:] in ("dt", "vt") and len(word) - 1 >= r1:
+    if word[-2:] in ("dt", "vt") and len(word) - 2 >= r1:
         word = word[:-1]
 
-    suf = _longest(word, ("hetslov", "eleg", "elov", "slov", "elig", "leg",
-                          "eig", "lig", "els", "lov", "ig"))
-    if suf is not None and len(word) - len(suf) >= r1:
+    suf = _longest_in(word, ("hetslov", "eleg", "elov", "slov", "elig",
+                             "leg", "eig", "lig", "els", "lov", "ig"), r1)
+    if suf is not None:
         word = word[: -len(suf)]
     return word
 
@@ -225,26 +235,23 @@ _SV_STEP1 = (
 def stem_swedish(word: str) -> str:
     r1 = _scand_r1(word, _SV_V)
 
-    suf = _longest(word, _SV_STEP1 + ("s",))
+    suf = _longest_in(word, _SV_STEP1 + ("s",), r1)
     if suf == "s":
-        if (len(word) >= 2 and word[-2] in _SV_S_END
-                and len(word) - 1 >= r1):
+        if len(word) >= 2 and word[-2] in _SV_S_END:
             word = word[:-1]
-    elif suf is not None and len(word) - len(suf) >= r1:
+    elif suf is not None:
         word = word[: -len(suf)]
 
     if (word[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
-            and len(word) - 1 >= r1):
+            and len(word) - 2 >= r1):
         word = word[:-1]
 
-    suf = _longest(word, ("lig", "ig", "els", "löst", "fullt"))
+    suf = _longest_in(word, ("lig", "ig", "els", "löst", "fullt"), r1)
     if suf == "löst":
-        if len(word) - 4 >= r1:
-            word = word[:-1]
+        word = word[:-1]
     elif suf == "fullt":
-        if len(word) - 5 >= r1:
-            word = word[:-1]
-    elif suf is not None and len(word) - len(suf) >= r1:
+        word = word[:-1]
+    elif suf is not None:
         word = word[: -len(suf)]
     return word
 
@@ -517,36 +524,34 @@ def stem_french(word: str) -> str:
     chain_success = s1_success
 
     if not s1_success:
-        # ---- step 2a: verb suffixes beginning i
-        suf = _longest(word, _FR_2A)
+        # ---- step 2a: verb suffixes beginning i (RV-limited among; the
+        # preceding non-vowel must itself be in RV)
+        suf = _longest_in(word, _FR_2A, rv)
         removed_2a = False
         if suf is not None:
             pos = len(word) - len(suf)
-            if (pos >= rv and pos - 1 >= rv
-                    and word[pos - 1] not in _FR_V):
+            if pos - 1 >= rv and word[pos - 1] not in _FR_V:
                 word = word[:pos]
                 removed_2a = True
         if removed_2a:
             chain_success = True
         else:
-            # ---- step 2b: other verb suffixes
-            suf = _longest(word, ("ions",) + _FR_2B_E + _FR_2B_A)
+            # ---- step 2b: other verb suffixes (RV-limited among)
+            suf = _longest_in(word, ("ions",) + _FR_2B_E + _FR_2B_A, rv)
             if suf is not None:
                 pos = len(word) - len(suf)
                 if suf == "ions":
-                    if pos >= r2 and pos >= rv:
+                    if pos >= r2:
                         word = word[:pos]
                         chain_success = True
                 elif suf in _FR_2B_E:
-                    if pos >= rv:
-                        word = word[:pos]
-                        chain_success = True
+                    word = word[:pos]
+                    chain_success = True
                 else:
-                    if pos >= rv:
-                        word = word[:pos]
-                        chain_success = True
-                        if word.endswith("e") and len(word) - 1 >= rv:
-                            word = word[:-1]
+                    word = word[:pos]
+                    chain_success = True
+                    if word.endswith("e") and len(word) - 1 >= rv:
+                        word = word[:-1]
 
     if chain_success:
         # ---- step 3
@@ -556,10 +561,12 @@ def stem_french(word: str) -> str:
             word = word[:-1] + "c"
     else:
         # ---- step 4: residual suffix
-        if (word.endswith("s") and
-                (len(word) < 2 or word[-2] not in "aiouès")):
+        # the backward test needs a preceding char: a bare 's' survives
+        if (word.endswith("s") and len(word) >= 2
+                and word[-2] not in "aiouès"):
             word = word[:-1]
-        suf = _longest(word, ("ion", "ière", "Ière", "ier", "Ier", "e", "ë"))
+        suf = _longest_in(word, ("ion", "ière", "Ière", "ier", "Ier",
+                                 "e", "ë"), rv)
         if suf is not None:
             pos = len(word) - len(suf)
             if suf == "ion":
@@ -567,13 +574,11 @@ def stem_french(word: str) -> str:
                         and pos >= 1 and word[pos - 1] in "st"):
                     word = word[:pos]
             elif suf in ("ier", "ière", "Ier", "Ière"):
-                if pos >= rv:
-                    word = word[:pos] + "i"
+                word = word[:pos] + "i"
             elif suf == "e":
-                if pos >= rv:
-                    word = word[:pos]
+                word = word[:pos]
             elif suf == "ë":
-                if pos >= rv and word.endswith("guë"):
+                if word.endswith("guë"):
                     word = word[:pos]
 
     # ---- step 5: undouble
@@ -627,7 +632,7 @@ _ES_2B = (
     "adas", "idas", "ías", "aras", "ieras", "ases", "ieses", "ís",
     "áis", "abais", "íais", "arais", "ierais", "aseis", "ieseis",
     "asteis", "isteis", "ados", "idos", "amos", "ábamos", "íamos",
-    "imos", "áramos", "iéramos", "iésemos", "ásemos", "ó",
+    "imos", "áramos", "iéramos", "iésemos", "ásemos",
 )
 
 
@@ -724,33 +729,29 @@ def stem_spanish(word: str) -> str:
                     word = word[:-2]
 
     if word == before1:
-        # step 2a: verb suffixes beginning y (preceded by u)
-        suf = _longest(word, _ES_2A)
+        # step 2a: verb suffixes beginning y (preceded by u); the among
+        # is RV-limited, so out-of-region matches fall through to
+        # shorter in-region suffixes
+        suf = _longest_in(word, _ES_2A, rv)
         removed = False
         if suf is not None:
             pos = len(word) - len(suf)
-            if pos >= rv and pos >= 1 and word[pos - 1] == "u":
+            if pos >= 1 and word[pos - 1] == "u":
                 word = word[:pos]
                 removed = True
         if not removed:
-            # step 2b
-            suf = _longest(word, _ES_2B_GU + _ES_2B)
+            # step 2b (RV-limited among)
+            suf = _longest_in(word, _ES_2B_GU + _ES_2B, rv)
             if suf is not None:
-                pos = len(word) - len(suf)
-                if pos >= rv:
-                    word = word[:pos]
-                    if suf in _ES_2B_GU and word.endswith("gu"):
-                        word = word[:-1]
+                word = word[: -len(suf)]
+                if suf in _ES_2B_GU and word.endswith("gu"):
+                    word = word[:-1]
 
-    # step 3: residual suffix
-    suf = _longest(word, ("os", "a", "o", "á", "í", "ó", "e", "é"))
+    # step 3: residual suffix (RV-limited among)
+    suf = _longest_in(word, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
     if suf is not None:
-        pos = len(word) - len(suf)
-        if suf in ("os", "a", "o", "á", "í", "ó"):
-            if pos >= rv:
-                word = word[:pos]
-        elif pos >= rv:
-            word = word[:pos]
+        word = word[: -len(suf)]
+        if suf in ("e", "é"):
             if word.endswith("gu") and len(word) - 1 >= rv:
                 word = word[:-1]
 
@@ -809,12 +810,12 @@ def stem_italian(word: str) -> str:
     r1 = _std_region(word, _IT_V, 0)
     r2 = _std_region(word, _IT_V, r1)
 
-    # step 0: attached pronoun
+    # step 0: attached pronoun (gerund among RV-limited)
     suf = _longest(word, _IT_PRON)
     if suf is not None:
         stem = word[: -len(suf)]
-        g = _longest(stem, ("ando", "endo", "ar", "er", "ir"))
-        if g is not None and len(stem) - len(g) >= rv:
+        g = _longest_in(stem, ("ando", "endo", "ar", "er", "ir"), rv)
+        if g is not None:
             if g in ("ando", "endo"):
                 word = stem
             else:
@@ -878,12 +879,10 @@ def stem_italian(word: str) -> str:
                         word = word[:-2]
 
     if word == before1:
-        # step 2: verb suffixes
-        suf = _longest(word, _IT_2)
+        # step 2: verb suffixes (RV-limited among)
+        suf = _longest_in(word, _IT_2, rv)
         if suf is not None:
-            pos = len(word) - len(suf)
-            if pos >= rv:
-                word = word[:pos]
+            word = word[: -len(suf)]
 
     # step 3a: vowel suffix
     if word and word[-1] in "aeioàèìò" and len(word) - 1 >= rv:
@@ -1001,13 +1000,11 @@ def stem_portuguese(word: str) -> str:
 
     step2_done = False
     if word == before1:
-        # step 2: verb suffixes
-        suf = _longest(word, _PT_2)
+        # step 2: verb suffixes (RV-limited among)
+        suf = _longest_in(word, _PT_2, rv)
         if suf is not None:
-            pos = len(word) - len(suf)
-            if pos >= rv:
-                word = word[:pos]
-                step2_done = True
+            word = word[: -len(suf)]
+            step2_done = True
 
     if word != before1 or step2_done:
         # step 3
@@ -1015,9 +1012,9 @@ def stem_portuguese(word: str) -> str:
                 and len(word) >= 2 and word[-2] == "c"):
             word = word[:-1]
     else:
-        # step 4: residual suffix
-        suf = _longest(word, ("os", "a", "i", "o", "á", "í", "ó"))
-        if suf is not None and len(word) - len(suf) >= rv:
+        # step 4: residual suffix (RV-limited among)
+        suf = _longest_in(word, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if suf is not None:
             word = word[: -len(suf)]
 
     # step 5
