@@ -1140,3 +1140,296 @@ def stem_russian(word: str) -> str:
         elif word.endswith("ь") and len(word) - 1 >= rv:
             word = word[:-1]
     return word
+
+
+# ---------------------------------------------------------------------------
+# Finnish  (snowballstem.org/algorithms/finnish/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_FI_V = frozenset("aeiouyäö")
+_FI_RV = frozenset("aeiouäö")  # restricted vowel (no y)
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_STEP2 = ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en")
+_FI_STEP3 = (
+    "han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön",
+    "siin", "den", "tten", "seen",
+    "tta", "ttä",
+    "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+    "lle", "na", "nä", "ksi", "ine",
+    "a", "ä", "n",
+)
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o", "hun": "u",
+           "hyn": "y", "hän": "ä", "hön": "ö"}
+
+
+def stem_finnish(word: str) -> str:
+    r1 = _std_region(word, _FI_V, 0)
+    r2 = _std_region(word, _FI_V, r1)
+
+    # step 1: particle etc (in R1)
+    suf = _longest_in(word, ("kin", "kaan", "kään", "ko", "kö", "han",
+                             "hän", "pa", "pä", "sti"), r1)
+    if suf == "sti":
+        if len(word) - 3 >= r2:
+            word = word[:-3]
+    elif suf is not None:
+        pos = len(word) - len(suf)
+        if pos >= 1 and (word[pos - 1] in "nt" or word[pos - 1] in _FI_V):
+            word = word[:pos]
+
+    # step 2: possessive (in R1)
+    suf = _longest_in(word, _FI_STEP2, r1)
+    if suf == "si":
+        if not (len(word) >= 3 and word[-3] == "k"):
+            word = word[:-2]
+    elif suf == "ni":
+        word = word[:-2]
+        if word.endswith("kse"):
+            word = word[:-1] + "i"
+    elif suf in ("nsa", "nsä", "mme", "nne"):
+        word = word[: -len(suf)]
+    elif suf == "an":
+        if word[:-2].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+            word = word[:-2]
+    elif suf == "än":
+        if word[:-2].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            word = word[:-2]
+    elif suf == "en":
+        if word[:-2].endswith(("lle", "ine")):
+            word = word[:-2]
+
+    # step 3: cases (in R1).  The "preceded by Vi" and "preceded by
+    # LV" conditions are CONTEXT STRINGS in the among (finnish.sbl has
+    # e.g. 'aiden', 'ooseen'), so a non-matching context falls through
+    # to shorter entries like bare 'n'; the hXn and tta/ttä conditions
+    # are TESTS on bare entries — their failure fails the whole among.
+    removed3 = False
+    entries = {}
+    for v in "aeiouäö":
+        for c in ("siin", "den", "tten"):
+            entries[v + "i" + c] = len(c)
+    for lv in _FI_LV:
+        entries[lv + "seen"] = 4
+    for c in ("tta", "ttä", "ta", "tä", "ssa", "ssä", "sta", "stä",
+              "lla", "llä", "lta", "ltä", "lle", "na", "nä", "ksi",
+              "ine"):
+        entries[c] = len(c)
+    ent = _longest_in(
+        word, tuple(entries) + tuple(_FI_HXN) + ("a", "ä", "n"), r1)
+    if ent in _FI_HXN:
+        pos = len(word) - 3
+        if pos >= 1 and word[pos - 1] == _FI_HXN[ent]:
+            word = word[:pos]
+            removed3 = True
+    elif ent in ("tta", "ttä"):
+        if word[:-3].endswith("e"):
+            word = word[:-3]
+            removed3 = True
+    elif ent in ("a", "ä"):
+        # cv context: the vowel set here INCLUDES y (full V1)
+        pos = len(word) - 1
+        if (pos >= 2 and word[pos - 1] in _FI_V
+                and word[pos - 2] not in _FI_V):
+            word = word[:pos]
+            removed3 = True
+    elif ent == "n":
+        word = word[:-1]
+        if word.endswith(_FI_LV) or word.endswith("ie"):
+            word = word[:-1]
+        removed3 = True
+    elif ent is not None:
+        word = word[: -entries[ent]]
+        removed3 = True
+
+    # step 4: other endings (in R2)
+    suf = _longest_in(word, ("impi", "impa", "impä", "immi", "imma",
+                             "immä", "eja", "ejä", "mpi", "mpa", "mpä",
+                             "mmi", "mma", "mmä"), r2)
+    if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+        if not word[: -len(suf)].endswith("po"):
+            word = word[: -len(suf)]
+    elif suf is not None:
+        word = word[: -len(suf)]
+
+    # step 5: plurals
+    if removed3:
+        if word and word[-1] in "ij" and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        if (word.endswith("t") and len(word) - 1 >= r1
+                and len(word) >= 2 and word[-2] in _FI_V):
+            word = word[:-1]
+            if word.endswith("imma") and len(word) - 4 >= r2:
+                word = word[:-4]
+            elif (word.endswith("mma") and len(word) - 3 >= r2
+                    and not word[:-3].endswith("po")):
+                word = word[:-3]
+
+    # step 6: tidying (each pattern must lie ENTIRELY inside R1)
+    if word.endswith(_FI_LV) and len(word) - 2 >= r1:
+        word = word[:-1]
+    if (word and word[-1] in "aäei" and len(word) - 2 >= r1
+            and len(word) >= 2 and word[-2] not in _FI_V):
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and len(word) - 2 >= r1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 2 >= r1:
+        word = word[:-1]
+    # undouble a final double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_V:
+        i -= 1
+    if i >= 1 and word[i] not in _FI_V and word[i] == word[i - 1]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian  (snowballstem.org/algorithms/hungarian/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_HU_V = frozenset("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+#: doubled consonant forms (incl. doubled digraphs, undoubled by removing
+#: the tail half)
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+               "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+               "tt", "tty", "vv", "zz", "zzs")
+
+
+def _hu_r1(word: str) -> int:
+    if not word:
+        return 0
+    if word[0] in _HU_V:
+        # after the first consonant or digraph
+        for i in range(1, len(word)):
+            if word[i] not in _HU_V:
+                for d in _HU_DIGRAPHS:
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return len(word)
+    for i in range(1, len(word)):
+        if word[i] in _HU_V:
+            return i + 1
+    return len(word)
+
+
+def _hu_double(word: str) -> bool:
+    return word.endswith(_HU_DOUBLES)
+
+
+def _hu_undouble(word: str) -> str:
+    """Remove the repeated half of a final double (incl. digraphs)."""
+    for d in ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs"):
+        if word.endswith(d):
+            return word[:-len(d)] + d[1:]
+    return word[:-1]
+
+
+def _hu_v_ending(word: str, r1: int) -> str:
+    """Final á->a / é->e, only when that vowel lies in R1."""
+    if word and word[-1] in "áé" and len(word) - 1 >= r1:
+        return word[:-1] + ("a" if word[-1] == "á" else "e")
+    return word
+
+
+_HU_CASE = (
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen",
+    "kor", "ul", "ül", "vá", "vé", "onként", "enként", "anként", "ként",
+    "en", "on", "an", "ön", "n", "t",
+)
+
+#: among actions: None = delete the matched suffix; "a"/"e" = REPLACE
+#: the matched suffix with that letter (tables decoded from the official
+#: Snowball-generated code's among arrays; actions verified against its
+#: output)
+_HU_OWNED = {
+    "éi": None, "áéi": "a", "ééi": "e", "é": None, "ké": None, "aké": None,
+    "eké": None, "oké": None, "áké": "a", "éké": "e", "öké": None,
+    "éé": "e",
+}
+
+_HU_SING_OWNER = {
+    "a": None, "ja": None, "d": None, "ad": None, "ed": None, "od": None,
+    "ád": "a", "éd": "e", "öd": None, "e": None, "je": None, "nk": None,
+    "unk": None, "ánk": "a", "énk": "e", "ünk": None, "uk": None,
+    "juk": None, "ájuk": "a", "ük": None, "jük": None, "éjük": "e",
+    "m": None, "am": None, "em": None, "om": None, "ám": "a", "ém": "e",
+    "o": None, "á": "a", "é": "e",
+}
+
+_HU_PLUR_OWNER = {
+    "i": None, "ai": None, "jai": None, "ei": None, "jei": None,
+    "ái": "a", "éi": "e",
+    "itek": None, "eitek": None, "jeitek": None, "éitek": "e",
+    "ik": None, "aik": None, "jaik": None, "eik": None, "jeik": None,
+    "áik": "a", "éik": "e",
+    "ink": None, "aink": None, "jaink": None, "eink": None,
+    "jeink": None, "áink": "a", "éink": "e",
+    "aitok": None, "jaitok": None, "áitok": "a",
+    "im": None, "aim": None, "jaim": None, "eim": None, "jeim": None,
+    "áim": "a", "éim": "e",
+}
+
+_HU_PLURAL = {
+    "k": None, "ak": None, "ok": None, "ek": None, "ök": None,
+    "ák": "a", "ék": "e",
+}
+
+
+def _hu_apply(word: str, table: dict, r1: int) -> str:
+    """[substring] among(...) with an R1 condition — UNRESTRICTED
+    longest match, then the R1 test; a failed test fails the whole step
+    (commit, no fallback to shorter entries)."""
+    suf = _longest(word, tuple(table))
+    if suf is None or len(word) - len(suf) < r1:
+        return word
+    repl = table[suf]
+    return word[: -len(suf)] + (repl or "")
+
+
+def stem_hungarian(word: str) -> str:
+    r1 = _hu_r1(word)
+
+    # step 1: instrumental (al/el preceded by a double consonant)
+    suf = _longest(word, ("al", "el"))
+    if (suf is not None and len(word) - 2 >= r1
+            and _hu_double(word[:-2])):
+        word = _hu_undouble(word[:-2])
+
+    # step 2: frequent cases, then final á->a / é->e (v_ending, in R1)
+    suf = _longest(word, _HU_CASE)
+    if suf is not None and len(word) - len(suf) >= r1:
+        word = _hu_v_ending(word[: -len(suf)], r1)
+
+    # step 3: special cases
+    suf = _longest(word, ("én", "án", "ánként"))
+    if suf is not None and len(word) - len(suf) >= r1:
+        word = word[: -len(suf)] + ("e" if suf == "én" else "a")
+
+    # step 4: other cases
+    suf = _longest(word, ("astul", "estül", "stul", "stül",
+                          "ástul", "éstül"))
+    if suf is not None and len(word) - len(suf) >= r1:
+        if suf == "ástul":
+            word = word[:-5] + "a"
+        elif suf == "éstül":
+            word = word[:-5] + "e"
+        else:
+            word = word[: -len(suf)]
+
+    # step 5: factive (á/é preceded by a double consonant)
+    if (word and word[-1] in "áé" and len(word) - 1 >= r1
+            and _hu_double(word[:-1])):
+        word = _hu_undouble(word[:-1])
+
+    # steps 6-9: owned / singular owner / plural owner / plural
+    word = _hu_apply(word, _HU_OWNED, r1)
+    word = _hu_apply(word, _HU_SING_OWNER, r1)
+    word = _hu_apply(word, _HU_PLUR_OWNER, r1)
+    word = _hu_apply(word, _HU_PLURAL, r1)
+    return word

@@ -221,6 +221,8 @@ def _snowball_langs():
         "norwegian": sb.stem_norwegian,
         "swedish": sb.stem_swedish,
         "dutch": sb.stem_dutch,
+        "finnish": sb.stem_finnish,
+        "hungarian": sb.stem_hungarian,
     }
 
 
@@ -229,8 +231,7 @@ _STEMMERS = {"english": stem_english}
 #: rust-stemmers languages with no implementation here — requesting one
 #: raises instead of silently not stemming
 _UNIMPLEMENTED = frozenset(
-    {"arabic", "finnish", "greek", "hungarian", "romanian", "tamil",
-     "turkish"})
+    {"arabic", "greek", "romanian", "tamil", "turkish"})
 
 
 def stemmer_for(language: str):
