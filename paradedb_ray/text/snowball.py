@@ -1433,3 +1433,150 @@ def stem_hungarian(word: str) -> str:
     word = _hu_apply(word, _HU_PLUR_OWNER, r1)
     word = _hu_apply(word, _HU_PLURAL, r1)
     return word
+
+
+# ---------------------------------------------------------------------------
+# Romanian  (snowballstem.org/algorithms/romanian/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_RO_V = frozenset("aăâeiîou")
+
+#: step 1: combining suffixes — REPLACE and repeat until no change (R1)
+_RO_COMBO = {
+    "abilitate": "abil", "abilitati": "abil", "abilităi": "abil",
+    "abilităţi": "abil",
+    "ibilitate": "ibil",
+    "ivitate": "iv", "ivitati": "iv", "ivităi": "iv", "ivităţi": "iv",
+    "icitate": "ic", "icitati": "ic", "icităi": "ic", "icităţi": "ic",
+    "ical": "ic", "icala": "ic", "icale": "ic", "icali": "ic",
+    "icală": "ic", "iciv": "ic", "iciva": "ic", "icive": "ic",
+    "icivi": "ic", "icivă": "ic", "icator": "ic", "icatori": "ic",
+    "ativ": "at", "ativa": "at", "ative": "at", "ativi": "at",
+    "ativă": "at", "aţiune": "at", "atoare": "at", "ator": "at",
+    "atori": "at", "ătoare": "at", "ător": "at", "ători": "at",
+    "itiv": "it", "itiva": "it", "itive": "it", "itivi": "it",
+    "itivă": "it", "iţiune": "it", "itoare": "it", "itor": "it",
+    "itori": "it",
+}
+
+#: step 2: standard suffixes (R2): None = delete, else replacement
+_RO_STD = {
+    "at": None, "ata": None, "ată": None, "ati": None, "ate": None,
+    "ut": None, "uta": None, "ută": None, "uti": None, "ute": None,
+    "it": None, "ita": None, "ită": None, "iti": None, "ite": None,
+    "ic": None, "ica": None, "ice": None, "ici": None, "ică": None,
+    "abil": None, "abila": None, "abile": None, "abili": None,
+    "abilă": None, "ibil": None, "ibila": None, "ibile": None,
+    "ibili": None, "ibilă": None, "oasa": None, "oasă": None,
+    "oase": None, "os": None, "osi": None, "oşi": None,
+    "ant": None, "anta": None, "ante": None, "anti": None,
+    "antă": None, "ator": None, "atori": None,
+    "itate": None, "itati": None, "ităi": None, "ităţi": None,
+    "iv": None, "iva": None, "ive": None, "ivi": None, "ivă": None,
+    "ism": "ist", "isme": "ist", "ist": "ist", "ista": "ist",
+    "iste": "ist", "isti": "ist", "istă": "ist", "işti": "ist",
+    "iune": "iun", "iuni": "iun",
+}
+
+#: step 3 verb suffixes (RV): True = requires a preceding consonant or
+#: 'u' (itself in RV); False = unconditional delete (per-entry result
+#: codes decoded from the official Snowball-generated among table)
+_RO_VERB = {
+    "ea": True, "ia": True, "esc": True, "ăsc": True, "ind": True,
+    "ând": True, "are": True, "ere": True, "ire": True, "âre": True,
+    "se": False, "ase": True, "sese": False, "ise": True, "use": True,
+    "âse": True, "eşte": True, "ăşte": True, "eze": True, "ai": True,
+    "eai": True, "iai": True, "sei": False, "eşti": True, "ăşti": True,
+    "ui": True, "ezi": True, "aşi": True, "seşi": False, "aseşi": True,
+    "seseşi": False, "iseşi": True, "useşi": True, "âseşi": True,
+    "işi": True, "uşi": True, "âşi": True, "âi": True, "aţi": False,
+    "eaţi": True, "iaţi": True, "eţi": False, "iţi": False,
+    "arăţi": True, "serăţi": False, "aserăţi": True, "seserăţi": False,
+    "iserăţi": True, "userăţi": True, "âserăţi": True, "irăţi": True,
+    "urăţi": True, "ârăţi": True, "âţi": False, "am": True, "eam": True,
+    "iam": True, "em": False, "asem": True, "sesem": False,
+    "isem": True, "usem": True, "âsem": True, "im": False, "ăm": False,
+    "arăm": True, "serăm": False, "aserăm": True, "seserăm": False,
+    "iserăm": True, "userăm": True, "âserăm": True, "irăm": True,
+    "urăm": True, "ârăm": True, "âm": False, "au": True, "eau": True,
+    "iau": True, "indu": True, "ându": True, "ez": True, "ească": True,
+    "ară": True, "seră": False, "aseră": True, "seseră": False,
+    "iseră": True, "useră": True, "âseră": True, "iră": True,
+    "ură": True, "âră": True, "ează": True,
+}
+
+
+def stem_romanian(word: str) -> str:
+    # prelude: i/u between vowels -> markers (never matched by suffixes)
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_V \
+                and chars[i + 1] in _RO_V:
+            chars[i] = "I" if chars[i] == "i" else "U"
+    word = "".join(chars)
+
+    rv = _rv_iberian(word, _RO_V)
+    r1 = _std_region(word, _RO_V, 0)
+    r2 = _std_region(word, _RO_V, r1)
+
+    # step 0: removal of plurals / articles (R1)
+    suf = _longest(word, ("ul", "ului", "aua", "ea", "ele", "elor",
+                          "ii", "iua", "iei", "iile", "iilor", "ilor",
+                          "ile", "atei", "aţia", "aţie"))
+    if suf is not None and len(word) - len(suf) >= r1:
+        pos = len(word) - len(suf)
+        if suf in ("ul", "ului"):
+            word = word[:pos]
+        elif suf == "aua":
+            word = word[:pos] + "a"
+        elif suf in ("ea", "ele", "elor"):
+            word = word[:pos] + "e"
+        elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            word = word[:pos] + "i"
+        elif suf == "ile":
+            if not word[:pos].endswith("ab"):
+                word = word[:pos] + "i"
+        elif suf == "atei":
+            word = word[:pos] + "at"
+        elif suf in ("aţia", "aţie"):
+            word = word[:pos] + "aţi"
+
+    # step 1: combining suffixes — repeat until no replacement (R1)
+    standard_removed = False
+    while True:
+        suf = _longest(word, tuple(_RO_COMBO))
+        if suf is None or len(word) - len(suf) < r1:
+            break
+        word = word[: -len(suf)] + _RO_COMBO[suf]
+        standard_removed = True
+
+    # step 2: standard suffixes (R2)
+    suf = _longest(word, tuple(_RO_STD))
+    if suf is not None and len(word) - len(suf) >= r2:
+        repl = _RO_STD[suf]
+        word = word[: -len(suf)] + (repl or "")
+        standard_removed = True
+
+    # step 3: verb suffixes (RV) — only if steps 1-2 removed nothing.
+    # COMMIT semantics: the longest match wins and a failed condition
+    # does not fall back to shorter entries.
+    if not standard_removed:
+        # RV-limited matching (out-of-region longest falls through to
+        # shorter in-region entries), then per-entry commit conditions
+        suf = _longest_in(word, tuple(_RO_VERB), rv)
+        if suf is not None:
+            pos = len(word) - len(suf)
+            if _RO_VERB[suf]:
+                if pos - 1 >= rv and (word[pos - 1] not in _RO_V
+                                      or word[pos - 1] == "u"):
+                    word = word[:pos]
+            else:
+                word = word[:pos]
+
+    # step 4: final vowel (RV; commit — an out-of-region longest match
+    # does not fall back, see 'fhţie')
+    suf = _longest(word, ("a", "e", "ie", "i", "ă"))
+    if suf is not None and len(word) - len(suf) >= rv:
+        word = word[: -len(suf)]
+
+    return word.replace("I", "i").replace("U", "u")

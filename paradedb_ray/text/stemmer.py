@@ -223,6 +223,7 @@ def _snowball_langs():
         "dutch": sb.stem_dutch,
         "finnish": sb.stem_finnish,
         "hungarian": sb.stem_hungarian,
+        "romanian": sb.stem_romanian,
     }
 
 
@@ -231,7 +232,7 @@ _STEMMERS = {"english": stem_english}
 #: rust-stemmers languages with no implementation here — requesting one
 #: raises instead of silently not stemming
 _UNIMPLEMENTED = frozenset(
-    {"arabic", "greek", "romanian", "tamil", "turkish"})
+    {"arabic", "greek", "tamil", "turkish"})
 
 
 def stemmer_for(language: str):
