@@ -1251,6 +1251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_siblings": _q_agg_siblings,
         "terms_agg": _q_terms_agg,
         "nested_agg": _q_nested_agg,
+        # dedup_exact's oracle changed in r3 (planted copies) — keep it
+        # inside the driver's 50-entry window
+        "dedup_exact": _q_dedup_exact,
         "stats_agg": _q_stats_agg,
         "cardinality": _q_cardinality,
         "percentiles": _q_percentiles,
@@ -1269,7 +1272,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_all": _q_union_all,
         "tumbling_1h": _q_tumbling_1h,
         "session_30m": _q_session_30m,
-        "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "quality": _q_quality,
         "tokenize": _q_tokenize,
