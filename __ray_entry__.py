@@ -1002,6 +1002,21 @@ def _q_multimodal_decode(sf):
         ["doc_id", "width", "height", "n_bytes"])
 
 
+def _q_multimodal_png(sf):
+    """REAL PNG decode end to end: payloads are genuine zlib-compressed
+    PNGs (all five filter types) whose dimensions derive from md5(text),
+    so the SQL oracle predicts what the Ray side must recover by
+    actually parsing the image."""
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        synthesize_png_payloads,
+    )
+
+    ds = synthesize_png_payloads(_docs(sf, columns=["doc_id", "text"]),
+                                 "text", "doc_id")
+    return decode_media(ds).select_columns(["doc_id", "width", "height"])
+
+
 def _q_multimodal_features(sf):
     from paradedb_ray.pipelines.multimodal import (
         extract_features,
@@ -1211,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_png": _q_multimodal_png,
         "multimodal_features": _q_multimodal_features,
         "knn_ivf": _q_knn_ivf,
         "knn_filtered_l2": _q_knn_filtered_l2,
@@ -1548,6 +1564,13 @@ def oracle_sql() -> dict[str, str]:
             " 16 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 240"
             "   AS height,"
             " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes"
+            " FROM documents",
+        "multimodal_png":
+            "SELECT doc_id,"
+            " 4 + CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) % 29"
+            "   AS width,"
+            " 4 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 29"
+            "   AS height"
             " FROM documents",
         "tumbling_1h":
             "SELECT date_trunc('hour', ts) AS window_start, event_type,"

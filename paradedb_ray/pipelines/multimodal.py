@@ -5,10 +5,13 @@ decode / feature-extract / resize / frame-sample as actor-pool
 The reference has no media pipeline (pg_search indexes text); this is the
 training-data-pipeline extension the engine needs at 100 TB.  The Ray-side
 plumbing — schema, batch sizing, actor signature, output layout — is real
-and tested; the codec itself is STUBBED: the image/audio libraries are not
-in this container, so ``DecodeStage`` tries ``PIL``/``soundfile`` and falls
-back to a deterministic fake decoder over a self-describing payload header.
-Swap ``_decode_fake`` for a real codec call and nothing else changes.
+and tested.  Codecs (round 3): PNG and WAV payloads decode for REAL via
+the dependency-free codecs in :mod:`paradedb_ray.pipelines.codecs`
+(zlib inflate + full five-filter unfiltering / stdlib ``wave``); payloads
+the stdlib cannot honestly handle (JPEG, video containers) fall back to
+the deterministic self-describing fake header, which remains documented
+as a stub.  ``DecodeStage`` sniffs the magic bytes per payload, so mixed
+media columns work.
 
 Payload format (synthesized by :func:`synthesize_payloads`):
 ``b"FAKEIMG1" + width:u16 + height:u16 + channels:u8 + body-bytes`` — the
@@ -26,6 +29,8 @@ import struct
 from typing import Optional
 
 import numpy as np
+
+from paradedb_ray.pipelines import codecs
 import pyarrow as pa
 
 import ray
@@ -73,9 +78,38 @@ def synthesize_payloads(ds: ray.data.Dataset, text_col: str,
     return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
 
 
+def synthesize_png_payloads(ds: ray.data.Dataset, text_col: str,
+                            key_col: str) -> ray.data.Dataset:
+    """Derive a deterministic REAL PNG per row: dimensions from md5(text)
+    (so a SQL oracle can predict them without decoding), pixels a seeded
+    byte pattern of the text.  The decode stage must recover the exact
+    dimensions by actually parsing the PNG."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        payloads = []
+        for t in texts:
+            body = (t or "").encode("utf-8")
+            h = hashlib.md5(body).digest()
+            w = 4 + h[0] % 29
+            ht = 4 + h[1] % 29
+            px = np.resize(np.frombuffer(body or b"\0", np.uint8),
+                           w * ht * 3)
+            payloads.append(codecs.encode_png(px, w, ht, 3,
+                                              filter_type=-1))
+        return pa.table({
+            key_col: batch.column(key_col),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * len(payloads),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
+
+
 def _decode_fake(payload: bytes):
-    """Deterministic fake decode: header -> (w, h, c), body -> pixel stats.
-    Replace with ``PIL.Image.open(io.BytesIO(payload))`` when available."""
+    """Deterministic fake decode of the self-describing header format
+    (the documented stub path for codecs the stdlib cannot handle)."""
     if payload is None or not payload.startswith(_MAGIC):
         return None
     w, h, c = struct.unpack_from("<HHB", payload, len(_MAGIC))
@@ -83,6 +117,24 @@ def _decode_fake(payload: bytes):
     arr = np.frombuffer(body, dtype=np.uint8)
     return {"width": int(w), "height": int(h), "channels": int(c),
             "pixels": arr}
+
+
+def _decode(payload: bytes):
+    """Sniff + decode: real PNG / real WAV / fake header.  WAV maps onto
+    the image-shaped metadata as (width=n_frames, height=1,
+    channels=n_channels) with samples exposed as a byte view."""
+    if payload is None:
+        return None
+    if payload.startswith(codecs.PNG_MAGIC):
+        return codecs.decode_png(payload)
+    if payload[:4] == b"RIFF":
+        d = codecs.decode_wav(payload)
+        if d is None:
+            return None
+        return {"width": d["n_frames"], "height": 1,
+                "channels": d["channels"],
+                "pixels": d["samples"].view(np.uint8)}
+    return _decode_fake(payload)
 
 
 class DecodeStage:
@@ -103,7 +155,7 @@ class DecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, chans, nbytes = [], [], [], []
         for p in batch.column(self.media_col).to_pylist():
-            d = _decode_fake(p)
+            d = _decode(p)
             if d is None:
                 widths.append(None); heights.append(None)
                 chans.append(None); nbytes.append(None)
@@ -132,7 +184,7 @@ class FeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch.column(self.media_col).to_pylist():
-            d = _decode_fake(p)
+            d = _decode(p)
             if d is None or len(d["pixels"]) == 0:
                 feats.append([0.0] * self.dim)
                 continue
@@ -156,6 +208,23 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for p in batch.column(self.media_col).to_pylist():
+            if p is not None and p.startswith(codecs.PNG_MAGIC):
+                d = codecs.decode_png(p)
+                if d is None:
+                    out.append(p)
+                    continue
+                scale = min(1.0,
+                            self.max_side / max(d["width"], d["height"]))
+                w = max(1, int(d["width"] * scale))
+                h = max(1, int(d["height"] * scale))
+                # real nearest-neighbour resample + re-encode
+                px = d["pixels"].reshape(d["height"], d["width"],
+                                         d["channels"])
+                ys = (np.arange(h) * d["height"] // h)
+                xs = (np.arange(w) * d["width"] // w)
+                out.append(codecs.encode_png(px[ys][:, xs], w, h,
+                                             d["channels"]))
+                continue
             d = _decode_fake(p)
             if d is None:
                 out.append(p)
@@ -187,10 +256,11 @@ class FrameSampleStage:
         keys, frame_idx, frames = [], [], []
         kvals = batch.column(self.key_col).to_pylist()
         for k, p in zip(kvals, batch.column(self.media_col).to_pylist()):
-            d = _decode_fake(p)
+            d = _decode(p)
             if d is None:
                 continue
-            body = p[len(_MAGIC) + 5:]
+            body = (d["pixels"].tobytes()
+                    if not p.startswith(_MAGIC) else p[len(_MAGIC) + 5:])
             n_frames = max(1, len(body) // self.frame_bytes)
             for fi in range(0, n_frames, self.stride):
                 keys.append(k)

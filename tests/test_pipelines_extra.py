@@ -364,3 +364,74 @@ def test_rrf_fuse_rank_ties():
     # tie between 1 and 2 resolved by key asc
     ids = out.column("id").to_pylist()
     assert ids.index(1) < ids.index(2)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The dependency-free PNG codec recovers exact pixels through every
+    PNG filter type (None/Sub/Up/Average/Paeth) and shapes."""
+    from paradedb_ray.pipelines import codecs
+
+    rng = np.random.RandomState(0)
+    for w, h, c in ((13, 7, 3), (1, 1, 1), (32, 5, 4), (9, 20, 2)):
+        px = rng.randint(0, 256, size=w * h * c).astype(np.uint8)
+        for ft in (0, 1, 2, 3, 4, -1):
+            d = codecs.decode_png(codecs.encode_png(px, w, h, c,
+                                                    filter_type=ft))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, c)
+            assert np.array_equal(d["pixels"], px), (w, h, c, ft)
+    # non-PNG and unsupported depth gracefully None
+    assert codecs.decode_png(b"not a png") is None
+
+
+def test_wav_codec_roundtrip():
+    from paradedb_ray.pipelines import codecs
+
+    sm = (np.sin(np.arange(800)) * 20000).astype(np.int16)
+    d = codecs.decode_wav(codecs.encode_wav(sm, 8000, 2))
+    assert d["rate"] == 8000 and d["channels"] == 2
+    assert np.array_equal(d["samples"], sm)
+    assert codecs.decode_wav(b"RIFFxxxxJUNK") is None
+
+
+def test_multimodal_real_png_pipeline(ray_session):
+    """synthesize real PNGs -> actor-pool decode recovers the md5-derived
+    dimensions by parsing; resize re-encodes a genuinely smaller PNG."""
+    import hashlib
+
+    from paradedb_ray.pipelines import codecs
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_png_payloads,
+    )
+
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array([f"document body {i} spark" * (i + 1)
+                                    for i in range(40)])})
+    ds = synthesize_png_payloads(ray.data.from_arrow(t), "text", "doc_id")
+    out = decode_media(ds).to_pandas().sort_values("doc_id")
+    for i, row in out.iterrows():
+        h = hashlib.md5(t.column("text")[int(row["doc_id"])]
+                        .as_py().encode()).digest()
+        assert row["width"] == 4 + h[0] % 29
+        assert row["height"] == 4 + h[1] % 29
+    # resize: decode the resized payloads and check the bounding box
+    small = resize_media(ds, max_side=8).take_all()
+    for r in small:
+        d = codecs.decode_png(r["media"])
+        assert d is not None and max(d["width"], d["height"]) <= 8
+
+
+def test_multimodal_wav_decode(ray_session):
+    from paradedb_ray.pipelines import codecs
+    from paradedb_ray.pipelines.multimodal import decode_media
+
+    payloads = [codecs.encode_wav(
+        (np.sin(np.arange(100 + 10 * i)) * 1000).astype(np.int16),
+        16000, 1) for i in range(5)]
+    t = pa.table({"k": pa.array(range(5), pa.int64()),
+                  "media": pa.array(payloads, pa.binary())})
+    out = decode_media(ray.data.from_arrow(t)).to_pandas().sort_values("k")
+    # WAV maps to (width=n_frames, height=1, channels=n)
+    assert list(out["width"]) == [100 + 10 * i for i in range(5)]
+    assert set(out["height"]) == {1} and set(out["channels"]) == {1}
