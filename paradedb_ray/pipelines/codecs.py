@@ -172,3 +172,48 @@ def encode_wav(samples: np.ndarray, rate: int = 16000,
         w.setframerate(rate)
         w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
     return buf.getvalue()
+
+
+def jpeg_dimensions(data: bytes):
+    """Header-only JPEG parse: scan segment markers for the first SOF0-15
+    frame header and return (width, height, channels) — no pixel decode
+    (that stays a documented stub; Huffman/DCT is out of honest scope
+    for a stdlib codec)."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            return None
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        # SOF0..SOF15 except DHT(C4)/DAC(CC)/restart markers
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(data):
+                return None
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            return {"width": int(w), "height": int(h),
+                    "channels": int(data[pos + 9])}
+        pos += 2 + seglen
+    return None
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Real scalar audio features from PCM samples: duration, RMS level,
+    zero-crossing rate, peak amplitude — the stats an audio-quality
+    filter in a training-data pipeline gates on."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "zcr": 0.0, "peak": 0.0}
+    return {
+        "duration_s": n / float(rate),
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "zcr": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+        "peak": float(np.max(np.abs(x))),
+    }

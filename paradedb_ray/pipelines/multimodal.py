@@ -127,6 +127,13 @@ def _decode(payload: bytes):
         return None
     if payload.startswith(codecs.PNG_MAGIC):
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG: header-only (dims real,
+        d = codecs.jpeg_dimensions(payload)   # pixels stay stubbed)
+        if d is None:
+            return None
+        return {"width": d["width"], "height": d["height"],
+                "channels": d["channels"],
+                "pixels": np.frombuffer(payload, dtype=np.uint8)}
     if payload[:4] == b"RIFF":
         d = codecs.decode_wav(payload)
         if d is None:
@@ -273,6 +280,41 @@ class FrameSampleStage:
             "frame_idx": pa.array(frame_idx, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: REAL scalar audio features (duration, RMS,
+    zero-crossing rate, peak) for WAV payloads via the stdlib codec;
+    non-WAV rows emit nulls."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"duration_s": [], "rms": [], "zcr": [], "peak": []}
+        for p in batch.column(self.media_col).to_pylist():
+            d = codecs.decode_wav(p) if p is not None and p[:4] == b"RIFF" \
+                else None
+            if d is None:
+                for k in cols:
+                    cols[k].append(None)
+            else:
+                f = codecs.audio_features(d["samples"], d["rate"])
+                for k in cols:
+                    cols[k].append(f[k])
+        out = batch.drop_columns([self.media_col])
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v, pa.float64()))
+        return out
+
+
+def extract_audio_features(ds: ray.data.Dataset, media_col: str = "media",
+                           concurrency: Optional[int] = None,
+                           batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(AudioFeatureStage,
+                          fn_constructor_args=(media_col,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=_pool(concurrency))
 
 
 def resize_media(ds: ray.data.Dataset, max_side: int = 64,

@@ -435,3 +435,21 @@ def test_multimodal_wav_decode(ray_session):
     # WAV maps to (width=n_frames, height=1, channels=n)
     assert list(out["width"]) == [100 + 10 * i for i in range(5)]
     assert set(out["height"]) == {1} and set(out["channels"]) == {1}
+
+
+def test_audio_feature_stage(ray_session):
+    from paradedb_ray.pipelines import codecs
+    from paradedb_ray.pipelines.multimodal import extract_audio_features
+
+    tone = (np.sin(np.arange(16000) * 0.1) * 10000).astype(np.int16)
+    silence = np.zeros(8000, np.int16)
+    t = pa.table({"k": pa.array([0, 1, 2], pa.int64()),
+                  "media": pa.array([codecs.encode_wav(tone, 16000),
+                                     codecs.encode_wav(silence, 16000),
+                                     b"not audio"], pa.binary())})
+    out = extract_audio_features(
+        ray.data.from_arrow(t)).to_pandas().sort_values("k")
+    assert abs(out["duration_s"][0] - 1.0) < 1e-9
+    assert out["rms"][0] > 5000 and out["rms"][1] == 0.0
+    assert 0.02 < out["zcr"][0] < 0.05  # sin(0.1t): ~1 crossing / 31 samples
+    assert np.isnan(out["rms"][2])  # non-WAV row -> nulls
