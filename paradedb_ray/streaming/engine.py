@@ -588,15 +588,15 @@ def _session_shard_of(conv_ids: "pa.ChunkedArray") -> "np.ndarray":
 
 
 @ray.remote
-def _fold_session_shard(snap: "pa.Table | None", new_rows: pa.Table,
-                        out_path: str) -> None:
-    """Fold one shard: previous snapshot + new emissions -> latest row per
-    (conv_id, session_start), ordered by epoch.  Tombstones (n_turns=0)
-    are KEPT — they void earlier emissions and the read-side filter drops
-    them, so folding is a pure supersede, never a semantic change.  The
-    write is atomic; re-folding the same inputs is idempotent."""
-    import pandas as pd
-
+def _fold_session_shard(new_rows: pa.Table, out_path: str) -> None:
+    """Fold one shard: previous snapshot (read INSIDE the task, so the
+    driver never touches shard payloads) + new emissions -> latest row
+    per (conv_id, session_start), ordered by epoch.  Tombstones
+    (n_turns=0) are KEPT — they void earlier emissions and the read-side
+    filter drops them, so folding is a pure supersede, never a semantic
+    change.  The write is atomic; re-folding the same inputs is
+    idempotent."""
+    snap = pq.read_table(out_path) if os.path.exists(out_path) else None
     parts = [t for t in (snap, new_rows) if t is not None and t.num_rows]
     if not parts:
         return
@@ -812,8 +812,7 @@ class EpochRunner:
             spath = os.path.join(cdir, f"shard={k:02d}.parquet")
             if rows.num_rows == 0:
                 continue
-            snap = pq.read_table(spath) if os.path.exists(spath) else None
-            refs.append(_fold_session_shard.remote(snap, rows, spath))
+            refs.append(_fold_session_shard.remote(rows, spath))
         ray.get(refs)
         for f in files:
             os.remove(os.path.join(d, f))
