@@ -224,7 +224,14 @@ def _snowball_langs():
         "finnish": sb.stem_finnish,
         "hungarian": sb.stem_hungarian,
         "romanian": sb.stem_romanian,
+        "turkish": _turkish(),
     }
+
+
+def _turkish():
+    from paradedb_ray.text.turkish import stem_turkish
+
+    return stem_turkish
 
 
 _STEMMERS = {"english": stem_english}
@@ -232,7 +239,7 @@ _STEMMERS = {"english": stem_english}
 #: rust-stemmers languages with no implementation here — requesting one
 #: raises instead of silently not stemming
 _UNIMPLEMENTED = frozenset(
-    {"arabic", "greek", "tamil", "turkish"})
+    {"arabic", "greek", "tamil"})
 
 
 def stemmer_for(language: str):

@@ -82,7 +82,7 @@ def test_stemmer_for_case_insensitive():
 
 def test_stemmer_for_unknown_raises():
     with pytest.raises(NotImplementedError):
-        stemmer_for("turkish")
+        stemmer_for("greek")
     with pytest.raises(NotImplementedError):
         stemmer_for("klingon")
 
