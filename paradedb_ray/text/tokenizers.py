@@ -473,7 +473,13 @@ class TokenFilterChain:
         if self.stemmer:
             from paradedb_ray.text.stemmer import stemmer_for
 
-            self._stem = stemmer_for(self.stemmer)
+            # per-analyzer memo: stemming cost is per-VOCABULARY, not
+            # per-token (zipfian text repeats tokens constantly; the
+            # stemmers are pure functions of the token)
+            import functools
+
+            self._stem = functools.lru_cache(maxsize=65536)(
+                stemmer_for(self.stemmer))
         self.stopwords = frozenset(c["stopwords"]) if c.get("stopwords") else None
         self.ascii_folding = bool(c.get("ascii_folding", False))
         self.alpha_num_only = bool(c.get("alpha_num_only", False))
