@@ -224,14 +224,15 @@ def _snowball_langs():
         "finnish": sb.stem_finnish,
         "hungarian": sb.stem_hungarian,
         "romanian": sb.stem_romanian,
-        "turkish": _turkish(),
+        "turkish": _lang("turkish", "stem_turkish"),
+        "greek": _lang("greek", "stem_greek"),
     }
 
 
-def _turkish():
-    from paradedb_ray.text.turkish import stem_turkish
+def _lang(mod: str, fn: str):
+    import importlib
 
-    return stem_turkish
+    return getattr(importlib.import_module(f"paradedb_ray.text.{mod}"), fn)
 
 
 _STEMMERS = {"english": stem_english}
@@ -239,7 +240,7 @@ _STEMMERS = {"english": stem_english}
 #: rust-stemmers languages with no implementation here — requesting one
 #: raises instead of silently not stemming
 _UNIMPLEMENTED = frozenset(
-    {"arabic", "greek", "tamil"})
+    {"arabic", "tamil"})
 
 
 def stemmer_for(language: str):

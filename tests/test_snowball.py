@@ -82,7 +82,7 @@ def test_stemmer_for_case_insensitive():
 
 def test_stemmer_for_unknown_raises():
     with pytest.raises(NotImplementedError):
-        stemmer_for("greek")
+        stemmer_for("tamil")
     with pytest.raises(NotImplementedError):
         stemmer_for("klingon")
 
