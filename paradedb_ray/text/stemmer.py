@@ -226,6 +226,7 @@ def _snowball_langs():
         "romanian": sb.stem_romanian,
         "turkish": _lang("turkish", "stem_turkish"),
         "greek": _lang("greek", "stem_greek"),
+        "arabic": _lang("arabic", "stem_arabic"),
     }
 
 
@@ -240,7 +241,7 @@ _STEMMERS = {"english": stem_english}
 #: rust-stemmers languages with no implementation here — requesting one
 #: raises instead of silently not stemming
 _UNIMPLEMENTED = frozenset(
-    {"arabic", "tamil"})
+    {"tamil"})
 
 
 def stemmer_for(language: str):

@@ -27,6 +27,6 @@ def test_snowball_golden(lang):
 
 
 def test_unimplemented_languages_raise():
-    for lang in ("arabic", "tamil"):
+    for lang in ("tamil",):
         with pytest.raises(NotImplementedError):
             stemmer_for(lang)
