@@ -398,17 +398,32 @@ _FR_2B_A = (
 
 def stem_french(word: str) -> str:
     # prelude: mark u/i between vowels, y next to a vowel, u after q
+    # prelude: a LEFT-TO-RIGHT goto scan whose alternatives apply at the
+    # EARLIEST anchor, in order — so in 'yiezif' the (v i v) rule anchored
+    # at the y marks the i, and the y itself stays an unmarked vowel
     chars = list(word)
     n = len(chars)
-    for i, c in enumerate(chars):
-        if c in "ui" and 0 < i < n - 1 \
-                and chars[i - 1] in _FR_V and chars[i + 1] in _FR_V:
-            chars[i] = c.upper()
-        elif c == "u" and i > 0 and chars[i - 1] == "q":
-            chars[i] = "U"
-        elif c == "y" and ((i > 0 and chars[i - 1] in _FR_V)
-                           or (i < n - 1 and chars[i + 1] in _FR_V)):
+    i = 0
+    while i < n - 1:
+        if chars[i] in _FR_V:
+            c2 = chars[i + 1]
+            if c2 in "ui" and i + 2 < n and chars[i + 2] in _FR_V:
+                chars[i + 1] = c2.upper()
+                i += 2  # the trailing context vowel anchors the next scan
+                continue
+            if c2 == "y":
+                chars[i + 1] = "Y"
+                i += 2
+                continue
+        if chars[i] == "y" and chars[i + 1] in _FR_V:
             chars[i] = "Y"
+            i += 1  # the following vowel can anchor the next rule
+            continue
+        if chars[i] == "q" and chars[i + 1] == "u":
+            chars[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
     word = "".join(chars)
 
     if len(word) >= 2 and word[0] in _FR_V and word[1] in _FR_V:
