@@ -1178,8 +1178,10 @@ _FI_STEP3 = (
     "lle", "na", "nä", "ksi", "ine",
     "a", "ä", "n",
 )
-_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o", "hun": "u",
-           "hyn": "y", "hän": "ä", "hön": "ö"}
+#: the official table has NO hun/hyn entries — a word in -hun matches
+#: the bare 'n' rule instead
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hän": "ä", "hön": "ö"}
 
 
 def stem_finnish(word: str) -> str:
