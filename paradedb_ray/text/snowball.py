@@ -1496,7 +1496,7 @@ _RO_STD = {
     "iv": None, "iva": None, "ive": None, "ivi": None, "ivă": None,
     "ism": "ist", "isme": "ist", "ist": "ist", "ista": "ist",
     "iste": "ist", "isti": "ist", "istă": "ist", "işti": "ist",
-    "iune": "iun", "iuni": "iun",
+    "iune": "iun", "iuni": "iun",  # handled specially: ţ+iune/iuni -> t
 }
 
 #: step 3 verb suffixes (RV): True = requires a preceding consonant or
@@ -1571,12 +1571,22 @@ def stem_romanian(word: str) -> str:
         word = word[: -len(suf)] + _RO_COMBO[suf]
         standard_removed = True
 
-    # step 2: standard suffixes (R2)
+    # step 2: standard suffixes (R2).  'iune'/'iuni' is a bracket-
+    # extension rule: it fires only when preceded by 'ţ' (only the
+    # suffix itself must lie in R2) and rewrites 'ţiune'/'ţiuni' -> 't';
+    # otherwise the among FAILS outright (commit — no fallback, and
+    # standard_removed stays unset so the verb step still runs).
     suf = _longest(word, tuple(_RO_STD))
     if suf is not None and len(word) - len(suf) >= r2:
-        repl = _RO_STD[suf]
-        word = word[: -len(suf)] + (repl or "")
-        standard_removed = True
+        if suf in ("iune", "iuni"):
+            pos = len(word) - len(suf)
+            if pos > 0 and word[pos - 1] == "ţ":
+                word = word[: pos - 1] + "t"
+                standard_removed = True
+        else:
+            repl = _RO_STD[suf]
+            word = word[: -len(suf)] + (repl or "")
+            standard_removed = True
 
     # step 3: verb suffixes (RV) — only if steps 1-2 removed nothing.
     # COMMIT semantics: the longest match wins and a failed condition
