@@ -96,10 +96,9 @@ def stem_greek(word: str) -> str:
         if _whole(g.w, D.S2_EXC):
             g.w += "ων"
 
-    # steps3: -ισα verbs ('ισα' as the WHOLE word -> 'ισ')
+    # steps3: -ισα verbs (whole-word 'ισα' strips to empty and is
+    # restored by the empty-result rule)
     if _suffix_del(g, D.S3_SUF):
-        if g.w == "" and original == "ισα":
-            return "ισ"
         m = _whole(g.w, D.S3_EXC)
         if m:
             g.w += "ι" if m[1] == 1 else "ισ"
@@ -195,13 +194,23 @@ def stem_greek(word: str) -> str:
     if m is not None:
         g.w = g.w[: -len(m[0])]
         g.test1 = False
-        if (g.w and g.w[-1] in _V) or _whole(g.w, D.ST4_EXC):
+        if (g.w and g.w[-1] in _V
+                and _whole(g.w[:-1], D.ST4_EXC)):
+            # bracket-vowel variant: the trailing vowel is consumed and
+            # the exception (anchored at word start) doubles the append
+            g.w = g.w[:-1] + "ικικ"
+        elif (g.w and g.w[-1] in _V) or _whole(g.w, D.ST4_EXC):
             g.w += "ικ"
 
-    # step5a: -αμε.  The official build's 'αγαμε' special has an empty
-    # slice region, so slice_from INSERTS at the end (quirk, matched)
+    # step5a: -αμε.  Whole-word 'αγαμε': the official rule writes to the
+    # LAST slice region — untouched input has the whole word as the
+    # slice (replace -> 'αγαμ'), while a word an earlier step cut down
+    # to 'αγαμε' has an empty slice at the cut (insert -> 'αγαμεαγαμ')
     if g.w == "αγαμε":
-        g.w += "αγαμ"
+        if g.w == word:
+            g.w = "αγαμ"
+        else:
+            g.w += "αγαμ"
     m = _longest(g.w, D.S5A_SUF)
     if m is not None:
         g.w = g.w[: -len(m[0])]
@@ -222,7 +231,10 @@ def stem_greek(word: str) -> str:
     if g.w.endswith("ανε"):
         g.w = g.w[:-3]
         g.test1 = False
-        if (g.w and g.w[-1] in _V2) or _whole(g.w, D.S5B_EXC2):
+        if (g.w and g.w[-1] in _V2
+                and _whole(g.w[:-1], D.S5B_EXC2)):
+            g.w = g.w[:-1] + "αναν"   # bracket-vowel: 'γωανε' -> 'γαναν'
+        elif (g.w and g.w[-1] in _V2) or _whole(g.w, D.S5B_EXC2):
             g.w += "αν"
 
     # step5c: -ετε
@@ -231,7 +243,10 @@ def stem_greek(word: str) -> str:
     if g.w.endswith("ετε"):
         g.w = g.w[:-3]
         g.test1 = False
-        if ((g.w and g.w[-1] in _V2) or _longest(g.w, D.S5C_EXC1)
+        if (g.w and g.w[-1] in _V2
+                and _whole(g.w[:-1], D.S5C_EXC2)):
+            g.w = g.w[:-1] + "ετετ"   # bracket-vowel: 'υωετε' -> 'υετετ'
+        elif ((g.w and g.w[-1] in _V2) or _longest(g.w, D.S5C_EXC1)
                 or _whole(g.w, D.S5C_EXC2)):
             g.w += "ετ"
 

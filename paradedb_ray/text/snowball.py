@@ -1394,6 +1394,8 @@ _HU_PLUR_OWNER = {
     "aitok": None, "jaitok": None, "áitok": "a",
     "im": None, "aim": None, "jaim": None, "eim": None, "jeim": None,
     "áim": "a", "éim": "e",
+    "id": None, "aid": None, "jaid": None, "eid": None, "jeid": None,
+    "áid": "a", "éid": "e",
 }
 
 _HU_PLURAL = {

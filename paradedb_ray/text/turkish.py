@@ -422,6 +422,10 @@ def stem_turkish(word: str) -> str:
     if sum(ch in _VOW for ch in word) <= 1:
         return word
     word, cont = _nominal_verb(word)
-    if cont:
-        word = _noun_suffixes(word)
+    if not cont:
+        # the unset continue-flag ABORTS the whole stem: noun suffixes
+        # AND the postlude (append_U, devoicing) are skipped — 'adablar'
+        # -> 'adab' (no devoice) vs 'adabı' -> 'adap'
+        return word
+    word = _noun_suffixes(word)
     return _postlude(word)
