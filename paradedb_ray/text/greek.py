@@ -243,9 +243,17 @@ def stem_greek(word: str) -> str:
     if g.w.endswith("ετε"):
         g.w = g.w[:-3]
         g.test1 = False
-        if (g.w and g.w[-1] in _V2
-                and _whole(g.w[:-1], D.S5C_EXC2)):
-            g.w = g.w[:-1] + "ετετ"   # bracket-vowel: 'υωετε' -> 'υετετ'
+        # bracket-tail variant: the tail is a trailing vowel OR the
+        # longest EXC1 suffix; if the rest is wholly an EXC2 entry the
+        # tail is replaced with 'ετετ' ('υωετε' -> 'υετετ',
+        # 'υδιαθετε' -> 'υετετ')
+        tail = 1 if (g.w and g.w[-1] in _V2) else 0
+        if not tail:
+            m = _longest(g.w, D.S5C_EXC1)
+            if m is not None:
+                tail = len(m[0])
+        if tail and _whole(g.w[:-tail], D.S5C_EXC2):
+            g.w = g.w[:-tail] + "ετετ"
         elif ((g.w and g.w[-1] in _V2) or _longest(g.w, D.S5C_EXC1)
                 or _whole(g.w, D.S5C_EXC2)):
             g.w += "ετ"

@@ -421,11 +421,16 @@ def _postlude(word: str) -> str:
 def stem_turkish(word: str) -> str:
     if sum(ch in _VOW for ch in word) <= 1:
         return word
+    original = word
     word, cont = _nominal_verb(word)
-    if not cont:
-        # the unset continue-flag ABORTS the whole stem: noun suffixes
-        # AND the postlude (append_U, devoicing) are skipped — 'adablar'
-        # -> 'adab' (no devoice) vs 'adabı' -> 'adap'
-        return word
-    word = _noun_suffixes(word)
-    return _postlude(word)
+    if cont:
+        word = _noun_suffixes(word)
+        word = _postlude(word)
+    # else: the unset continue-flag ABORTS the whole stem: noun suffixes
+    # AND the postlude (append_U, devoicing) are skipped — 'adablar'
+    # -> 'adab' (no devoice) vs 'adabı' -> 'adap'
+    if not word:
+        # a whole-word suffix match strips to empty; the original word
+        # is restored ('sünüz' -> 'sünüz', but 'asünüz' -> 'a')
+        return original
+    return word
