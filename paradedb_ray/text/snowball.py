@@ -941,7 +941,7 @@ _PT_2 = (
     "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
     "ais", "eis", "íeis", "aríeis", "eríeis", "iríeis", "áreis",
     "areis", "éreis", "ereis", "íreis", "ireis", "ásseis", "ésseis",
-    "ísseis", "áveis", "aveis", "ados", "idos", "ámos", "amos",
+    "ísseis", "áveis", "ados", "idos", "ámos", "amos",
     "íamos", "aríamos", "eríamos", "iríamos", "áramos", "éramos",
     "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
     "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",

@@ -244,6 +244,20 @@ _UNIMPLEMENTED = frozenset(
     {"tamil"})
 
 
+def _lowered(fn):
+    """Lowercase the token before stemming, as the reference dictionary
+    wrapper does (pg_search delegates to PostgreSQL's snowball dicts,
+    which apply a per-character tolower first).  Per-char (not
+    str.lower) so an uppercase final Greek sigma becomes 'σ', never the
+    context-aware final 'ς' — and so raw uppercase ASCII can never
+    alias with the latin stemmers' internal I/U/Y marker characters."""
+    def stem(word: str) -> str:
+        if not word.islower():
+            word = "".join(c.lower() for c in word)
+        return fn(word)
+    return stem
+
+
 def stemmer_for(language: str):
     lang = language.lower()
     fn = _STEMMERS.get(lang)
@@ -255,4 +269,4 @@ def stemmer_for(language: str):
             f"stemmer language {language!r} not implemented "
             f"(available: {known})"
         )
-    return fn
+    return _lowered(fn)
