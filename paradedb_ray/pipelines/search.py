@@ -22,10 +22,20 @@ from paradedb_ray.stages.search_stages import BatchScorer, compute_global_stats
 
 
 @ray.remote
-def _block_partials(tbl) -> list:
-    """Extract the pickled stats partials from one packet block (bytes
-    only — candidate rows never travel to the driver)."""
-    return tbl.column("partial").to_pylist()
+def _block_stats_leaf(tbl):
+    """Merge one packet block's pickled stats partials into a single
+    tree-reduce leaf (bytes only — candidate rows never leave the block
+    and never travel to the driver)."""
+    import pickle
+
+    import pyarrow as pa
+
+    from paradedb_ray.index.searcher import GlobalStats
+
+    g = GlobalStats()
+    for b in tbl.column("partial").to_pylist():
+        g.merge(pickle.loads(b))
+    return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
 
 
 @ray.remote
@@ -250,11 +260,11 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
     ineligible.  ONE corpus pass builds per-block packets (query-term
     postings + fieldnorms + candidate docstore rows + exact partial
     stats); the packet dataset is materialized (the global-stats barrier
-    — bounded by query selectivity, not corpus size), stats are reduced
-    driver-side from the tiny partials, and a second pass over the
-    packets alone scores with the ordinary Searcher (bit-exact f32 vs
-    the two-pass route).  Returns (scored per-block-pruned dataset,
-    output Arrow schema).
+    — bounded by query selectivity, not corpus size), stats tree-reduce
+    in O(log B) task waves from the tiny partials, and a second pass
+    over the packets alone scores with the ordinary Searcher (bit-exact
+    f32 vs the two-pass route).  Returns (scored per-block-pruned
+    dataset, output Arrow schema).
 
     Scale note: the packet barrier buffers O(matching docs x projected
     columns) + O(query-term occurrences) in the (disk-spillable) object
@@ -266,6 +276,7 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
         PacketScorer,
         QueryPacketBuilder,
         needs_positions,
+        reduce_stats_partials,
         single_scan_terms,
     )
 
@@ -283,10 +294,6 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
             terms_by_field.setdefault(f, set()).update(ts)
     if not terms_by_field:
         return None
-
-    import pickle
-
-    from paradedb_ray.index.searcher import GlobalStats
 
     store_pos = any(needs_positions(q, schema) for q in queries.values())
     sort_cols = [k[0] for k in (order_by or []) if k[0] != "score"]
@@ -306,12 +313,14 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
     # three extra Dataset launches (partial select, scorer map,
     # merge repartition) cost ~0.1-0.3 s of fixed overhead EACH at 32
     # CPUs, a pure Amdahl tax on the N -> 4N scaling of a phase whose
-    # distributed part is already sub-second
+    # distributed part is already sub-second.  The stats partials merge
+    # through the same O(log B) fan-in-32 tree as compute_global_stats
+    # (integer sums: associative, bit-identical to a flat loop) — at the
+    # 10^5-10^6 block counts of the 100-TB design point a serial driver
+    # loop here would be the bottleneck.
     refs = packets.to_arrow_refs()
-    stats = GlobalStats()
-    for buf in ray.get([_block_partials.remote(r) for r in refs]):
-        for b in buf:
-            stats.merge(pickle.loads(b))
+    stats = reduce_stats_partials(
+        [_block_stats_leaf.remote(r) for r in refs])
 
     out_schema = _result_schema(_arrow_schema(ds), output_columns,
                                 with_score, query_id=query_id)
@@ -422,6 +431,7 @@ def search_topk_multi(
         collect_stat_requests,
         merge_stat_requests,
         needs_positions,
+        reduce_stats_partials,
     )
 
     queries = {name: (ast.Parse(q) if isinstance(q, str) else q)
@@ -430,11 +440,7 @@ def search_topk_multi(
         order_by = [("score", "descending")]
     order_by = list(order_by)
 
-    import pickle
-
     import pyarrow as pa
-
-    from paradedb_ray.index.searcher import GlobalStats
 
     want_score = with_score or any(k == "score" for k, _ in order_by)
 
@@ -463,13 +469,13 @@ def search_topk_multi(
         read_cols = sorted({f.split(".")[0] for f in req["fields"]}
                            | {f.split(".")[0] for f, _ in req["terms"]})
         stats_ds = ds.select_columns(read_cols) if read_cols else ds
-        parts = stats_ds.map_batches(
-            StatsCollector(schema, req), batch_format="pyarrow",
-            batch_size=None
-        ).take_all()
-        stats = GlobalStats()
-        for row in parts:
-            stats.merge(pickle.loads(row["partial"]))
+        # O(log B) tree over the per-block partials (never a driver loop
+        # over take_all() — at 100-TB block counts that loop IS the query)
+        stats = reduce_stats_partials(
+            stats_ds.map_batches(
+                StatsCollector(schema, req), batch_format="pyarrow",
+                batch_size=None
+            ).to_arrow_refs())
 
         out_schema = _result_schema(_arrow_schema(ds), output_columns,
                                     want_score, query_id=True)

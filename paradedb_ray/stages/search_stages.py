@@ -292,6 +292,20 @@ def _merge_stats_parts(*tabs: pa.Table) -> pa.Table:
     return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
 
 
+def reduce_stats_partials(refs: list) -> GlobalStats:
+    """Tree-reduce a list of object refs to Arrow tables carrying a
+    pickled-``GlobalStats`` ``partial`` column into one ``GlobalStats``.
+    Every field is an integer sum, so the fan-in-32 tree is associative/
+    commutative and bit-identical to a flat driver loop at any block
+    count — but O(log B) task waves instead of B serial driver merges."""
+    refs = tree_reduce_refs(list(refs), _merge_stats_parts)
+    g = GlobalStats()
+    if refs:
+        for buf in ray.get(refs[0]).column("partial").to_pylist():
+            g.merge(pickle.loads(buf))
+    return g
+
+
 def compute_global_stats(ds, schema: IndexSchema, query: ast.Query,
                          default_fields: Optional[list] = None) -> GlobalStats:
     """Run the stats pass and reduce (the global stats exchange barrier).
@@ -307,15 +321,9 @@ def compute_global_stats(ds, schema: IndexSchema, query: ast.Query,
     )
     if read_cols:
         ds = ds.select_columns(read_cols)
-    refs = tree_reduce_refs(
+    return reduce_stats_partials(
         ds.map_batches(StatsCollector(schema, req), batch_format="pyarrow",
-                       batch_size=None).to_arrow_refs(),
-        _merge_stats_parts)
-    g = GlobalStats()
-    if refs:
-        for buf in ray.get(refs[0]).column("partial").to_pylist():
-            g.merge(pickle.loads(buf))
-    return g
+                       batch_size=None).to_arrow_refs())
 
 
 # ---------------------------------------------------------------------------
