@@ -747,11 +747,14 @@ def embedding_near_duplicates(
         key_type = _pa_schema(ds).field(key_col).type
         return _empty_pairs(key_col, key_type)
     # vectors travel only for the colliding fraction: stream the vector
-    # column past the (tiny) candidate set.  pyarrow's acero join cannot
-    # carry list<float> payload, so the probe is an ``is_in`` prefilter +
-    # per-batch pandas merge (broadcast) / a groupby-join (large case).
+    # column past the (tiny) candidate set.  payload_safe_join dodges
+    # acero's no-list-payload limit by joining on row indices and
+    # ``take``-ing the vectors back — the stage stays Arrow-native end to
+    # end (broadcast case here; the large case hash-partitions below).
     vecs = ds.select_columns([key_col, vec_col])
     if cand.count() <= _BROADCAST_ROWS:
+        from paradedb_ray.pipelines.joins import payload_safe_join
+
         cand_tbl = pa.concat_tables(
             [ray.get(r) for r in cand.to_arrow_refs()]).combine_chunks()
         cand_ref = ray.put(cand_tbl)
@@ -767,9 +770,7 @@ def embedding_near_duplicates(
                     vec_col: pa.array([], batch.column(vec_col).type),
                     "band": pa.array([], pa.int32()),
                     "bucket": pa.array([], pa.int64())})
-            df = sub.to_pandas().merge(ct.to_pandas(), on=key_col,
-                                       how="inner")
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return payload_safe_join(sub, ct, [key_col], "inner")
 
         cand = vecs.map_batches(attach, batch_format="pyarrow",
                                 batch_size=None)

@@ -1,0 +1,289 @@
+"""Round-4 fixes (VERDICT r3).
+
+#1: the two residual driver-side stats-partial merge loops — the
+single-scan packet path and the multi-query rest path — now reduce
+through the same O(log B) fan-in-32 tree as compute_global_stats, so
+results must be bit-identical across block layouts (1 block = no tree
+vs 64 blocks = two tree levels).
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from paradedb_ray.pipelines.search import search_topk, search_topk_multi
+from paradedb_ray.query import ast
+from paradedb_ray.query import builders as pdb
+from paradedb_ray.schema import documents_schema
+
+
+def _docs_table():
+    return pq.read_table("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_single_scan_stats_tree_reduce_block_invariance(ray_session):
+    t = _docs_table()
+    outs = []
+    for n in (1, 64):
+        out = search_topk(
+            ray.data.from_arrow(t).repartition(n), documents_schema(),
+            pdb.boolean(should=[pdb.term("text", "spark"),
+                                pdb.term("text", "data")]),
+            limit=10,
+            order_by=[("score", "descending"), ("doc_id", "ascending")],
+            output_columns=["doc_id", "score"]).take_all()
+        outs.append(out)
+    a, b = outs
+    assert len(a) == 10
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    sa = np.array([r["score"] for r in a], dtype=np.float32)
+    sb = np.array([r["score"] for r in b], dtype=np.float32)
+    assert sa.tobytes() == sb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# #5: real baseline JPEG codec (Huffman + IDCT, ITU T.81), replacing the
+# header-only dims parse.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_color_roundtrip_exact():
+    """All-ones quant + constant fill: the float-through color path makes
+    the roundtrip bit-exact (the multimodal_jpeg oracle contract)."""
+    from paradedb_ray.pipelines import codecs
+
+    rng = np.random.RandomState(11)
+    ones = np.ones(64)
+    for _ in range(8):
+        w, h = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+        col = rng.randint(0, 256, 3)
+        px = np.tile(col, w * h).astype(np.uint8)
+        d = codecs.decode_jpeg(codecs.encode_jpeg(
+            px, w, h, 3, luma_quant=ones, chroma_quant=ones))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert (d["pixels"].reshape(h, w, 3) == col).all()
+
+
+def test_jpeg_random_roundtrip_near_lossless():
+    from paradedb_ray.pipelines import codecs
+
+    rng = np.random.RandomState(5)
+    ones = np.ones(64)
+    w, h = 31, 17  # non-multiple-of-8 exercises edge padding/cropping
+    px = rng.randint(0, 256, w * h * 3).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(
+        px, w, h, 3, luma_quant=ones, chroma_quant=ones))
+    err = np.abs(d["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 3  # quantize-to-int rounding only
+    # grayscale path is tighter (no color transform)
+    g = rng.randint(0, 256, 20 * 12).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(g, 20, 12, 1,
+                                              luma_quant=ones))
+    assert d["channels"] == 1
+    assert np.abs(d["pixels"].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_standard_quant_decodes():
+    from paradedb_ray.pipelines import codecs
+
+    rng = np.random.RandomState(6)
+    # smooth gradient (JPEG-friendly) survives default Annex-K tables
+    x = np.linspace(0, 200, 48)
+    img = np.stack([np.tile(x, (32, 1))] * 3, axis=-1).astype(np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(img.reshape(-1), 48, 32, 3))
+    got = d["pixels"].reshape(32, 48, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 6
+    # dims-only parse agrees with the full decode
+    data = codecs.encode_jpeg(img.reshape(-1), 48, 32, 3)
+    jd = codecs.jpeg_dimensions(data)
+    assert (jd["width"], jd["height"], jd["channels"]) == (48, 32, 3)
+    assert rng is not None
+
+
+_REAL_JPEGS = [
+    # real libjpeg-encoded files shipped with CPython/IPython on this
+    # image — decoding them exercises 4:2:0 subsampling and third-party
+    # Huffman tables our own encoder never produces
+    ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+     "/test/imghdrdata/python.jpg", (16, 16, 3)),
+    ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+     "/site-packages/IPython/core/tests/2x2.jpg", (2, 2, 1)),
+]
+
+
+@pytest.mark.parametrize("path,dims", _REAL_JPEGS)
+def test_jpeg_decodes_real_world_files(path, dims):
+    import os
+
+    from paradedb_ray.pipelines import codecs
+
+    if not os.path.exists(path):
+        pytest.skip("real-world jpeg fixture not on this image")
+    d = codecs.decode_jpeg(open(path, "rb").read())
+    assert d is not None
+    assert (d["width"], d["height"], d["channels"]) == dims
+    assert len(d["pixels"]) == dims[0] * dims[1] * dims[2]
+
+
+def test_multimodal_jpeg_pipeline(ray_session):
+    """synthesize -> decode_media recovers md5-predicted dims and the
+    exact constant-color pixel sum; resize re-encodes real JPEGs."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines import codecs
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_jpeg_payloads,
+    )
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["alpha beta", "gamma", "delta epsilon zeta"]})
+    ds = synthesize_jpeg_payloads(ray.data.from_arrow(t), "text", "doc_id")
+    rows = {r["doc_id"]: r for r in decode_media(ds).take_all()}
+    for doc_id, txt in zip([1, 2, 3], t.column("text").to_pylist()):
+        h = hashlib.md5(txt.encode()).digest()
+        w, ht = 4 + h[0] % 29, 4 + h[1] % 29
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, ht, 3)
+        assert r["px_sum"] == (h[2] + h[3] + h[4]) * w * ht
+    # resize: bounded, still a decodable JPEG
+    small = resize_media(ds, max_side=8).take_all()
+    for r in small:
+        d = codecs.decode_jpeg(r["media"])
+        assert d is not None and max(d["width"], d["height"]) <= 8
+
+
+# ---------------------------------------------------------------------------
+# #4: repartition_join drops its per-group pandas merge for a
+# hash-partitioned pyarrow join; payload_safe_join carries nested (list)
+# payloads through acero via row-index take.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_tables(n_left=400, n_right=300, seed=7):
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, 80, n_left)              # skewed, duplicated keys
+    rk = rng.randint(40, 120, n_right)           # partial overlap
+    lt = pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lv": pa.array(rng.randint(0, 1000, n_left), pa.int64()),
+        "vec": pa.array([rng.rand(4).astype(np.float32).tolist()
+                         for _ in range(n_left)],
+                        pa.list_(pa.float32())),
+    })
+    rt = pa.table({
+        "k": pa.array(rk, pa.int64()),
+        "rv": pa.array(rng.randint(0, 1000, n_right), pa.int64()),
+        "tags": pa.array([[int(x) for x in rng.randint(0, 9, 2)]
+                          for _ in range(n_right)],
+                         pa.list_(pa.int64())),
+    })
+    return lt, rt
+
+
+def _pandas_oracle(lt, rt, how):
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    if how == "semi":
+        out = ldf[ldf["k"].isin(set(rdf["k"]))]
+    elif how == "anti":
+        out = ldf[~ldf["k"].isin(set(rdf["k"]))]
+    else:
+        out = ldf.merge(rdf, on="k", how=how, suffixes=("", "_r"))
+    return out
+
+
+def _norm(rows, cols):
+    def key(r):
+        return tuple(
+            (tuple(r[c]) if isinstance(r[c], (list, np.ndarray)) else
+             (None if r[c] is None or (isinstance(r[c], float) and np.isnan(r[c])) else r[c]))
+            for c in cols)
+    return sorted(key(r) for r in rows)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_payload_safe_join_matches_pandas(how):
+    from paradedb_ray.pipelines.joins import payload_safe_join
+
+    lt, rt = _pairs_tables()
+    got = payload_safe_join(lt, rt, ["k"], how)
+    want = _pandas_oracle(lt, rt, how)
+    cols = list(got.column_names)
+    assert _norm(got.to_pylist(), cols) == \
+        _norm(want.to_dict("records"), cols)
+    # list payloads survive with their types intact
+    assert got.schema.field("vec").type == lt.schema.field("vec").type
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_repartition_join_matches_pandas(ray_session, how):
+    from paradedb_ray.pipelines.joins import repartition_join
+
+    lt, rt = _pairs_tables()
+    got = repartition_join(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(3),
+        on="k", how=how, num_partitions=7).take_all()
+    want = _pandas_oracle(lt, rt, how)
+    cols = sorted(got[0].keys()) if got else list(want.columns)
+    assert _norm(got, cols) == _norm(want.to_dict("records"), cols)
+
+
+def test_embedding_dedup_large_path_uses_repartition_join(ray_session,
+                                                          monkeypatch):
+    """Force the >_BROADCAST_ROWS branch: results must match the
+    broadcast branch exactly (same pairs, same survivors)."""
+    import paradedb_ray.pipelines.dedup as dd
+
+    rng = np.random.RandomState(3)
+    n, dim = 300, 16
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    V[1] = V[0]                                  # planted exact dup
+    V[7] = V[6] + 1e-4 * rng.standard_normal(dim).astype(np.float32)
+    t = __import__("pyarrow").table({
+        "doc_id": list(range(n)),
+        "embedding": [v.tolist() for v in V]})
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["dup_of"]) for r in dd.embedding_near_duplicates(
+                ray.data.from_arrow(t).repartition(4),
+                key_col="doc_id", vec_col="embedding",
+                threshold=0.95).take_all())
+
+    broadcast = run()
+    monkeypatch.setattr(dd, "_BROADCAST_ROWS", 0)
+    large = run()
+    assert broadcast == large
+    assert (1, 0) in broadcast
+
+
+def test_multi_query_rest_stats_tree_reduce_block_invariance(ray_session):
+    # FuzzyTerm is single-scan INELIGIBLE, forcing the classic rest path
+    # (its stats merge is the second loop the tree reduce replaced)
+    t = _docs_table()
+    queries = {"fz": ast.FuzzyTerm("text", "spark", 1, True, False),
+               "tm": pdb.term("text", "vector")}
+    outs = []
+    for n in (1, 64):
+        out = search_topk_multi(
+            ray.data.from_arrow(t).repartition(n), documents_schema(),
+            queries, limit=5,
+            order_by=[("score", "descending"), ("doc_id", "ascending")],
+            output_columns=["doc_id", "score"]).take_all()
+        outs.append(sorted(out, key=lambda r: (r["query_id"], r["doc_id"])))
+    a, b = outs
+    assert len(a) > 0
+    assert [(r["query_id"], r["doc_id"]) for r in a] == \
+        [(r["query_id"], r["doc_id"]) for r in b]
+    sa = np.array([r["score"] for r in a], dtype=np.float32)
+    sb = np.array([r["score"] for r in b], dtype=np.float32)
+    assert sa.tobytes() == sb.tobytes()
