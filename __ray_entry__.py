@@ -1017,6 +1017,23 @@ def _q_multimodal_png(sf):
     return decode_media(ds).select_columns(["doc_id", "width", "height"])
 
 
+def _q_multimodal_jpeg(sf):
+    """REAL baseline JPEG decode end to end (round 4): payloads are
+    genuine Huffman-coded JPEGs (constant fill color, all-ones quant
+    tables) whose dimensions AND exact decoded pixel sum derive from
+    md5(text) — the SQL oracle predicts what the Ray side must recover
+    by actually entropy-decoding + IDCT-ing the image."""
+    from paradedb_ray.pipelines.multimodal import (
+        decode_media,
+        synthesize_jpeg_payloads,
+    )
+
+    ds = synthesize_jpeg_payloads(_docs(sf, columns=["doc_id", "text"]),
+                                  "text", "doc_id")
+    return decode_media(ds).select_columns(
+        ["doc_id", "width", "height", "channels", "px_sum"])
+
+
 def _q_multimodal_features(sf):
     from paradedb_ray.pipelines.multimodal import (
         extract_features,
@@ -1227,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_png": _q_multimodal_png,
+        "multimodal_jpeg": _q_multimodal_jpeg,
         "multimodal_features": _q_multimodal_features,
         "knn_ivf": _q_knn_ivf,
         "knn_filtered_l2": _q_knn_filtered_l2,
@@ -1572,6 +1590,22 @@ def oracle_sql() -> dict[str, str]:
             " 4 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 29"
             "   AS height"
             " FROM documents",
+        # constant-color + all-ones quant makes the JPEG roundtrip
+        # bit-exact, so the decoded pixel sum is (r+g+b) * w * h with
+        # r,g,b = md5 bytes 2..4 — the oracle predicts the exact output
+        # of the Huffman+IDCT decode without parsing any image
+        "multimodal_jpeg":
+            "WITH m AS (SELECT doc_id,"
+            " 4 + CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) % 29"
+            "   AS width,"
+            " 4 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 29"
+            "   AS height,"
+            " CAST(('0x' || substr(md5(text),5,2)) AS INTEGER)"
+            " + CAST(('0x' || substr(md5(text),7,2)) AS INTEGER)"
+            " + CAST(('0x' || substr(md5(text),9,2)) AS INTEGER) AS rgb"
+            " FROM documents)"
+            " SELECT doc_id, width, height, CAST(3 AS TINYINT) AS channels,"
+            " CAST(rgb AS BIGINT) * width * height AS px_sum FROM m",
         "tumbling_1h":
             "SELECT date_trunc('hour', ts) AS window_start, event_type,"
             " count(*) AS n, min(value) AS vmin, max(value) AS vmax"
@@ -1668,8 +1702,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_bool_terms":
             "SELECT (value > 50) AS is_high, count(*) AS doc_count"
             " FROM events GROUP BY 1",
+        # v10 (the derived nullable) is NULL when value < 10 OR value IS
+        # NULL — the second arm is vacuous on this fixture (value is
+        # non-null) but keeps the oracle honest if the fixture changes
         "is_null":
-            "SELECT event_id FROM events WHERE value < 10",
+            "SELECT event_id FROM events WHERE value < 10 OR value IS NULL",
         "agg_filter_groupby":
             "SELECT l_returnflag, count(*) AS n,"
             " count(*) FILTER (WHERE l_quantity > 25) AS n_big,"

@@ -174,6 +174,503 @@ def encode_wav(samples: np.ndarray, rate: int = 16000,
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline (SOF0/SOF1): pure-stdlib sequential-DCT decoder + a 4:4:4
+# encoder, per the public ITU T.81 spec (Huffman tables and quantization
+# tables below are the spec's own Annex-K examples).  The decoder handles
+# grayscale + YCbCr with arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+# restart markers, and 8/16-bit DQTs.  Color conversion stays float until a
+# single final rounding, so a losslessly-quantized roundtrip is bit-exact.
+# Correctness-first Python entropy loop — right for the small assets in the
+# test corpus; a native codec would slot into the same actor-pool stage.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: stream position k holds natural coefficient _ZIGZAG[k]
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# ITU T.81 Annex K.1 example quantization tables (natural order)
+STD_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+STD_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# ITU T.81 Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: X = T @ x @ T.T, x = T.T @ X @ T."""
+    n = np.arange(8)
+    k = n.reshape(-1, 1)
+    T = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    T[0] = np.sqrt(1 / 8.0)
+    return T
+
+
+_DCT_T = _dct_matrix()
+
+
+def _build_huff_decode(counts, symbols):
+    """Canonical Huffman decode tables (T.81 F.2.2.3): per-length
+    mincode/maxcode/valptr."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        c = counts[ln - 1]
+        if c:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += c
+            k += c
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(symbols)
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 byte unstuffing;
+    stops (and reports) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def _next_byte(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError("jpeg: truncated scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise EOFError("jpeg: marker inside scan")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self.buf = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker."""
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise EOFError("jpeg: missing restart marker")
+
+
+def _decode_huff_sym(br: _BitReader, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = br.read_bit()
+    ln = 1
+    while maxcode[ln] < 0 or code > maxcode[ln]:
+        ln += 1
+        if ln > 16:
+            raise EOFError("jpeg: bad huffman code")
+        code = (code << 1) | br.read_bit()
+    return vals[valptr[ln] + code - mincode[ln]]
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes):
+    """Full baseline JPEG decode -> dict(width, height, channels,
+    pixels: flat uint8 ndarray, row-major, interleaved RGB for 3-channel)
+    or None for non-baseline/undecodable input."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    qt = {}
+    hdc = {}
+    hac = {}
+    comps = None
+    w = h = None
+    dri = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                return None  # EOI before any scan
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = struct.unpack_from(">H", data, pos + 2)[0]
+            body = data[pos + 4: pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    i += 1
+                    if pq == 0:
+                        qt[tq] = np.frombuffer(body, np.uint8, 64,
+                                               i).astype(np.float64)
+                        i += 64
+                    else:
+                        qt[tq] = np.frombuffer(body, ">u2", 64,
+                                               i).astype(np.float64)
+                        i += 128
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    i += 1
+                    counts = list(body[i: i + 16])
+                    i += 16
+                    n = sum(counts)
+                    syms = list(body[i: i + n])
+                    i += n
+                    (hdc if tc == 0 else hac)[th] = \
+                        _build_huff_decode(counts, syms)
+            elif marker in (0xC0, 0xC1):  # baseline sequential SOF
+                if body[0] != 8:
+                    return None
+                h, w = struct.unpack_from(">HH", body, 1)
+                comps = []
+                for c in range(body[5]):
+                    cid, samp, tq = body[6 + 3 * c: 9 + 3 * c]
+                    comps.append({"id": cid, "h": samp >> 4,
+                                  "v": samp & 15, "tq": tq})
+            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # progressive / arithmetic: out of scope
+            elif marker == 0xDD:  # DRI
+                dri = struct.unpack(">H", body)[0]
+            elif marker == 0xDA:  # SOS
+                if comps is None:
+                    return None
+                scomps = []
+                for c in range(body[0]):
+                    cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cs)
+                    comp["td"], comp["ta"] = tda >> 4, tda & 15
+                    scomps.append(comp)
+                return _decode_scan(data, pos + 2 + seglen, w, h,
+                                    scomps, qt, hdc, hac, dri)
+            pos += 2 + seglen
+    except (EOFError, IndexError, KeyError, StopIteration, struct.error):
+        return None
+    return None
+
+
+def _decode_scan(data, pos, w, h, scomps, qt, hdc, hac, dri):
+    T = _DCT_T
+    zz = _ZIGZAG
+    hmax = max(c["h"] for c in scomps)
+    vmax = max(c["v"] for c in scomps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    planes = {c["id"]: np.zeros((my * c["v"] * 8, mx * c["h"] * 8))
+              for c in scomps}
+    pred = {c["id"]: 0 for c in scomps}
+    br = _BitReader(data, pos)
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if dri and mcu and mcu % dri == 0:
+                br.restart()
+                pred = {c["id"]: 0 for c in scomps}
+            for c in scomps:
+                q = qt[c["tq"]]
+                dct = hdc[c["td"]]
+                act = hac[c["ta"]]
+                plane = planes[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefz = np.zeros(64)
+                        s = _decode_huff_sym(br, dct)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        pred[c["id"]] += diff
+                        coefz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff_sym(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise EOFError("jpeg: coef overrun")
+                            coefz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        block = np.zeros(64)
+                        block[zz] = coefz * q
+                        spat = T.T @ block.reshape(8, 8) @ T + 128.0
+                        y0 = (myi * c["v"] + by) * 8
+                        x0 = (mxi * c["h"] + bx) * 8
+                        plane[y0: y0 + 8, x0: x0 + 8] = spat
+            mcu += 1
+    out = []
+    for c in scomps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        px = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return {"width": int(w), "height": int(h), "channels": 1,
+                "pixels": px.reshape(-1)}
+    if len(out) != 3:
+        return None
+    Y, Cb, Cr = out  # component order = SOF order (JFIF: Y, Cb, Cr)
+    rgb = np.stack([Y + 1.402 * (Cr - 128.0),
+                    Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0),
+                    Y + 1.772 * (Cb - 128.0)], axis=-1)
+    px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return {"width": int(w), "height": int(h), "channels": 3,
+            "pixels": px.reshape(-1)}
+
+
+def _build_huff_encode(counts, symbols):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+    zz = _ZIGZAG
+    X = _DCT_T @ (block - 128.0) @ _DCT_T.T
+    coefz = np.rint(X.reshape(-1)[zz] / q).astype(np.int64)
+    dc = int(coefz[0])
+    diff = dc - pred
+
+    def mag(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    s = mag(diff)
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = mag(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.write(*ac_codes[0x00])  # EOB
+    return dc
+
+
+def encode_jpeg(pixels: np.ndarray, width: int, height: int,
+                channels: int = 3, luma_quant: np.ndarray = None,
+                chroma_quant: np.ndarray = None) -> bytes:
+    """Baseline JPEG encoder (4:4:4, Annex-K Huffman tables).  ``*_quant``
+    are 64-entry tables in natural order (default: the Annex-K examples;
+    pass ``np.ones(64)`` for a near-lossless roundtrip)."""
+    lq = (STD_QUANT_LUMA if luma_quant is None
+          else np.asarray(luma_quant)).astype(np.float64)
+    cq = (STD_QUANT_CHROMA if chroma_quant is None
+          else np.asarray(chroma_quant)).astype(np.float64)
+    zz = _ZIGZAG
+    arr = np.asarray(pixels, dtype=np.float64).reshape(height, width,
+                                                       channels)
+    if channels == 3:
+        R, G, B = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * R + 0.587 * G + 0.114 * B,
+                  -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0,
+                  0.5 * R - 0.418688 * G - 0.081312 * B + 128.0]
+        qts = [lq, cq, cq]
+        tsel = [0, 1, 1]
+    elif channels == 1:
+        planes = [arr[..., 0]]
+        qts = [lq]
+        tsel = [0]
+    else:
+        raise ValueError("encode_jpeg: channels must be 1 or 3")
+    # pad to 8x8 multiples (edge replicate)
+    ph = -(-height // 8) * 8
+    pw = -(-width // 8) * 8
+    planes = [np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+              for p in planes]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    qz_l = lq.reshape(-1)[zz].astype(np.uint8).tobytes()
+    dqt = b"\x00" + qz_l
+    if channels == 3:
+        dqt += b"\x01" + cq.reshape(-1)[zz].astype(np.uint8).tobytes()
+    out.append(seg(0xDB, dqt))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i in range(channels):
+        sof += struct.pack(">BBB", i + 1, 0x11, tsel[i])
+    out.append(seg(0xC0, sof))
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if channels == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    dht = b""
+    for tid, (counts, syms) in tables:
+        dht += bytes([tid]) + bytes(counts) + bytes(syms)
+    out.append(seg(0xC4, dht))
+    sos = bytes([channels])
+    for i in range(channels):
+        sos += struct.pack(">BB", i + 1, 0x00 if tsel[i] == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out.append(seg(0xDA, sos))
+    dc_l = _build_huff_encode(*_DC_LUMA)
+    ac_l = _build_huff_encode(*_AC_LUMA)
+    dc_c = _build_huff_encode(*_DC_CHROMA)
+    ac_c = _build_huff_encode(*_AC_CHROMA)
+    bw = _BitWriter()
+    pred = [0] * channels
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, p in enumerate(planes):
+                block = p[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+                dc_codes = dc_l if tsel[ci] == 0 else dc_c
+                ac_codes = ac_l if tsel[ci] == 0 else ac_c
+                pred[ci] = _encode_block(bw, block, qts[ci].reshape(-1)[zz],
+                                         dc_codes, ac_codes, pred[ci])
+    bw.flush()
+    out.append(bytes(bw.out))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 def jpeg_dimensions(data: bytes):
     """Header-only JPEG parse: scan segment markers for the first SOF0-15
     frame header and return (width, height, channels) — no pixel decode

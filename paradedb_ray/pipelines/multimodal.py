@@ -5,13 +5,14 @@ decode / feature-extract / resize / frame-sample as actor-pool
 The reference has no media pipeline (pg_search indexes text); this is the
 training-data-pipeline extension the engine needs at 100 TB.  The Ray-side
 plumbing — schema, batch sizing, actor signature, output layout — is real
-and tested.  Codecs (round 3): PNG and WAV payloads decode for REAL via
-the dependency-free codecs in :mod:`paradedb_ray.pipelines.codecs`
-(zlib inflate + full five-filter unfiltering / stdlib ``wave``); payloads
-the stdlib cannot honestly handle (JPEG, video containers) fall back to
-the deterministic self-describing fake header, which remains documented
-as a stub.  ``DecodeStage`` sniffs the magic bytes per payload, so mixed
-media columns work.
+and tested.  Codecs: PNG, baseline JPEG (round 4: full Huffman+IDCT
+pixel decode, 4:4:4/4:2:2/4:2:0) and WAV payloads decode for REAL via
+the dependency-free codecs in :mod:`paradedb_ray.pipelines.codecs`;
+payloads the stdlib cannot honestly handle (progressive JPEG, video
+containers) fall back to header dims / the deterministic
+self-describing fake header, which remains documented as a stub.
+``DecodeStage`` sniffs the magic bytes per payload, so mixed media
+columns work.
 
 Payload format (synthesized by :func:`synthesize_payloads`):
 ``b"FAKEIMG1" + width:u16 + height:u16 + channels:u8 + body-bytes`` — the
@@ -107,6 +108,39 @@ def synthesize_png_payloads(ds: ray.data.Dataset, text_col: str,
     return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
 
 
+def synthesize_jpeg_payloads(ds: ray.data.Dataset, text_col: str,
+                             key_col: str) -> ray.data.Dataset:
+    """Derive a deterministic REAL baseline JPEG per row: dimensions and a
+    constant RGB fill color all from md5(text).  Encoding uses all-ones
+    quantization tables, and the decoder's float-through color path makes
+    the constant-color roundtrip bit-exact — so a SQL oracle can predict
+    not just the dimensions but the exact decoded pixel SUM
+    ((r+g+b) * w * h) without ever parsing the image."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        ones = np.ones(64)
+        texts = batch.column(text_col).to_pylist()
+        payloads = []
+        for t in texts:
+            body = (t or "").encode("utf-8")
+            h = hashlib.md5(body).digest()
+            w = 4 + h[0] % 29
+            ht = 4 + h[1] % 29
+            color = np.array([h[2], h[3], h[4]], np.uint8)
+            px = np.tile(color, w * ht)
+            payloads.append(codecs.encode_jpeg(px, w, ht, 3,
+                                               luma_quant=ones,
+                                               chroma_quant=ones))
+        return pa.table({
+            key_col: batch.column(key_col),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/jpeg"] * len(payloads),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
+
+
 def _decode_fake(payload: bytes):
     """Deterministic fake decode of the self-describing header format
     (the documented stub path for codecs the stdlib cannot handle)."""
@@ -120,15 +154,18 @@ def _decode_fake(payload: bytes):
 
 
 def _decode(payload: bytes):
-    """Sniff + decode: real PNG / real WAV / fake header.  WAV maps onto
-    the image-shaped metadata as (width=n_frames, height=1,
-    channels=n_channels) with samples exposed as a byte view."""
+    """Sniff + decode: real PNG / real baseline JPEG / real WAV / fake
+    header.  WAV maps onto the image-shaped metadata as (width=n_frames,
+    height=1, channels=n_channels) with samples exposed as a byte view."""
     if payload is None:
         return None
     if payload.startswith(codecs.PNG_MAGIC):
         return codecs.decode_png(payload)
-    if payload[:2] == b"\xff\xd8":  # JPEG: header-only (dims real,
-        d = codecs.jpeg_dimensions(payload)   # pixels stay stubbed)
+    if payload[:2] == b"\xff\xd8":
+        d = codecs.decode_jpeg(payload)  # real pixels (baseline SOF0/1)
+        if d is not None:
+            return d
+        d = codecs.jpeg_dimensions(payload)  # progressive etc.: dims only
         if d is None:
             return None
         return {"width": d["width"], "height": d["height"],
@@ -160,20 +197,24 @@ class DecodeStage:
             self._real = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, chans, nbytes = [], [], [], []
+        widths, heights, chans, nbytes, psums = [], [], [], [], []
         for p in batch.column(self.media_col).to_pylist():
             d = _decode(p)
             if d is None:
                 widths.append(None); heights.append(None)
                 chans.append(None); nbytes.append(None)
+                psums.append(None)
             else:
                 widths.append(d["width"]); heights.append(d["height"])
                 chans.append(d["channels"]); nbytes.append(len(d["pixels"]))
+                psums.append(int(d["pixels"].astype(np.int64,
+                                                    copy=False).sum()))
         out = batch.drop_columns([self.media_col])
         return (out.append_column("width", pa.array(widths, pa.int32()))
                    .append_column("height", pa.array(heights, pa.int32()))
                    .append_column("channels", pa.array(chans, pa.int8()))
-                   .append_column("n_bytes", pa.array(nbytes, pa.int64())))
+                   .append_column("n_bytes", pa.array(nbytes, pa.int64()))
+                   .append_column("px_sum", pa.array(psums, pa.int64())))
 
 
 class FeatureStage:
@@ -215,22 +256,25 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for p in batch.column(self.media_col).to_pylist():
-            if p is not None and p.startswith(codecs.PNG_MAGIC):
-                d = codecs.decode_png(p)
-                if d is None:
+            is_png = p is not None and p.startswith(codecs.PNG_MAGIC)
+            is_jpg = p is not None and p[:2] == b"\xff\xd8"
+            if is_png or is_jpg:
+                d = (codecs.decode_png(p) if is_png
+                     else codecs.decode_jpeg(p))
+                if d is None or (is_jpg and d["channels"] not in (1, 3)):
                     out.append(p)
                     continue
                 scale = min(1.0,
                             self.max_side / max(d["width"], d["height"]))
                 w = max(1, int(d["width"] * scale))
                 h = max(1, int(d["height"] * scale))
-                # real nearest-neighbour resample + re-encode
+                # real nearest-neighbour resample + re-encode same format
                 px = d["pixels"].reshape(d["height"], d["width"],
                                          d["channels"])
                 ys = (np.arange(h) * d["height"] // h)
                 xs = (np.arange(w) * d["width"] // w)
-                out.append(codecs.encode_png(px[ys][:, xs], w, h,
-                                             d["channels"]))
+                enc = (codecs.encode_png if is_png else codecs.encode_jpeg)
+                out.append(enc(px[ys][:, xs], w, h, d["channels"]))
                 continue
             d = _decode_fake(p)
             if d is None:
