@@ -227,6 +227,7 @@ def _snowball_langs():
         "turkish": _lang("turkish", "stem_turkish"),
         "greek": _lang("greek", "stem_greek"),
         "arabic": _lang("arabic", "stem_arabic"),
+        "tamil": _lang("tamil", "stem_tamil"),
     }
 
 
@@ -237,11 +238,6 @@ def _lang(mod: str, fn: str):
 
 
 _STEMMERS = {"english": stem_english}
-
-#: rust-stemmers languages with no implementation here — requesting one
-#: raises instead of silently not stemming
-_UNIMPLEMENTED = frozenset(
-    {"tamil"})
 
 
 def _lowered(fn):

@@ -82,9 +82,9 @@ def test_stemmer_for_case_insensitive():
 
 def test_stemmer_for_unknown_raises():
     with pytest.raises(NotImplementedError):
-        stemmer_for("tamil")
-    with pytest.raises(NotImplementedError):
         stemmer_for("klingon")
+    # tamil completed the matrix in round 4 — 18/18 implemented
+    assert stemmer_for("tamil")("புத்தகங்கள்") == "புத்தகம்"
 
 
 def test_stemmers_stable_on_short_and_odd_input():

@@ -26,7 +26,6 @@ def test_snowball_golden(lang):
     assert not bad, f"{lang}: {len(bad)} mismatches, first: {bad[:3]}"
 
 
-def test_unimplemented_languages_raise():
-    for lang in ("tamil",):
-        with pytest.raises(NotImplementedError):
-            stemmer_for(lang)
+def test_unknown_languages_raise():
+    with pytest.raises(NotImplementedError):
+        stemmer_for("klingon")
