@@ -2,11 +2,10 @@
 tokenizer with bundled chinese_convert tables + dictionary segmentation
 (`text/cjk_dict.py`).
 
-All rows of the golden are mirrored EXCEPT test 4 (s2tw over
-out-of-vocabulary Traditional text): its exact grouping {鼠,標裡面,硅二極,
-管壞} comes from jieba's HMM OOV model, whose emission/transition tables
-are data files this repo does not bundle — the one documented remaining
-delta (VERDICT r2 "What's missing" #1 stretch).
+All rows of the golden are mirrored, including test 4 (s2tw over
+out-of-vocabulary Traditional text), whose grouping {鼠,標裡面,硅二極,管壞}
+exercises the bundled finalseg-style BMES Viterbi (round 4) — jieba's
+published start/transition constants plus a hand-curated emission table.
 """
 
 import pyarrow as pa
@@ -33,6 +32,15 @@ def test_tw2s_vocabulary():  # golden tests 3 + 5 (tw2s == tw2sp here)
     want = ["鼠标", "里面", "的", "硅", "二极管", "坏", "了"]
     assert _tok("鼠標里面的硅二極管壞了", chinese_convert="tw2s") == want
     assert _tok("鼠標里面的硅二極管壞了", chinese_convert="tw2sp") == want
+
+
+def test_s2tw_oov_hmm_grouping():  # golden test 4
+    # Traditional text after s2tw conversion is out-of-vocabulary for the
+    # (simplified) dictionary; the BMES Viterbi produces jieba's exact
+    # context-dependent grouping — contrast with test 13 where the same
+    # 鼠標 standalone stays ONE token
+    assert _tok("鼠标里面的硅二极管坏了", chinese_convert="s2tw") == [
+        "鼠", "標裡面", "的", "硅二極", "管壞", "了"]
 
 
 def test_s2tw_is_character_conversion():  # golden test 13
