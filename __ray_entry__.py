@@ -851,6 +851,23 @@ def _q_agg_filter_groupby(sf):
         agg_filters={"n_big": flt, "qty_big": flt})
 
 
+def _q_collation_order(sf):
+    """ORDER BY <text> under an en-US collation (`order_by_collation.sql`
+    section 4): the opt-in ``collation=`` sort-key modifier computes a
+    locale sort key engine-side (casefold primary) where the default
+    stays raw byte order like the reference's C-collation pushdown.
+    doc_id tiebreaks make the ordering total for the hash compare."""
+    from paradedb_ray.pipelines.search import search_topk
+    from paradedb_ray.query import builders as pdb
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return search_topk(
+        ds, _doc_schema(), pdb.term("text", "spark"), limit=25,
+        order_by=[("text", "ascending", "collation=en-US"),
+                  ("doc_id", "ascending")],
+        with_score=False, output_columns=["doc_id", "text"])
+
+
 def _q_is_null(sf):
     """IS NULL pushdown (`is_null_pushdown.sql`): NULL is modeled as
     must_not Exists.  The nullable column derives from ``value`` so every
@@ -1261,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_tdigest": _q_percentiles_tdigest,
         "agg_bool_terms": _q_agg_bool_terms,
         "is_null": _q_is_null,
+        "collation_order": _q_collation_order,
         "agg_filter_groupby": _q_agg_filter_groupby,
         # --- repaired in r3 (oracle dtype fix) ---
         "json_agg": _q_json_agg,
@@ -1707,6 +1725,12 @@ def oracle_sql() -> dict[str, str]:
         # non-null) but keeps the oracle honest if the fixture changes
         "is_null":
             "SELECT event_id FROM events WHERE value < 10 OR value IS NULL",
+        # DuckDB's NOCASE collation = the fallback's casefold primary on
+        # this ASCII corpus; doc_id tiebreaks keep the order total
+        "collation_order":
+            f"SELECT doc_id, text FROM documents"
+            f" WHERE list_contains({_TOKS}, 'spark')"
+            " ORDER BY text COLLATE NOCASE, doc_id LIMIT 25",
         "agg_filter_groupby":
             "SELECT l_returnflag, count(*) AS n,"
             " count(*) FILTER (WHERE l_quantity > 25) AS n_big,"

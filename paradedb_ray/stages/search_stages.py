@@ -427,29 +427,45 @@ class MultiQueryScorer:
 
 
 def expand_nulls_keys(table: pa.Table, sort_keys):
-    """Expand 3-element sort keys ``(col, dir, "nulls_first"|"nulls_last")``
-    (`nulls_ordering.sql`) into Arrow-sortable form: a per-key null
-    placement differing from Arrow's global at_end default becomes a
-    prepended is-null helper column.  Returns (table+helpers, 2-tuple
-    keys, helper column names)."""
+    """Expand extended sort keys into Arrow-sortable form.  Elements past
+    ``(col, dir)`` may be ``"nulls_first"``/``"nulls_last"``
+    (`nulls_ordering.sql`) — a placement differing from Arrow's at_end
+    default becomes a prepended is-null helper column — and/or
+    ``"collation=<locale>"`` (`order_by_collation.sql`): the key column is
+    swapped for a locale-sort-key helper (byte order otherwise, exactly
+    the reference's C-collation pushdown rule).  Returns
+    (table+helpers, 2-tuple keys, helper column names)."""
     import pyarrow.compute as pc
 
     out_keys, helpers = [], []
     for k in sort_keys:
-        if len(k) == 2:
-            out_keys.append(tuple(k))
-            continue
-        col, direction, nulls = k
+        col, direction = k[0], k[1]
+        nulls = None
+        collation = None
+        for extra in k[2:]:
+            if extra in ("nulls_first", "nulls_last"):
+                nulls = extra
+            elif isinstance(extra, str) and extra.startswith("collation="):
+                collation = extra.split("=", 1)[1]
         # Arrow's default places nulls at_end for either direction; only
         # an explicit placement that differs needs the helper key
-        want_first = nulls == "nulls_first"
-        if want_first:
+        if nulls == "nulls_first":
             h = f"__isnull_{col}"
             if h not in table.column_names:
                 table = table.append_column(
                     h, pc.is_null(table.column(col)).cast(pa.int8()))
                 helpers.append(h)
             out_keys.append((h, "descending"))
+        if collation:
+            from paradedb_ray.text.collate import sort_key_array
+
+            h = f"__coll_{col}"
+            if h not in table.column_names:
+                table = table.append_column(
+                    h, sort_key_array(table.column(col), collation))
+                helpers.append(h)
+            out_keys.append((h, direction))
+            # original column stays as the deterministic final tiebreak
         out_keys.append((col, direction))
     return table, out_keys, helpers
 

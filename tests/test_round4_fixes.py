@@ -45,6 +45,64 @@ def test_single_scan_stats_tree_reduce_block_invariance(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# #6: collation-aware ORDER BY (order_by_collation.sql) — byte order by
+# default (the reference's C-collation pushdown), opt-in locale ordering
+# via a "collation=<loc>" sort-key modifier.
+# ---------------------------------------------------------------------------
+
+
+def test_order_by_collation_regress_mirror(ray_session):
+    """Mirror of order_by_collation.out section 4: C collation sorts raw
+    bytes (uppercase first); the ICU en-US ordering is case-insensitive
+    alphabetic."""
+    import pyarrow as pa
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import I64, TEXT, IndexSchema
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "city": ["berlin", "Amsterdam", "chicago", "Delhi", "edmonton"],
+    })
+    schema = IndexSchema.build(
+        key_field="id", id={"type": I64, "fast": True},
+        city={"type": TEXT, "fast": True})
+    ds = ray.data.from_arrow(t).repartition(2)
+
+    def run(key):
+        out = search_topk(ds, schema, pdb.all_query(), limit=5,
+                          order_by=[key], with_score=False,
+                          output_columns=["id", "city"]).take_all()
+        return [r["city"] for r in out]
+
+    # Test 4.1: byte order — uppercase before lowercase in ASCII
+    assert run(("city", "ascending", "nulls_first")) == \
+        ["Amsterdam", "Delhi", "berlin", "chicago", "edmonton"]
+    # Test 4.2: linguistic order under the en-US collation
+    assert run(("city", "ascending", "nulls_first", "collation=en-US")) == \
+        ["Amsterdam", "berlin", "chicago", "Delhi", "edmonton"]
+
+
+def test_collation_key_fallback_properties():
+    """The PyICU-absent fallback: case-insensitive primary, lowercase
+    before uppercase at equal primary, accents fold to base letters,
+    deterministic total order."""
+    from paradedb_ray.text.collate import sort_key_array
+
+    vals = ["apple", "Apple", "APPLE", "Ápple", "banana", "Banana", None]
+    keys = sort_key_array(__import__("pyarrow").array(vals), "en-US")
+    km = dict(zip(vals, keys.to_pylist()))
+    assert km[None] is None
+    # primary: all apples sort before all bananas regardless of case
+    assert max(km[v] for v in ("apple", "Apple", "APPLE", "Ápple")) < \
+        min(km[v] for v in ("banana", "Banana"))
+    # tertiary: lowercase before uppercase at equal primary
+    assert km["apple"] < km["Apple"] < km["APPLE"]
+    # deterministic: distinct strings never collide
+    assert len({km[v] for v in vals if v}) == 6
+
+
+# ---------------------------------------------------------------------------
 # #5: real baseline JPEG codec (Huffman + IDCT, ITU T.81), replacing the
 # header-only dims parse.
 # ---------------------------------------------------------------------------
