@@ -1246,73 +1246,20 @@ def _q_knn_filtered_ip(sf):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver checks the FIRST 50 entries against the
-    # oracle. Round-3 rotation (VERDICT r2 #2): the window leads with the 24
-    # entries that never received a driver row in r1/r2 plus the repaired
-    # json_agg, then fills with one representative per already-green family.
-    # Everything past 50 has a green driver row from r1/r2 and is re-verified
-    # locally via tools/check_correctness.py each round.
+    # oracle.  Round-4 rotation (VERDICT r3 #8): the window is every entry
+    # WITHOUT a driver row in CORRECTNESS_r03 (45 rotated past the window
+    # in r3 + the new multimodal_jpeg / collation_order) plus the three
+    # entries whose pipeline or oracle changed this round (dedup_embedding:
+    # Arrow-native attach join; is_null: oracle hardened; multimodal_png:
+    # decode stage gained px_sum) — after this round every entry has a
+    # driver row within the last two rounds.  Everything past 50 was
+    # driver-green in r3 and is re-verified locally each round.
     return {
-        # --- never driver-checked before r3 (24) ---
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_png": _q_multimodal_png,
+        # --- no driver row in r3 (45 rotated + 2 new this round) ---
         "multimodal_jpeg": _q_multimodal_jpeg,
-        "multimodal_features": _q_multimodal_features,
-        "knn_ivf": _q_knn_ivf,
-        "knn_filtered_l2": _q_knn_filtered_l2,
-        "knn_filtered_ip": _q_knn_filtered_ip,
-        "nulls_ordering": _q_nulls_ordering,
-        "text_array_term": _q_text_array_term,
-        "search_match_array": _q_match_array,
-        "agg_join_semi": _q_agg_join_semi,
-        "join_left_outer": _q_join_left_outer,
-        "extended_stats": _q_extended_stats,
-        "top_hits": _q_top_hits,
-        "sliding_1h_30m": _q_sliding_1h_30m,
-        "date_histogram_month": _q_date_histogram_month,
-        "percentiles_tdigest": _q_percentiles_tdigest,
-        "agg_bool_terms": _q_agg_bool_terms,
-        "is_null": _q_is_null,
         "collation_order": _q_collation_order,
-        "agg_filter_groupby": _q_agg_filter_groupby,
-        # --- repaired in r3 (oracle dtype fix) ---
-        "json_agg": _q_json_agg,
-        # --- family representatives already green in r1/r2 (fill to 50) ---
-        "search_term": _q_search_term,
-        "search_boolean": _q_search_boolean,
-        "search_parse": _q_search_parse,
-        "search_phrase": _q_search_phrase,
-        "search_fuzzy": _q_search_fuzzy,
-        "search_regex": _q_search_regex,
-        "search_proximity": _q_search_proximity,
-        "search_exists": _q_search_exists,
-        "keyset_paging": _q_keyset_paging,
-        "heap_filter": _q_heap_filter,
-        "json_term": _q_json_term,
-        "facet_lang": _q_facet_lang,
-        "numeric_range": _q_numeric_range,
-        "agg_groupby": _q_agg_groupby,
-        "agg_filter": _q_agg_filter,
-        "histogram": _q_histogram,
-        "date_histogram": _q_date_histogram,
-        "agg_siblings": _q_agg_siblings,
-        "terms_agg": _q_terms_agg,
-        "nested_agg": _q_nested_agg,
-        # dedup_exact's oracle changed in r3 (planted copies) — keep it
-        # inside the driver's 50-entry window
-        "dedup_exact": _q_dedup_exact,
-        "stats_agg": _q_stats_agg,
-        "cardinality": _q_cardinality,
-        "percentiles": _q_percentiles,
         "range_agg": _q_range_agg,
         "window_count_over": _q_window_count_over,
-        # ---- entries past the driver's 50-entry window (all have green
-        # driver rows from r1/r2; re-verified locally each round) ----
         "window_rank": _q_window_rank,
         "filter_project": _q_filter_project,
         "topk_orders": _q_topk_orders,
@@ -1356,6 +1303,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
+        # --- pipeline/oracle changed in round 4 ---
+        "dedup_embedding": _q_dedup_embedding,
+        "is_null": _q_is_null,
+        "multimodal_png": _q_multimodal_png,
+        # ---- entries past the driver window (driver-green in r3;
+        # re-verified locally at both SFs each round) ----
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_features": _q_multimodal_features,
+        "knn_ivf": _q_knn_ivf,
+        "knn_filtered_l2": _q_knn_filtered_l2,
+        "knn_filtered_ip": _q_knn_filtered_ip,
+        "nulls_ordering": _q_nulls_ordering,
+        "text_array_term": _q_text_array_term,
+        "search_match_array": _q_match_array,
+        "agg_join_semi": _q_agg_join_semi,
+        "join_left_outer": _q_join_left_outer,
+        "extended_stats": _q_extended_stats,
+        "top_hits": _q_top_hits,
+        "sliding_1h_30m": _q_sliding_1h_30m,
+        "date_histogram_month": _q_date_histogram_month,
+        "percentiles_tdigest": _q_percentiles_tdigest,
+        "agg_bool_terms": _q_agg_bool_terms,
+        "agg_filter_groupby": _q_agg_filter_groupby,
+        "json_agg": _q_json_agg,
+        "search_term": _q_search_term,
+        "search_boolean": _q_search_boolean,
+        "search_parse": _q_search_parse,
+        "search_phrase": _q_search_phrase,
+        "search_fuzzy": _q_search_fuzzy,
+        "search_regex": _q_search_regex,
+        "search_proximity": _q_search_proximity,
+        "search_exists": _q_search_exists,
+        "keyset_paging": _q_keyset_paging,
+        "heap_filter": _q_heap_filter,
+        "json_term": _q_json_term,
+        "facet_lang": _q_facet_lang,
+        "numeric_range": _q_numeric_range,
+        "agg_groupby": _q_agg_groupby,
+        "agg_filter": _q_agg_filter,
+        "histogram": _q_histogram,
+        "date_histogram": _q_date_histogram,
+        "agg_siblings": _q_agg_siblings,
+        "terms_agg": _q_terms_agg,
+        "nested_agg": _q_nested_agg,
+        "dedup_exact": _q_dedup_exact,
+        "stats_agg": _q_stats_agg,
+        "cardinality": _q_cardinality,
+        "percentiles": _q_percentiles,
     }
 
 
