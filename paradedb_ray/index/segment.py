@@ -224,18 +224,7 @@ def _build_text_index(
 
     total = int(lens.sum())
     if total == 0:
-        return TextFieldIndex(
-            vocab=np.empty(0, dtype=object),
-            term_offsets=np.zeros(1, dtype=np.int64),
-            g_doc=np.empty(0, dtype=np.int32),
-            g_tf=np.empty(0, dtype=np.int32),
-            g_pos_off=np.zeros(1, dtype=np.int64) if store_positions else None,
-            pos_flat=np.empty(0, dtype=np.int32) if store_positions else None,
-            fieldnorm_ids=fieldnorm_to_id(lens),
-            total_tokens=0,
-            doc_count=int(has_value.sum()),
-            has_value=has_value,
-        )
+        return _empty_text_index(lens, has_value, store_positions)
 
     flat = np.empty(total, dtype=object)
     pos = np.empty(total, dtype=np.int32)
@@ -261,26 +250,53 @@ def _build_text_index(
         uniques = vocab_filter
         kept = len(codes)
         if kept == 0:
-            nf = len(vocab_filter)
-            return TextFieldIndex(
-                vocab=np.asarray(vocab_filter, dtype=object),
-                term_offsets=np.zeros(nf + 1, dtype=np.int64),
-                g_doc=np.empty(0, dtype=np.int32),
-                g_tf=np.empty(0, dtype=np.int32),
-                g_pos_off=(np.zeros(1, dtype=np.int64)
-                           if store_positions else None),
-                pos_flat=(np.empty(0, dtype=np.int32)
-                          if store_positions else None),
-                fieldnorm_ids=fieldnorm_to_id(lens),
-                total_tokens=total,
-                doc_count=int(has_value.sum()),
-                has_value=has_value,
-            )
+            return _filtered_empty_text_index(vocab_filter, lens, has_value,
+                                              total, store_positions)
     else:
         codes, uniques = pd.factorize(flat, sort=True)
         codes = codes.astype(np.int64)
         kept = total
 
+    return _group_postings(codes, uniques, doc_ids, pos, lens, has_value,
+                           total, kept, store_positions)
+
+
+def _empty_text_index(lens, has_value, store_positions) -> TextFieldIndex:
+    return TextFieldIndex(
+        vocab=np.empty(0, dtype=object),
+        term_offsets=np.zeros(1, dtype=np.int64),
+        g_doc=np.empty(0, dtype=np.int32),
+        g_tf=np.empty(0, dtype=np.int32),
+        g_pos_off=np.zeros(1, dtype=np.int64) if store_positions else None,
+        pos_flat=np.empty(0, dtype=np.int32) if store_positions else None,
+        fieldnorm_ids=fieldnorm_to_id(lens),
+        total_tokens=0,
+        doc_count=int(has_value.sum()),
+        has_value=has_value,
+    )
+
+
+def _filtered_empty_text_index(vocab_filter, lens, has_value, total,
+                               store_positions) -> TextFieldIndex:
+    nf = len(vocab_filter)
+    return TextFieldIndex(
+        vocab=np.asarray(vocab_filter, dtype=object),
+        term_offsets=np.zeros(nf + 1, dtype=np.int64),
+        g_doc=np.empty(0, dtype=np.int32),
+        g_tf=np.empty(0, dtype=np.int32),
+        g_pos_off=(np.zeros(1, dtype=np.int64)
+                   if store_positions else None),
+        pos_flat=(np.empty(0, dtype=np.int32)
+                  if store_positions else None),
+        fieldnorm_ids=fieldnorm_to_id(lens),
+        total_tokens=total,
+        doc_count=int(has_value.sum()),
+        has_value=has_value,
+    )
+
+
+def _group_postings(codes, uniques, doc_ids, pos, lens, has_value,
+                    total, kept, store_positions) -> TextFieldIndex:
     # group by (code, doc); positions are already ascending within each doc,
     # and a stable sort keeps them ascending within each group.
     order = np.lexsort((doc_ids, codes))
@@ -323,6 +339,58 @@ def _build_text_index(
         doc_count=int(has_value.sum()),
         has_value=has_value,
     )
+
+
+def build_text_index_arrow(col, analyzer, store_positions: bool,
+                           vocab_filter: Optional[np.ndarray] = None,
+                           ) -> Optional[TextFieldIndex]:
+    """Vectorized ``_build_text_index`` over an Arrow string column.
+
+    Tokenizes the whole column at once through the byte-class kernel in
+    :mod:`paradedb_ray.text.batch_tokenize` (identical to the per-row
+    ASCII fast path; non-ASCII rows fall back row-wise inside), then
+    builds the vocabulary with Arrow ``dictionary_encode`` + sort instead
+    of ``pd.factorize`` over Python objects.  Returns ``None`` when the
+    analyzer or column type is not eligible — the caller falls back to
+    the list-based path (bit-identical either way; UTF-8 byte order ==
+    codepoint order keeps the vocab sort equal to pandas' sorted
+    factorize).
+    """
+    import pyarrow.compute as pc
+
+    from paradedb_ray.text.batch_tokenize import batch_tokenize_arrow
+
+    got = batch_tokenize_arrow(col, analyzer)
+    if got is None:
+        return None
+    tokens, doc_ids, pos, lens, has_value = got
+    total = int(lens.sum())
+    if total == 0:
+        return _empty_text_index(lens, has_value, store_positions)
+    if vocab_filter is not None:
+        vs = pa.array(list(vocab_filter), pa.string())
+        codes = pc.index_in(tokens, value_set=vs).fill_null(-1)
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = codes >= 0
+        codes = codes[keep]
+        doc_ids = doc_ids[keep]
+        pos = pos[keep]
+        uniques = vocab_filter
+        kept = len(codes)
+        if kept == 0:
+            return _filtered_empty_text_index(vocab_filter, lens, has_value,
+                                              total, store_positions)
+    else:
+        enc = tokens.dictionary_encode()
+        d = enc.dictionary
+        sort_idx = pc.sort_indices(d).to_numpy()
+        rank = np.empty(len(d), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(d))
+        codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+        uniques = d.take(pa.array(sort_idx)).to_numpy(zero_copy_only=False)
+        kept = total
+    return _group_postings(codes, uniques, doc_ids, pos, lens, has_value,
+                           total, kept, store_positions)
 
 
 def _merge_vocabs(vocabs: list) -> tuple:
@@ -569,10 +637,13 @@ def build_segment(
     seg = Segment(num_docs=table.num_rows, table=table, schema=schema)
     for f in schema.fields.values():
         if f.ftype == TEXT and f.indexed and f.name in table.column_names:
-            texts = table.column(f.name).to_pylist()
-            seg.text[f.name] = _build_text_index(
-                texts, f.analyzer, store_positions and f.positions
-            )
+            want_pos = store_positions and f.positions
+            ti = build_text_index_arrow(table.column(f.name), f.analyzer,
+                                        want_pos)
+            if ti is None:
+                ti = _build_text_index(table.column(f.name).to_pylist(),
+                                       f.analyzer, want_pos)
+            seg.text[f.name] = ti
         elif f.ftype == VECTOR and f.name in table.column_names:
             # decode once (warms the fast-field cache) and validate like
             # pgvector's type-level checks (`vector_ingest.sql`): fixed

@@ -201,6 +201,36 @@ class StatsCollector:
                 doc_count = 0
                 wanted = {t for (_, t) in by_field.get(fname, ())}
                 dfs = dict.fromkeys(wanted, 0)
+                from paradedb_ray.text.batch_tokenize import \
+                    batch_tokenize_arrow
+
+                got = batch_tokenize_arrow(batch.column(fname), analyzer)
+                if got is not None:
+                    # vectorized: token totals from per-doc counts, term
+                    # dfs from unique (term, doc) pairs — bit-identical
+                    # to the per-row loop below
+                    import pyarrow.compute as pc
+
+                    tokens, doc_of, _, lens, has_value = got
+                    g.field_total_tokens[fname] = int(lens.sum())
+                    g.field_doc_count[fname] = int(has_value.sum())
+                    if wanted and len(tokens):
+                        wl = sorted(wanted)
+                        codes = pc.index_in(
+                            tokens, value_set=pa.array(wl, pa.string()))
+                        codes = codes.fill_null(-1).to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        hit = codes >= 0
+                        if hit.any():
+                            n = max(batch.num_rows, 1)
+                            pairs = np.unique(
+                                codes[hit] * n + doc_of[hit].astype(np.int64))
+                            cnt = np.bincount(pairs // n, minlength=len(wl))
+                            for i, t in enumerate(wl):
+                                g.term_df[(fname, t)] = int(cnt[i])
+                    for t in wanted:
+                        g.term_df.setdefault((fname, t), 0)
+                    continue
                 for txt in batch.column(fname).to_pylist():
                     if txt is None:
                         continue
@@ -610,7 +640,8 @@ def build_query_segment(batch: pa.Table, schema: IndexSchema,
     docstore columns, and nothing else; the partial stats (num_docs,
     per-field token totals/doc counts, per-term dfs) come from the same
     single tokenization, bit-identical to what ``StatsCollector`` counts."""
-    from paradedb_ray.index.segment import Segment, _build_text_index
+    from paradedb_ray.index.segment import (Segment, _build_text_index,
+                                            build_text_index_arrow)
 
     n = batch.num_rows
     g = GlobalStats(num_docs=n)
@@ -620,9 +651,14 @@ def build_query_segment(batch: pa.Table, schema: IndexSchema,
         if f is None or fname not in batch.column_names:
             continue
         vf = np.array(sorted(terms), dtype=object)
-        ti = _build_text_index(batch.column(fname).to_pylist(), f.analyzer,
-                               store_positions and f.positions,
-                               vocab_filter=vf)
+        ti = build_text_index_arrow(batch.column(fname), f.analyzer,
+                                    store_positions and f.positions,
+                                    vocab_filter=vf)
+        if ti is None:
+            ti = _build_text_index(batch.column(fname).to_pylist(),
+                                   f.analyzer,
+                                   store_positions and f.positions,
+                                   vocab_filter=vf)
         tis[fname] = ti
         g.field_total_tokens[fname] = ti.total_tokens
         g.field_doc_count[fname] = ti.doc_count

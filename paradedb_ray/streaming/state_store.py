@@ -183,6 +183,45 @@ class Bm25PartitionStore:
         n_retract = 0
         n_doa = 0  # dead on arrival (stale __arr raced a newer copy)
         fresh = np.empty(len(keys), dtype=bool)  # first arrival of its key
+        # fast path: no in-batch duplicate keys (the common case) — probe
+        # collisions with C-speed set intersection + np.isin, bulk-update
+        # the live maps for the disjoint remainder, and run the sequential
+        # arbitration only on the (usually tiny) colliding subset
+        key_set = set(keys)
+        if len(key_set) == len(keys):
+            seen = live_arr if arr is not None else live_seq
+            inter = seen.keys() & key_set
+            if not inter:
+                fresh[:] = True
+                live_seq.update(zip(keys, seqs.tolist()))
+                if arr is not None:
+                    live_arr.update(zip(keys, arr.tolist()))
+            else:
+                hit = np.isin(keys_np,
+                              np.fromiter(inter, dtype=keys_np.dtype,
+                                          count=len(inter)))
+                fresh[:] = ~hit
+                miss_rows = np.flatnonzero(~hit)
+                ks = [keys[i] for i in miss_rows]
+                live_seq.update(zip(ks, seqs[miss_rows].tolist()))
+                if arr is not None:
+                    live_arr.update(zip(ks, arr[miss_rows].tolist()))
+                    for i in np.flatnonzero(hit).tolist():
+                        k, a = keys[i], int(arr[i])
+                        if a >= live_arr[k]:
+                            n_retract += 1
+                            live_seq[k] = int(seqs[i])
+                            live_arr[k] = a
+                        else:
+                            n_doa += 1
+                else:
+                    for i in np.flatnonzero(hit).tolist():
+                        n_retract += 1
+                        live_seq[keys[i]] = int(seqs[i])
+            if n_retract:
+                self.metrics_["retractions"] += n_retract
+            self.n_dead += n_retract + n_doa
+            return self._ingest_tail(table, conv, ts, fresh, seqs, n_late)
         if arr is None:
             # no router stamp: arrival order == call order (legacy path)
             for i, (k, s) in enumerate(zip(keys, seqs.tolist())):
@@ -210,6 +249,10 @@ class Bm25PartitionStore:
         if n_retract:
             self.metrics_["retractions"] += n_retract
         self.n_dead += n_retract + n_doa
+        return self._ingest_tail(table, conv, ts, fresh, seqs, n_late)
+
+    def _ingest_tail(self, table: pa.Table, conv, ts, fresh, seqs,
+                     n_late: int) -> dict:
         table = table.append_column("__seq", pa.array(seqs, pa.int64()))
 
         # session-window maintenance: merge each turn into the conv's

@@ -182,6 +182,9 @@ class SimpleTokenizer(Tokenizer):
 class WhitespaceTokenizer(Tokenizer):
     name = "whitespace"
     _RE = re.compile(r"\S+")
+    # ASCII lowering never creates/destroys whitespace, so findall on the
+    # lowered text equals per-token lowering — fast path is exact
+    _fast_re = _RE
 
     def _segments(self, text: str):
         return [(m.group(), m.start(), m.end()) for m in self._RE.finditer(text)]
