@@ -263,6 +263,16 @@ class Bm25PartitionStore:
         # live turn (the batch oracle sees one row) and stale arrivals are
         # dead; a re-arrival still widens the interval it falls inside.
         gap = self.session_gap_us
+        if fresh.all() and len(conv):
+            # all-fresh fast path (the steady-stream common case): group
+            # rows by conv and gap-split each conv's ts chain in numpy,
+            # then merge per CHAIN instead of per row.  Point-by-point
+            # gap-merge of a fresh point set is its connectivity closure,
+            # so chain-merge is result-identical (processing in ts order;
+            # re-arrival edge cases never reach here — any non-fresh row
+            # falls back to the per-row loop below).
+            self._sessions_merge_fresh(conv, ts, gap)
+            return self._ingest_finish(table, n_late)
         for c, t, f in zip(conv, ts, fresh):
             t = int(t)
             if f:
@@ -318,6 +328,9 @@ class Bm25PartitionStore:
                 absorb(lst.pop(i - 1))
                 i -= 1
 
+        return self._ingest_finish(table, n_late)
+
+    def _ingest_finish(self, table: pa.Table, n_late: int) -> dict:
         self.mutable.append(table)
         self.mutable_count += table.num_rows
         self.metrics_["ingested"] += table.num_rows
@@ -325,6 +338,67 @@ class Bm25PartitionStore:
         if self.mutable_count >= self.mutable_rows:
             self._freeze()
         return {"part": self.part_id, "n": table.num_rows, "late": n_late}
+
+    def _sessions_merge_fresh(self, conv, ts, gap: int):
+        """Merge an all-fresh batch into the session interval sets, one
+        gap-chain at a time (semantics identical to the per-row loop in
+        ``_ingest_tail`` for fresh rows, processed in ts order)."""
+        import pandas as pd
+
+        codes, uconv = pd.factorize(conv)
+        order = np.lexsort((ts, codes))
+        cs = codes[order]
+        tss = ts[order]
+        brk = np.empty(len(cs), dtype=bool)
+        brk[0] = True
+        brk[1:] = (cs[1:] != cs[:-1]) | ((tss[1:] - tss[:-1]) > gap)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(cs))
+        conv_counts = self.conv_counts
+        sessions = self.sessions
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            c = uconv[cs[s]]
+            lo, hi, n = int(tss[s]), int(tss[e - 1]), e - s
+            conv_counts[c] = conv_counts.get(c, 0) + n
+            lst = sessions.get(c)
+            if lst is None:
+                sessions[c] = [[lo, hi, n, None, False]]
+                continue
+            joined = None
+            for sess in lst:
+                if sess[0] - gap <= hi and lo <= sess[1] + gap:
+                    joined = sess
+                    break
+            if joined is None:
+                lst.append([lo, hi, n, None, False])
+                lst.sort(key=lambda x: x[0])
+                continue
+            if joined[3] is not None and not joined[4]:
+                # an emitted session absorbs fresh turns: re-emission due
+                joined[4] = True
+                self.metrics_["reopened"] += 1
+            joined[0] = min(joined[0], lo)
+            joined[1] = max(joined[1], hi)
+            joined[2] += n
+            lst.sort(key=lambda x: x[0])
+            i = lst.index(joined)
+
+            def absorb(other):
+                joined[0] = min(joined[0], other[0])
+                joined[1] = max(joined[1], other[1])
+                joined[2] += other[2]
+                if other[3] is not None:
+                    if joined[3] is None:
+                        joined[3] = other[3]
+                    else:
+                        self.absorbed.append((c, other[3]))
+                    joined[4] = True
+
+            while i + 1 < len(lst) and lst[i + 1][0] - gap <= joined[1]:
+                absorb(lst.pop(i + 1))
+            while i > 0 and lst[i - 1][1] + gap >= joined[0]:
+                absorb(lst.pop(i - 1))
+                i -= 1
 
     def _freeze(self):
         if not self.mutable:
