@@ -134,15 +134,20 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
 @ray.remote(num_cpus=0.25)
 def _route_shard_task(source, arr_base: int, actors: list,
                       num_partitions: int, salt_k: int, key_cols: tuple,
-                      hot, epoch: int, batch_rows: int) -> int:
-    """One router task per shard: reads its shard (a parquet path or an
-    Arrow table shipped by reference) and routes straight to the partition
-    actors — the multi-node shape: routers live wherever the shards are,
-    the driver only joins the per-shard acks."""
+                      hot, epoch: int, batch_rows: int,
+                      off: int = None, length: int = None) -> int:
+    """One router task per shard: reads its shard (a parquet path, or an
+    Arrow table shipped by reference — with ``off``/``length`` the table
+    was ``ray.put`` ONCE and every router slices the same plasma copy
+    zero-copy) and routes straight to the partition actors — the
+    multi-node shape: routers live wherever the shards are, the driver
+    only joins the per-shard acks."""
     if isinstance(source, str):
         import pyarrow.parquet as pq
 
         source = pq.read_table(source)
+    if off is not None:
+        source = source.slice(off, length)
     return _route_table(source, arr_base, actors, num_partitions, salt_k,
                         key_cols, hot, epoch, batch_rows)
 
@@ -246,13 +251,20 @@ class StreamEngine:
             if parallel is None:
                 parallel = n >= _PARALLEL_INGEST_ROWS
             if parallel and n:
-                shard_rows = max(cfg.mutable_rows,
+                # shard size balances router parallelism against RPC
+                # count: each shard routes in ONE pass (batch_rows =
+                # shard_rows), so actor calls per epoch = shards × P —
+                # tiny shards mean hundreds of sub-1k-row sends whose
+                # fixed RPC cost dwarfs the ingest compute
+                shard_rows = max(4 * cfg.mutable_rows,
                                  -(-n // max(2, 2 * cfg.num_partitions)))
+                src_ref = ray.put(source)  # ONE plasma copy, all routers
                 refs = [
                     _route_shard_task.remote(
-                        source.slice(off, shard_rows), arr_base + off,
+                        src_ref, arr_base + off,
                         self.actors, cfg.num_partitions, cfg.salt_k,
-                        cfg.key_cols, hot, epoch, 16384)
+                        cfg.key_cols, hot, epoch, shard_rows,
+                        off, shard_rows)
                     for off in range(0, n, shard_rows)
                 ]
                 return {"epoch": epoch, "rows": sum(ray.get(refs))}
