@@ -44,6 +44,30 @@ from paradedb_ray.index.segment import Segment, build_segment
 from paradedb_ray.schema import IndexSchema
 
 
+_ZSTD_CODEC = None
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    """zstd (level 1 default) for checkpoint segment payloads — text-heavy
+    pickles compress 3-4x, and checkpoint epochs are IO-bound in the soak;
+    pyarrow bundles the codec, so no new dependency."""
+    global _ZSTD_CODEC
+    if _ZSTD_CODEC is None:
+        _ZSTD_CODEC = pa.Codec("zstd")
+    # pyarrow's zstd decompress needs the raw size: prepend it (8 LE bytes)
+    return (len(data).to_bytes(8, "little")
+            + _ZSTD_CODEC.compress(data, asbytes=True))
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    global _ZSTD_CODEC
+    if _ZSTD_CODEC is None:
+        _ZSTD_CODEC = pa.Codec("zstd")
+    n = int.from_bytes(data[:8], "little")
+    return _ZSTD_CODEC.decompress(data[8:], decompressed_size=n,
+                                  asbytes=True)
+
+
 def _key_hash(conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
     """Vectorized, process-stable 64-bit key for (conv_id, turn_idx)
     (pandas' fixed-key siphash — safe to persist in checkpoints; Python's
@@ -809,14 +833,14 @@ class Bm25PartitionStore:
         d = os.path.join(ckpt_dir, f"part-{self.part_id:05d}")
         os.makedirs(d, exist_ok=True)
         for s in self.sealed:
-            seg_file = os.path.join(d, f"seg-{s.uid:08d}.pkl")
-            if os.path.exists(seg_file):
-                continue
+            seg_file = os.path.join(d, f"seg-{s.uid:08d}.pkl.zst")
+            if os.path.exists(seg_file) or os.path.exists(seg_file[:-4]):
+                continue  # immutable: written once (either format)
             s._json_cache = {}
             s._vec_cache = {}
             tmp = seg_file + ".tmp"
             with open(tmp, "wb") as f:
-                pickle.dump(s, f, protocol=4)
+                f.write(_zstd_compress(pickle.dumps(s, protocol=4)))
             os.replace(tmp, seg_file)
         # live-map deltas: persist only the arrival triples since the last
         # checkpoint; once the persisted replay chain outgrows the live
@@ -881,12 +905,13 @@ class Bm25PartitionStore:
         os.replace(mtmp, os.path.join(d, "manifest.json"))
         # GC: anything the committed manifest doesn't reference
         live = {f"seg-{s.uid:08d}.pkl" for s in self.sealed}
+        live |= {f"seg-{s.uid:08d}.pkl.zst" for s in self.sealed}
         live.add(os.path.basename(state_file))
         live.update(self._live_files)
         if self._live_base:
             live.add(self._live_base)
         for fn in os.listdir(d):
-            if fn.endswith(".pkl") and fn not in live:
+            if fn.endswith((".pkl", ".pkl.zst")) and fn not in live:
                 try:
                     os.remove(os.path.join(d, fn))
                 except OSError:
@@ -907,9 +932,14 @@ class Bm25PartitionStore:
             state = pickle.load(f)
         self.sealed = []
         for m in manifest["segments"]:
-            with open(os.path.join(d, f"seg-{m['uid']:08d}.pkl"),
-                      "rb") as f:
-                self.sealed.append(pickle.load(f))
+            zpath = os.path.join(d, f"seg-{m['uid']:08d}.pkl.zst")
+            if os.path.exists(zpath):
+                with open(zpath, "rb") as f:
+                    self.sealed.append(
+                        pickle.loads(_zstd_decompress(f.read())))
+            else:  # legacy uncompressed checkpoint
+                with open(zpath[:-4], "rb") as f:
+                    self.sealed.append(pickle.load(f))
         # rebuild the live maps: base snapshot, then replay delta files in
         # arrival order with the same highest-__arr-wins rule as ingest
         self.live_seq = {}

@@ -848,3 +848,43 @@ def test_sessions_sink_compaction(ray_session, turns, tmp_path):
     finally:
         eng_d.shutdown()
     assert want.equals(got_c), "post-resume read_sessions diverged"
+
+
+def test_checkpoint_segments_compressed_with_legacy_fallback(
+        ray_session, turns, tmp_path):
+    """Segment checkpoint files are zstd-compressed; a checkpoint whose
+    segment files were written uncompressed (legacy .pkl) still restores."""
+    import glob
+    import os
+    import pickle
+
+    from paradedb_ray.streaming.state_store import _zstd_decompress
+
+    ckpt = str(tmp_path / "ckpt")
+    eng = _engine(ckpt, parts=2)
+    try:
+        eng.ingest(turns)
+        want = _result_ids(eng.query_matches(
+            pdb.term("text", "watermark"), columns=["conv_id", "turn_idx"]))
+        eng.checkpoint(epoch=0)
+    finally:
+        eng.shutdown()
+
+    seg_files = glob.glob(os.path.join(ckpt, "part-*", "seg-*.pkl.zst"))
+    assert seg_files, "segments must be written compressed"
+    # downgrade every segment to the legacy uncompressed layout
+    for p in seg_files:
+        with open(p, "rb") as f:
+            seg = pickle.loads(_zstd_decompress(f.read()))
+        with open(p[:-4], "wb") as f:
+            pickle.dump(seg, f, protocol=4)
+        os.remove(p)
+
+    eng2 = _engine(ckpt, parts=2)
+    try:
+        assert eng2.restore() == 0
+        got = _result_ids(eng2.query_matches(
+            pdb.term("text", "watermark"), columns=["conv_id", "turn_idx"]))
+        assert got == want
+    finally:
+        eng2.shutdown()
