@@ -349,6 +349,53 @@ def _lsh_bucket_pairs(sigs: "ray.data.Dataset", key_col: str,
                            batch_format="pyarrow", batch_size=None)
 
 
+def _lsh_bucket_all_pairs(sigs: "ray.data.Dataset", key_col: str,
+                          bucket_cols: list) -> "ray.data.Dataset":
+    """(key, *bucket) rows -> ALL candidate (key, dup_of) pairs (key >
+    dup_of) inside each salt-capped colliding bucket — not
+    star-vs-canonical, so a true pair neither member of which is the
+    bucket minimum still surfaces (the VERDICT r2 #4 shape, same as the
+    simhash/embedding verifiers).  Pairs repeat across bands; callers
+    dedupe with ``hash_distinct``."""
+    key_type = _pa_schema(sigs).field(key_col).type
+    cand = _filter_colliding(sigs, bucket_cols, key_col)
+
+    def expand(t: pa.Table) -> pa.Table:
+        # one reducer sees every row of its buckets (hash-partitioned on
+        # the bucket key); group in pandas, emit pairs vectorized
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "dup_of": pa.array([], key_type)})
+        if t.num_rows == 0:
+            return empty
+        df = t.select(bucket_cols + [key_col]).to_pandas()
+        out_k, out_d = [], []
+        for _, g in df.groupby(bucket_cols, sort=False):
+            keys = np.unique(g[key_col].to_numpy())
+            if len(keys) < 2:
+                continue
+            for idx in _salt_groups(keys, _BUCKET_CAP):
+                kk = keys[idx]
+                if len(kk) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(kk), 1)
+                out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
+                out_d.append(kk[ii])
+        if not out_k:
+            return empty
+        return pa.table({
+            key_col: pa.array(np.concatenate(out_k)).cast(key_type),
+            "dup_of": pa.array(np.concatenate(out_d)).cast(key_type)})
+
+    if cand.count() == 0:
+        return _empty_pairs(key_col, key_type)
+    # hash-partitioned reduce, NOT Ray's native groupby: the native
+    # shuffle costs tens of seconds at 100k+ docs where the pair
+    # arithmetic is milliseconds (stages/hash_agg.py module note)
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    return hash_partition_apply(cand.materialize(), bucket_cols, expand)
+
+
 def _filter_colliding(sigs: "ray.data.Dataset", bucket_cols: list,
                       key_col: str) -> "ray.data.Dataset":
     """Keep only rows whose bucket holds >1 row (the candidate fraction);
@@ -451,30 +498,45 @@ def _banded_hamming_pairs(sig: "ray.data.Dataset", key_col: str,
     pairs.  Verification is ALL-PAIRS inside each (salt-capped) colliding
     bucket — not star-vs-canonical, so a true pair neither member of which
     is the bucket minimum still surfaces (VERDICT r2 #4)."""
+    key_type = _pa_schema(sig).field(key_col).type
     cand = _filter_colliding(sig, ["band", "chunk"], key_col)
+    if cand.count() == 0:
+        return _empty_pairs(key_col, key_type)
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        keys = g[key_col].to_numpy()
-        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+    def expand(t: pa.Table) -> pa.Table:
+        # one reducer sees every row of its buckets (hash-partitioned on
+        # (band, chunk) — NOT Ray's native groupby, whose shuffle costs
+        # tens of seconds at 100k+ docs; stages/hash_agg.py module note)
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "dup_of": pa.array([], key_type)})
+        if t.num_rows == 0:
+            return empty
+        df = t.select(["band", "chunk", key_col, "sim"]).to_pandas()
         out_k, out_d = [], []
-        for idx in _salt_groups(keys, _BUCKET_CAP):
-            d = _hamming_matrix(sims[idx])
-            ii, jj = np.nonzero(np.triu(d <= hamming_k, 1))
-            if len(ii):
-                kk = keys[idx]
-                out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
-                out_d.append(kk[ii])
+        for _, g in df.groupby(["band", "chunk"], sort=False):
+            g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            if len(g) < 2:
+                continue
+            keys = g[key_col].to_numpy()
+            sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+            for idx in _salt_groups(keys, _BUCKET_CAP):
+                d = _hamming_matrix(sims[idx])
+                ii, jj = np.nonzero(np.triu(d <= hamming_k, 1))
+                if len(ii):
+                    kk = keys[idx]
+                    out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
+                    out_d.append(kk[ii])
         if not out_k:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        return pd.DataFrame({key_col: np.concatenate(out_k),
-                             "dup_of": np.concatenate(out_d)})
+            return empty
+        return pa.table({
+            key_col: pa.array(np.concatenate(out_k)).cast(key_type),
+            "dup_of": pa.array(np.concatenate(out_d)).cast(key_type)})
 
-    pairs = cand.groupby(["band", "chunk"]).map_groups(bucket,
-                                                       batch_format="pandas")
-    from paradedb_ray.stages.hash_agg import grouped_min_count
+    from paradedb_ray.stages.hash_agg import (grouped_min_count,
+                                              hash_partition_apply)
+
+    pairs = hash_partition_apply(cand.materialize(), ["band", "chunk"],
+                                 expand)
 
     out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
                             min_alias="dup_of", count_alias="__n")
@@ -611,11 +673,18 @@ def ngram_jaccard_duplicates(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    all_pairs: bool = True,
 ) -> ray.data.Dataset:
     """Near-dup pairs with EXACT n-gram-Jaccard verification: MinHash+LSH
     proposes candidate pairs (the scale path), then each pair is verified
     with the exact word-k-gram Jaccard kernel.  Emits
-    (key, dup_of, jaccard) for pairs >= threshold.
+    (key, dup_of, jaccard) for pairs >= threshold, key > dup_of.
+
+    With ``all_pairs`` (default) candidates are ALL pairs inside each
+    salt-capped colliding bucket, so at full LSH recall the output is a
+    pure function of the corpus (every pair with exact Jaccard >=
+    threshold) — SQL-oracle-checkable; ``all_pairs=False`` keeps the
+    cheaper star-vs-bucket-min proposal.
 
     The candidate-pair texts are attached with TWO dataset hash joins
     against the corpus (key side, then dup_of side) and the Jaccard kernel
@@ -625,8 +694,11 @@ def ngram_jaccard_duplicates(
     sigs = ds.map_batches(
         MinHasher(text_col, key_col, num_perm, shingle_k, bands),
         batch_format="pyarrow", batch_size=None).materialize()
-    pairs = _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"],
-                              dedup=False)
+    if all_pairs:
+        pairs = _lsh_bucket_all_pairs(sigs, key_col, ["band", "band_hash"])
+    else:
+        pairs = _lsh_bucket_pairs(sigs, key_col, ["band", "band_hash"],
+                                  dedup=False)
     # distinct (key, dup_of): two-stage hash dedup — pairs ≈ dups only
     from paradedb_ray.stages.hash_agg import hash_distinct
 
@@ -654,6 +726,11 @@ def ngram_jaccard_duplicates(
 
     verified = with_ab.map_batches(verify, batch_format="pyarrow",
                                    batch_size=None)
+    if all_pairs:
+        # every verified pair IS the answer: (key, dup_of, jaccard) for
+        # each pair with exact Jaccard >= threshold — a pure function of
+        # the corpus (candidates already distinct), so SQL-checkable
+        return verified
 
     def canonical(t: pa.Table) -> pa.Table:
         # keep one canonical target per duplicate key (smallest dup_of),
@@ -780,31 +857,48 @@ def embedding_near_duplicates(
         cand = repartition_join(vecs, cand, on=key_col, how="inner",
                                 num_partitions=_join_partitions())
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": [], "cosine": []})
-        V = np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        keys = g[key_col].to_numpy()
-        out_k, out_d, out_c = [], [], []
-        for idx in _salt_groups(keys, _BUCKET_CAP):
-            C = V[idx] @ V[idx].T
-            ii, jj = np.nonzero(np.triu(C >= threshold, 1))
-            if len(ii):
-                kk = keys[idx]
-                out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
-                out_d.append(kk[ii])
-                out_c.append(C[ii, jj].astype(np.float64))
-        if not out_k:
-            return pd.DataFrame({key_col: [], "dup_of": [], "cosine": []})
-        return pd.DataFrame({key_col: np.concatenate(out_k),
-                             "dup_of": np.concatenate(out_d),
-                             "cosine": np.concatenate(out_c)})
+    key_type = _pa_schema(ds).field(key_col).type
 
-    pairs = cand.groupby(["band", "bucket"]).map_groups(
-        bucket, batch_format="pandas")
-    from paradedb_ray.stages.hash_agg import grouped_min_count
+    def expand(t: pa.Table) -> pa.Table:
+        # one reducer sees every row of its buckets (hash-partitioned on
+        # (band, bucket) — NOT Ray's native groupby, whose shuffle costs
+        # tens of seconds at 100k+ docs; stages/hash_agg.py module note)
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "dup_of": pa.array([], key_type),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.select(["band", "bucket", key_col, vec_col]).to_pandas()
+        out_k, out_d, out_c = [], [], []
+        for _, g in df.groupby(["band", "bucket"], sort=False):
+            g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            if len(g) < 2:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float32)
+                          for v in g[vec_col]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            keys = g[key_col].to_numpy()
+            for idx in _salt_groups(keys, _BUCKET_CAP):
+                C = V[idx] @ V[idx].T
+                ii, jj = np.nonzero(np.triu(C >= threshold, 1))
+                if len(ii):
+                    kk = keys[idx]
+                    out_k.append(kk[jj])  # keys ascending: kk[ii] < kk[jj]
+                    out_d.append(kk[ii])
+                    out_c.append(C[ii, jj].astype(np.float64))
+        if not out_k:
+            return empty
+        return pa.table({
+            key_col: pa.array(np.concatenate(out_k)).cast(key_type),
+            "dup_of": pa.array(np.concatenate(out_d)).cast(key_type),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
+
+    from paradedb_ray.stages.hash_agg import (grouped_min_count,
+                                              hash_partition_apply)
+
+    pairs = hash_partition_apply(cand.materialize(), ["band", "bucket"],
+                                 expand)
 
     out = grouped_min_count(pairs.materialize(), [key_col], "dup_of",
                             min_alias="dup_of", count_alias="__n")

@@ -332,8 +332,18 @@ def test_ngram_jaccard_dup_heavy(ray_session):
     from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
 
     t = _dup_heavy_docs(n_base=20, copies=3)
+    # all_pairs (default, round 4): every verified pair — C(3,2)=3 per
+    # 3-copy cluster
     out = ngram_jaccard_duplicates(ray.data.from_arrow(t), "text", "doc_id",
                                    threshold=0.7).to_pandas()
+    assert len(out) == 20 * 3
+    assert (out["jaccard"] >= 0.7).all()
+    assert (out["doc_id"] > out["dup_of"]).all()
+    assert (out["doc_id"] // 3 == out["dup_of"] // 3).all()
+    # canonical mode: each non-minimal member maps to one target
+    out = ngram_jaccard_duplicates(ray.data.from_arrow(t), "text", "doc_id",
+                                   threshold=0.7,
+                                   all_pairs=False).to_pandas()
     assert len(out) == 20 * 2
     assert (out["jaccard"] >= 0.7).all()
     assert (out["doc_id"] // 3 == out["dup_of"] // 3).all()
