@@ -1310,14 +1310,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_agg": _q_score_agg,
         # --- pipeline/oracle changed in round 4 ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
+        "langid": _q_langid,  # new exact oracle
         "dedup_embedding": _q_dedup_embedding,
-        "is_null": _q_is_null,
         # ---- entries past the driver window (driver-green in r3;
         # re-verified locally at both SFs each round) ----
+        "is_null": _q_is_null,
         "multimodal_png": _q_multimodal_png,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
@@ -1365,6 +1365,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOKS = "string_split(text, ' ')"
+
+
+def _langid_sql() -> str:
+    """SQL twin of functions.text_analysis.classify_language: distinct
+    lowered words intersected with each marker set; first language (dict
+    order) with the strictly-greatest non-zero count wins."""
+    from paradedb_ray.functions.text_analysis import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    counts = ", ".join(
+        "len(list_filter(ws, x -> x IN ({}))) AS {}".format(
+            ", ".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lg])), lg)
+        for lg in langs)
+    g = "greatest({})".format(", ".join(langs))
+    case = " ".join(f"WHEN {lg} = {g} THEN '{lg}'" for lg in langs[:-1])
+    return (
+        "WITH w AS (SELECT doc_id, list_distinct(string_split_regex("
+        "lower(trim(text)), '\\s+')) AS ws FROM documents),"
+        f" c AS (SELECT doc_id, {counts} FROM w)"
+        f" SELECT doc_id, CASE WHEN {g} = 0 THEN 'unknown' {case}"
+        f" ELSE '{langs[-1]}' END AS lang_pred FROM c")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1683,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT i.d2 AS doc_id, i.d1 AS dup_of FROM i"
             " JOIN sz s1 ON s1.doc_id = i.d1 JOIN sz s2 ON s2.doc_id = i.d2"
             " WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.5",
+        "langid": _langid_sql(),
         "token_count":
             f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
         "quality":
