@@ -213,8 +213,10 @@ class Bm25PartitionStore:
         # arbitration only on the (usually tiny) colliding subset
         key_set = set(keys)
         if len(key_set) == len(keys):
-            seen = live_arr if arr is not None else live_seq
-            inter = seen.keys() & key_set
+            # membership must probe live_seq (a superset of live_arr: a
+            # key first ingested without a router stamp has no live_arr
+            # entry but still supersedes)
+            inter = live_seq.keys() & key_set
             if not inter:
                 fresh[:] = True
                 live_seq.update(zip(keys, seqs.tolist()))
@@ -232,7 +234,8 @@ class Bm25PartitionStore:
                     live_arr.update(zip(ks, arr[miss_rows].tolist()))
                     for i in np.flatnonzero(hit).tolist():
                         k, a = keys[i], int(arr[i])
-                        if a >= live_arr[k]:
+                        prev = live_arr.get(k)  # None: legacy-stamped key
+                        if prev is None or a >= prev:
                             n_retract += 1
                             live_seq[k] = int(seqs[i])
                             live_arr[k] = a
@@ -277,6 +280,11 @@ class Bm25PartitionStore:
 
     def _ingest_tail(self, table: pa.Table, conv, ts, fresh, seqs,
                      n_late: int) -> dict:
+        if "__arr" in table.column_names:
+            # arbitration state lives in live_arr; dropping the stamp
+            # keeps one schema across stamped/legacy batches (freeze
+            # concatenates the buffer) and shrinks stored segments
+            table = table.drop_columns(["__arr"])
         table = table.append_column("__seq", pa.array(seqs, pa.int64()))
 
         # session-window maintenance: merge each turn into the conv's

@@ -888,3 +888,51 @@ def test_checkpoint_segments_compressed_with_legacy_fallback(
         assert got == want
     finally:
         eng2.shutdown()
+
+
+def test_mixed_legacy_then_stamped_upsert_counts():
+    """A key first ingested WITHOUT a router __arr stamp must still be
+    superseded (retraction counted, old copy invisible) when the same key
+    later arrives stamped — the ingest fast path probes live_seq, which
+    is a superset of live_arr (round-4 regression guard)."""
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming.state_store import Bm25PartitionStore
+
+    cls = Bm25PartitionStore.__ray_actor_class__
+    s = cls(0, pickle.dumps(transcripts_schema()), mutable_rows=1000)
+
+    def tbl(texts, arr=None):
+        n = len(texts)
+        t = pa.table({
+            "conv_id": pa.array(["c"] * n),
+            "turn_idx": pa.array(list(range(n)), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                           pa.timestamp("us"))})
+        if arr is not None:
+            t = t.append_column("__arr", pa.array(arr, pa.int64()))
+        return t
+
+    s.ingest(tbl(["old zero", "old one"]))            # legacy, no stamp
+    assert s.metrics_["retractions"] == 0
+    s.ingest(tbl(["new zero", "new one"], arr=[10, 11]))  # stamped upsert
+    assert s.metrics_["retractions"] == 2
+    assert s.n_dead == 2
+    # visible copies are the stamped ones
+    s._freeze()
+    cols = ["conv_id", "turn_idx", "text", "__seq"]
+    vis = s._visible_only(pa.concat_tables(
+        [seg.table.select(cols) for seg in s.sealed]).combine_chunks())
+    texts = sorted(vis.column("text").to_pylist())
+    assert texts == ["new one", "new zero"]
+    # a stale stamped arrival is dead on arrival
+    s.ingest(tbl(["stale zero", "stale one"], arr=[5, 6]))
+    assert s.n_dead == 4
+    assert s.metrics_["retractions"] == 2
