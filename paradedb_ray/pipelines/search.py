@@ -22,10 +22,12 @@ from paradedb_ray.stages.search_stages import BatchScorer, compute_global_stats
 
 
 @ray.remote
-def _block_stats_leaf(tbl):
-    """Merge one packet block's pickled stats partials into a single
+def _block_stats_leaf(*tabs):
+    """Merge packet blocks' pickled stats partials into a single
     tree-reduce leaf (bytes only — candidate rows never leave the block
-    and never travel to the driver)."""
+    and never travel to the driver).  Accepts a CHUNK of blocks so the
+    task count tracks cluster CPUs, not block count (stats merge is
+    associative, so chunk layout is result-invariant)."""
     import pickle
 
     import pyarrow as pa
@@ -33,15 +35,37 @@ def _block_stats_leaf(tbl):
     from paradedb_ray.index.searcher import GlobalStats
 
     g = GlobalStats()
-    for b in tbl.column("partial").to_pylist():
-        g.merge(pickle.loads(b))
+    for tbl in tabs:
+        for b in tbl.column("partial").to_pylist():
+            g.merge(pickle.loads(b))
     return pa.table({"partial": pa.array([pickle.dumps(g)], pa.binary())})
 
 
 @ray.remote
-def _apply_block(fn, tbl):
-    """Run a table->table stage callable on one materialized block."""
+def _apply_block(fn, *tabs):
+    """Run a table->table stage callable on a chunk of materialized
+    blocks.  PacketScorer iterates packet ROWS, so concatenating chunk
+    blocks scores each original block's mini-segment independently —
+    rows identical to per-block tasks, just fewer task submissions."""
+    import pyarrow as pa
+
+    tbl = tabs[0] if len(tabs) == 1 else pa.concat_tables(
+        tabs, promote_options="default")
     return fn(tbl)
+
+
+def _chunk_refs(refs: list) -> list:
+    """Group block refs so raw-task count is O(CPUs), not O(blocks).
+
+    At the 100-TB design point a corpus pass yields 10^5-10^6 packet
+    blocks; one raw task per block puts a serial ~1 ms submission +
+    scheduling floor per block on the driver (the round-4 microbench:
+    2048 blocks cost 9.95 s of which the per-block task floor was the
+    growth term).  Chunking to ~4 tasks per CPU keeps every core busy
+    while the submission count stays flat in block count."""
+    target = 4 * int(ray.cluster_resources().get("CPU", 32))
+    group = max(1, -(-len(refs) // max(1, target)))
+    return [refs[i:i + group] for i in range(0, len(refs), group)]
 
 
 @ray.remote
@@ -318,9 +342,9 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
     # (integer sums: associative, bit-identical to a flat loop) — at the
     # 10^5-10^6 block counts of the 100-TB design point a serial driver
     # loop here would be the bottleneck.
-    refs = packets.to_arrow_refs()
+    chunks = _chunk_refs(packets.to_arrow_refs())
     stats = reduce_stats_partials(
-        [_block_stats_leaf.remote(r) for r in refs])
+        [_block_stats_leaf.remote(*ch) for ch in chunks])
 
     out_schema = _result_schema(_arrow_schema(ds), output_columns,
                                 with_score, query_id=query_id)
@@ -329,7 +353,10 @@ def _single_scan_scored(ds, schema: IndexSchema, queries: dict,
                           sort_keys=list(order_by or []),
                           output_columns=output_columns,
                           query_id=query_id)
-    scored_refs = [_apply_block.remote(scorer, r) for r in refs]
+    # ray.put once: the scorer carries the full global stats — inlining
+    # it re-serializes per task submission
+    scorer_ref = ray.put(scorer)
+    scored_refs = [_apply_block.remote(scorer_ref, *ch) for ch in chunks]
     return ray.data.from_arrow_refs(scored_refs), out_schema
 
 

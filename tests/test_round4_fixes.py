@@ -345,3 +345,18 @@ def test_multi_query_rest_stats_tree_reduce_block_invariance(ray_session):
     sa = np.array([r["score"] for r in a], dtype=np.float32)
     sb = np.array([r["score"] for r in b], dtype=np.float32)
     assert sa.tobytes() == sb.tobytes()
+
+
+def test_chunk_refs_tracks_cpus_not_blocks(ray_session):
+    # At high block counts the packet path groups refs so raw-task count
+    # is O(CPUs); at low counts it stays one-ref-per-chunk (no behavior
+    # change at test scale).
+    from paradedb_ray.pipelines.search import _chunk_refs
+
+    target = 4 * int(ray.cluster_resources().get("CPU", 32))
+    refs = list(range(8))
+    assert _chunk_refs(refs) == [[r] for r in refs]
+    refs = list(range(10 * target + 3))
+    chunks = _chunk_refs(refs)
+    assert len(chunks) <= target + 1
+    assert [x for ch in chunks for x in ch] == refs
