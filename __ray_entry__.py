@@ -1138,6 +1138,24 @@ def _q_knn_ivf(sf):
         ["query_id", "vec_id"])
 
 
+def _q_knn_ivf_exact(sf):
+    """IVF in the exhaustive-probe limit: ``nprobe == n_clusters`` probes
+    every cell, so the centroid routing prunes nothing and the scan is
+    mathematically brute-force cosine — which makes the IVF
+    assign/probe/scan path ORACLE-checkable (exact top-k in DuckDB).
+    ``knn_ivf`` keeps the approximate nprobe<n_clusters configuration
+    (rows-only by design)."""
+    from paradedb_ray.pipelines.knn import knn_ivf
+
+    import numpy as np
+
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, "embedding", "vec_id", _knn_queries(sf), k=10,
+                   n_clusters=8, nprobe=8,
+                   dtype=np.float64).select_columns(
+        ["query_id", "vec_id"])
+
+
 def _emb_schema(metric):
     from paradedb_ray.schema import IndexSchema
 
@@ -1311,14 +1329,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- pipeline/oracle changed in round 4 ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
         "langid": _q_langid,  # new exact oracle
-        "dedup_embedding": _q_dedup_embedding,
+        "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
         # ---- entries past the driver window (driver-green in r3;
         # re-verified locally at both SFs each round) ----
+        # knn_ivf_exact is NEW in round 4 (IVF at nprobe==n_clusters is
+        # exactly brute force, making the IVF path oracle-checkable) and
+        # dedup_embedding's r4 attach-join rework is pinned bit-identical
+        # by tests over its r3 driver-green oracle; the window is full
+        # with the r4 rotation, so both lead the r5 window
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "dedup_embedding": _q_dedup_embedding,
         "is_null": _q_is_null,
         "multimodal_png": _q_multimodal_png,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "knn_ivf": _q_knn_ivf,
@@ -1365,6 +1389,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOKS = "string_split(text, ' ')"
+
+
+def _fingerprint_sql() -> str:
+    """Exact SQL for ``rolling_fingerprint`` (window=8): token hash is
+    the low 60 bits of md5; the window polynomial runs in HUGEINT mod
+    2^61-1 so every product is exact."""
+    B, M = 1_000_003, (1 << 61) - 1
+    pw = ",".join(f"({d}, CAST('{pow(B, d, M)}' AS HUGEINT))"
+                  for d in range(8))
+    return (
+        "WITH th AS ("
+        " SELECT doc_id, unnest(string_split(text, ' ')) AS t,"
+        "  generate_subscripts(string_split(text, ' '), 1) - 1 AS i"
+        " FROM documents), h AS ("
+        " SELECT doc_id, i, CAST(CAST(concat('0x', substr(md5(t), 1, 15))"
+        "  AS BIGINT) AS HUGEINT) AS h FROM th),"
+        " nn AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),"
+        f" pw(d, p) AS (VALUES {pw}),"
+        " win AS ("
+        "  SELECT a.doc_id, a.i,"
+        f"  CAST(SUM(b.h * pw.p) % CAST('{M}' AS HUGEINT) AS BIGINT) AS wh"
+        "  FROM h a JOIN h b ON b.doc_id = a.doc_id"
+        "   AND b.i BETWEEN a.i - 7 AND a.i"
+        "  JOIN pw ON pw.d = a.i - b.i"
+        "  JOIN nn ON nn.doc_id = a.doc_id"
+        "  WHERE a.i >= 7 OR a.i = nn.n - 1"
+        "  GROUP BY a.doc_id, a.i)"
+        " SELECT doc_id, MIN(wh) AS fingerprint FROM win GROUP BY doc_id")
 
 
 def _langid_sql() -> str:
@@ -1705,6 +1757,13 @@ def oracle_sql() -> dict[str, str]:
             " JOIN sz s1 ON s1.doc_id = i.d1 JOIN sz s2 ON s2.doc_id = i.d2"
             " WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.5",
         "langid": _langid_sql(),
+        # rolling_fingerprint reproduced in SQL: token hash = low 60 bits
+        # of md5 (functions/text_analysis.py::hash_token), window hash =
+        # sum h_j * B^(i-j) mod M over the 8-token window ending at i
+        # (HUGEINT keeps h*B^d < 2^122 exact), fingerprint = min over
+        # complete windows (or the whole-doc polynomial when n <= 8,
+        # which IS the window anchored at i = n-1)
+        "fingerprint": _fingerprint_sql(),
         "token_count":
             f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
         "quality":
@@ -1716,6 +1775,15 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(generate_subscripts({_TOKS}, 1) - 1 AS INTEGER) AS position"
             " FROM documents WHERE doc_id < 50",
         "knn_brute":
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+            " WHERE vec_id < 2)"
+            " SELECT CAST(qid AS INTEGER) AS query_id, e.vec_id FROM embeddings e"
+            " CROSS JOIN q QUALIFY row_number() OVER (PARTITION BY qid"
+            " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id)"
+            " <= 10",
+        # nprobe == n_clusters probes every IVF cell: the result is exact
+        # brute-force cosine top-k, so the brute oracle applies verbatim
+        "knn_ivf_exact":
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
             " WHERE vec_id < 2)"
             " SELECT CAST(qid AS INTEGER) AS query_id, e.vec_id FROM embeddings e"

@@ -202,10 +202,14 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
 
 
 def hash_token(t: str) -> int:
+    """60 low-order bits of md5 (< 2^60 < _M, so no reduction needed).
+
+    md5 rather than blake2b so the whole fingerprint is reproducible in
+    ANSI-ish SQL: DuckDB's ``md5(t)`` + HUGEINT modular arithmetic
+    reproduces every value bit-exactly (the ``fingerprint`` oracle)."""
     import hashlib
 
-    return int.from_bytes(
-        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % _M
+    return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
 
 
 def _fingerprint_from_hashes(hs: list, window: int) -> int:

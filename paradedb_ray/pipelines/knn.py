@@ -140,11 +140,16 @@ def knn_ivf(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_size: int = 10_000,
+    dtype=np.float32,
 ) -> ray.data.Dataset:
     """IVF-bucketed cosine ANN: centroids from a driver-side sample (once),
     batches prune rows whose nearest centroid is not among each query's
-    ``nprobe`` probed cells, then brute-force within the survivors."""
-    q = np.asarray(queries, dtype=np.float32)
+    ``nprobe`` probed cells, then brute-force within the survivors.
+
+    With ``nprobe == n_clusters`` every cell is probed and the result is
+    exactly brute-force cosine top-k (``dtype=np.float64`` matches a
+    float64 SQL oracle's ordering, mirroring ``knn_brute``)."""
+    q = np.asarray(queries, dtype=dtype)
     if q.ndim == 1:
         q = q[None, :]
     sample = ds.limit(sample_size).to_pandas()
@@ -163,7 +168,7 @@ def knn_ivf(
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, emb_col))
+            m = _normalize(_batch_matrix(batch, emb_col).astype(dtype))
             assign = (m @ self.cent.T).argmax(1)
             keys = batch.column(key_col).to_numpy(zero_copy_only=False)
             out_q, out_key, out_score = [], [], []
