@@ -290,12 +290,15 @@ def _hmm_cut(buf: str) -> list:
     return out
 
 
-def cut(text: str) -> list:
+def cut(text: str, hmm: bool = True) -> list:
     """jieba's DAG + max-log-probability route over the bundled dict.
     Returns ``(word, start, end)`` triples covering ``text``; runs of
     consecutive single-character pieces that do not themselves form a
     dictionary word re-group through the finalseg-style BMES Viterbi
-    above (jieba's HMM OOV path)."""
+    above (jieba's HMM OOV path).  ``hmm=False`` emits out-of-vocabulary
+    characters singly (jieba's ``cut(HMM=False)``; also the behavior of
+    dictionary-lattice segmenters like lindera, whose unknown-word
+    handling has no name-grouping model)."""
     n = len(text)
     if n == 0:
         return []
@@ -322,6 +325,9 @@ def cut(text: str) -> list:
             return
         if len(buf) == 1 or buf in WORD_FREQ:
             out.append((buf, at, at + len(buf)))
+            return
+        if not hmm:
+            out.extend((c, at + j, at + j + 1) for j, c in enumerate(buf))
             return
         pos = at
         for w in _hmm_cut(buf):

@@ -411,11 +411,51 @@ class IcuTokenizer(Tokenizer):
                 if not m.group().isspace() and m.group() != "_"]
 
 
+# Korean case particles (josa) — a CLOSED grammatical class, so the
+# split below is dictionary-free public grammar, not a fitted list.
+# lindera's ko-dic analysis separates noun + particle the same way
+# (ref `tokenizers/src/lindera.rs:156` ko-dic morphological lattice).
+_KO_JOSA_2 = frozenset((
+    "에서", "부터", "까지", "으로", "에게", "한테", "께서", "이나",
+    "이랑", "처럼", "보다", "하고", "라고", "마저", "조차", "밖에",
+))
+_KO_JOSA_1 = frozenset("가이은는을를에의와과도만로나랑")
+# Japanese case/topic particles (joshi) — likewise a closed class.
+# Verb-inflection kana (さ/れ/ま/す/...) are deliberately NOT listed so
+# conjugation runs keep the bigram fallback.
+_JA_JOSHI = frozenset("はがをにでとのもへやかねよぞぜ")
+
+_HIRA_RE = re.compile(r"[぀-ゟ]+")
+_KATA_RE = re.compile(r"[゠-ヿ]+")
+_HAN_RE_ONE = re.compile(r"[一-鿿㐀-䶿]")
+_HANGUL_RE_ONE = re.compile(r"[가-힯]")
+
+
 class LinderaTokenizer(CjkBigramTokenizer):
     """``pdb.chinese_lindera`` / ``japanese_lindera`` / ``korean_lindera``:
-    morphological segmentation needs the lindera dictionaries (no Python
-    binding in this container); fallback = CJK bigrams (Han/kana) with
-    hangul/Latin runs as whole tokens."""
+    real lindera morphological segmentation needs the embedded
+    cc-cedict/ipadic/ko-dic dictionaries (ref
+    `tokenizers/src/lindera.rs:135-156`; no Python binding in this
+    container).  The fallback approximates each dictionary's observable
+    segmentation with public, closed-class grammar:
+
+    * **chinese**: dictionary-lattice cut over the bundled word table
+      (`text/cjk_dict.py`) with OOV characters emitted singly —
+      jieba's ``cut(HMM=False)``, which is also how a cc-cedict lattice
+      treats unknown runs (no name-grouping model).
+    * **japanese**: Han runs bigram; a hiragana run following a
+      single-kanji stem splits at the first particle (joshi, closed
+      class) — the ≤2-char non-particle prefix is okurigana and attaches
+      to the stem (祭+りが → 祭り + が), matching ipadic's
+      kanji+okurigana lexeme boundaries for the dominant 1-kanji case.
+    * **korean**: hangul runs (space-delimited eojeol) split a trailing
+      case particle (josa, closed class) off the stem (축제가 → 축제 +
+      가), matching ko-dic's noun+particle analysis.
+
+    Both the index and query sides run the same rules, so matching is
+    self-consistent; behavioral parity with the reference's
+    `tests/tests/lindera.rs` goldens is pinned in
+    `tests/test_lindera_icu_conformance.py`."""
 
     name = "lindera"
 
@@ -423,6 +463,93 @@ class LinderaTokenizer(CjkBigramTokenizer):
                  filters: Optional[dict] = None):
         super().__init__(filters)
         self.language = language
+
+    def _korean_run(self, run: str, s: int):
+        n = len(run)
+        if n >= 3 and run[-2:] in _KO_JOSA_2:
+            return [(run[:-2], s, s + n - 2), (run[-2:], s + n - 2, s + n)]
+        if n >= 2 and run[-1] in _KO_JOSA_1:
+            return [(run[:-1], s, s + n - 1), (run[-1], s + n - 1, s + n)]
+        return [(run, s, s + n)]
+
+    def _bigram_run(self, run: str, s: int):
+        if len(run) == 1:
+            return [(run, s, s + 1)]
+        return [(run[i:i + 2], s + i, s + i + 2)
+                for i in range(len(run) - 1)]
+
+    def _japanese_hira(self, run: str, s: int, out: list, prev_end: int):
+        """Hiragana subrun: okurigana attachment + particle splitting."""
+        # okurigana prefix = chars before the first particle
+        p = 0
+        while p < len(run) and run[p] not in _JA_JOSHI:
+            p += 1
+        attached = False
+        if (0 < p <= 2 and out and out[-1][2] == prev_end == s
+                and len(out[-1][0]) == 1 and _HAN_RE_ONE.match(out[-1][0])):
+            stem = out[-1]
+            out[-1] = (stem[0] + run[:p], stem[1], s + p)
+            attached = True
+        i = p if attached else 0
+        # leading particles emit singly; the remainder keeps the bigram
+        # fallback (verb inflections etc.)
+        while i < len(run) and run[i] in _JA_JOSHI:
+            out.append((run[i], s + i, s + i + 1))
+            i += 1
+        if i < len(run):
+            out.extend(self._bigram_run(run[i:], s + i))
+
+    def _segments(self, text: str):
+        lang = self.language
+        if lang == "chinese":
+            from paradedb_ray.text import cjk_dict
+
+            out = []
+            for m in _CJK_RUN_RE.finditer(text):
+                run, s = m.group(), m.start()
+                if _HAN_RE_ONE.match(run):
+                    out.extend((w, s + ws, s + we)
+                               for w, ws, we in cjk_dict.cut(run, hmm=False))
+                elif self._CJK_ONE.match(run):
+                    out.extend(self._bigram_run(run, s))
+                else:
+                    out.append((run, s, m.end()))
+            return out
+        if lang == "korean":
+            out = []
+            for m in _CJK_RUN_RE.finditer(text):
+                run, s = m.group(), m.start()
+                if _HANGUL_RE_ONE.match(run):
+                    out.extend(self._korean_run(run, s))
+                elif self._CJK_ONE.match(run):
+                    out.extend(self._bigram_run(run, s))
+                else:
+                    out.append((run, s, m.end()))
+            return out
+        if lang == "japanese":
+            out = []
+            prev_end = -1
+            for m in _CJK_RUN_RE.finditer(text):
+                run, s = m.group(), m.start()
+                if _HAN_RE_ONE.match(run) or _HANGUL_RE_ONE.match(run):
+                    out.extend(self._bigram_run(run, s))
+                elif self._CJK_ONE.match(run):
+                    # the kana run may mix hiragana and katakana:
+                    # katakana subruns bigram, hiragana subruns get the
+                    # okurigana/particle treatment
+                    pe = prev_end
+                    for hm in re.finditer(r"[぀-ゟ]+|[゠-ヿ]+", run):
+                        sub, ss = hm.group(), s + hm.start()
+                        if _HIRA_RE.match(sub):
+                            self._japanese_hira(sub, ss, out, pe)
+                        else:
+                            out.extend(self._bigram_run(sub, ss))
+                        pe = ss + len(sub)
+                else:
+                    out.append((run, s, m.end()))
+                prev_end = m.end()
+            return out
+        return super()._segments(text)
 
 
 class SourceCodeTokenizer(Tokenizer):
