@@ -1156,6 +1156,30 @@ def _q_knn_ivf_exact(sf):
         ["query_id", "vec_id"])
 
 
+def _q_knn_ivf_partitioned(sf):
+    """IVF SCALE path (`pipelines/knn.py::ivf_build`): materialize a
+    centroid-partitioned parquet layout once per sf under /tmp, then
+    answer probes by reading ONLY the probed cells' directories (hive
+    partition pruning at the read).  nprobe == n_clusters probes every
+    cell, so the result is exact brute-force cosine — same oracle as
+    ``knn_ivf_exact``."""
+    import os
+
+    import numpy as np
+
+    from paradedb_ray.pipelines.knn import ivf_build, knn_ivf_partitioned
+
+    emb = _tbl(sf, "embeddings", columns=["vec_id", "embedding"])
+    tag = sf.strip("/").replace("/", "_")
+    out = os.path.join("/tmp", f"paradedb_ray_ivf_{tag}")
+    if not os.path.exists(os.path.join(out, "_ivf_centroids.parquet")):
+        ivf_build(emb, "embedding", out, n_clusters=8)
+    return knn_ivf_partitioned(out, "embedding", "vec_id",
+                               _knn_queries(sf), k=10, nprobe=8,
+                               dtype=np.float64).select_columns(
+        ["query_id", "vec_id"])
+
+
 def _emb_schema(metric):
     from paradedb_ray.schema import IndexSchema
 
@@ -1338,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests over its r3 driver-green oracle; the window is full
         # with the r4 rotation, so both lead the r5 window
         "knn_ivf_exact": _q_knn_ivf_exact,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "dedup_embedding": _q_dedup_embedding,
         "is_null": _q_is_null,
         "multimodal_png": _q_multimodal_png,
@@ -1784,6 +1809,13 @@ def oracle_sql() -> dict[str, str]:
         # nprobe == n_clusters probes every IVF cell: the result is exact
         # brute-force cosine top-k, so the brute oracle applies verbatim
         "knn_ivf_exact":
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+            " WHERE vec_id < 2)"
+            " SELECT CAST(qid AS INTEGER) AS query_id, e.vec_id FROM embeddings e"
+            " CROSS JOIN q QUALIFY row_number() OVER (PARTITION BY qid"
+            " ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id)"
+            " <= 10",
+        "knn_ivf_partitioned":
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
             " WHERE vec_id < 2)"
             " SELECT CAST(qid AS INTEGER) AS query_id, e.vec_id FROM embeddings e"

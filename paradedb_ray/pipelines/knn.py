@@ -214,6 +214,141 @@ def knn_ivf(
 
 
 # ---------------------------------------------------------------------------
+# IVF scale path: centroid-PARTITIONED parquet layout — a probe reads
+# only its cells' files (partition pruning at the READ), where knn_ivf
+# scans every block and masks per batch.  At 100 TB with nprobe/nlist =
+# 1/16 this is a 16x I/O cut before any compute runs.
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    emb_col: str,
+    out_dir: str,
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+) -> np.ndarray:
+    """Materialize an IVF-partitioned layout: train centroids on a
+    driver-side sample (identical to ``knn_ivf``), tag every row with
+    its nearest cell, and write hive-partitioned parquet (one directory
+    per ``__ivf_cell``).  Centroids persist inside ``out_dir`` as
+    ``_ivf_centroids.parquet`` (the ``_`` prefix keeps dataset
+    discovery from reading it as data).  Returns the centroid matrix."""
+    import pyarrow.parquet as pq
+
+    sample = ds.limit(sample_size).to_pandas()
+    xs = np.stack(sample[emb_col].to_numpy())
+    cent = _normalize(_kmeans(_normalize(xs.astype(np.float32)), n_clusters))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        cells = (m @ c.T).argmax(1).astype(np.int32)
+        return batch.append_column("__ivf_cell", pa.array(cells))
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=None
+                   ).write_parquet(out_dir, partition_cols=["__ivf_cell"])
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(cent)), pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in cent],
+                                       pa.list_(pa.float32()))}),
+        f"{out_dir}/_ivf_centroids.parquet")
+    return cent
+
+
+def knn_ivf_partitioned(
+    index_dir: str,
+    emb_col: str,
+    key_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    dtype=np.float32,
+) -> ray.data.Dataset:
+    """Query an ``ivf_build`` layout: rank cells per query against the
+    persisted centroids, then ``read_parquet`` ONLY the probed cells'
+    directories (hive partition pruning — unprobed files never leave
+    storage) and brute-force within them.  Same centroids + nprobe as
+    ``knn_ivf`` produce identical results (pinned in
+    ``tests/test_round4_fixes.py``)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.datasource.partitioning import Partitioning
+
+    ct = pq.read_table(f"{index_dir}/_ivf_centroids.parquet")
+    order = pc.sort_indices(ct.column("cell"))
+    cent = np.stack([np.asarray(v, np.float32)
+                     for v in ct.take(order).column("centroid").to_pylist()])
+    q = np.asarray(queries, dtype=dtype)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = _normalize(q)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cells = {int(c) for row in probe for c in row}
+    # partition pruning: the filter runs on PATHS during discovery, so
+    # unprobed cells' files are never opened, let alone read
+    from ray.data.datasource import PathPartitionFilter
+
+    ds = ray.data.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(
+            # unpartitioned paths (the _ivf_centroids sidecar) parse to
+            # {}: excluded here along with unprobed cells
+            lambda d: "__ivf_cell" in d and int(d["__ivf_cell"]) in cells,
+            base_dir=index_dir),
+        partitioning=Partitioning("hive", base_dir=index_dir))
+    q_ref = ray.put(qn)
+    probe_ref = ray.put(probe)
+
+    class CellScorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col).astype(dtype))
+            cell = batch.column("__ivf_cell").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            out_q, out_key, out_score = [], [], []
+            for qi in range(len(self.q)):
+                mask = np.isin(cell, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.q[qi]
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                sel = np.flatnonzero(mask)[idx]
+                out_q.extend([qi] * kk)
+                out_key.extend(keys[sel].tolist())
+                out_score.extend(sims[idx].astype(np.float32).tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int32()),
+                key_col: pa.array(out_key),
+                "score": pa.array(out_score, pa.float32()),
+            })
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    scored = ds.map_batches(CellScorer, batch_format="pyarrow",
+                            batch_size=None, concurrency=(1, max(2, cpus)))
+
+    import pandas as pd
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True])
+        return df.groupby("query_id", sort=True).head(k).reset_index(
+            drop=True)
+
+    return scored.repartition(1).map_batches(topk, batch_format="pandas",
+                                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # filtered vector search: search predicate + distance ORDER BY ... LIMIT k
 # ---------------------------------------------------------------------------
 

