@@ -453,3 +453,62 @@ def test_audio_feature_stage(ray_session):
     assert out["rms"][0] > 5000 and out["rms"][1] == 0.0
     assert 0.02 < out["zcr"][0] < 0.05  # sin(0.1t): ~1 crossing / 31 samples
     assert np.isnan(out["rms"][2])  # non-WAV row -> nulls
+
+
+def test_fingerprint_sql_oracle_matches_python():
+    # the fingerprint entry's DuckDB oracle (HUGEINT window polynomial
+    # mod 2^61-1 over md5-low-60-bit token hashes) must equal
+    # rolling_fingerprint bit-exactly on any corpus, not just the
+    # fixture: fuzz token counts around the window boundary (1..20),
+    # unicode tokens, repeated tokens
+    import random
+
+    import duckdb
+
+    from paradedb_ray.functions.text_analysis import rolling_fingerprint
+
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "δέλτα", "ε", "zêta", "京", "x1",
+             "longtokenlongtoken", "Q"]
+    texts = [" ".join(rng.choice(words)
+                      for _ in range(rng.randrange(1, 21)))
+             for _ in range(200)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (SELECT "
+                "unnest(range(200)) AS doc_id, unnest($1) AS text)",
+                [texts])
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sql = m.oracle_sql()["fingerprint"]
+    got = dict(con.execute(sql).fetchall())
+    want = {i: rolling_fingerprint(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def test_knn_ivf_exhaustive_probe_equals_brute(ray_session):
+    # nprobe == n_clusters must be EXACTLY brute force (the basis of the
+    # knn_ivf_exact / knn_ivf_partitioned oracles)
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from paradedb_ray.pipelines.knn import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((500, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(500), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float32(), 8))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    q = vecs[:2]
+    a = knn_ivf(ds, "embedding", "vec_id", q, k=7, n_clusters=4, nprobe=4,
+                dtype=np.float64).take_all()
+    b = knn_brute(ds, "embedding", "vec_id", q, k=7,
+                  dtype=np.float64).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
