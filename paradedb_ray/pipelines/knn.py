@@ -78,6 +78,35 @@ class _BruteScorer:
         })
 
 
+
+def _merge_topk(scored: ray.data.Dataset, key_col: str,
+                k: int) -> ray.data.Dataset:
+    """Global per-query top-k over per-block partials.
+
+    Per-block outputs are already <= k rows per query, so a groupby-head
+    over the concatenated partials beats Ray's all-to-all sort shuffle —
+    and at high block counts a chunked level-1 keep (O(CPUs) raw tasks,
+    each chunk's per-query head is a superset of its contribution to the
+    global head) bounds the final merge to <= chunks x k x |queries|
+    rows instead of blocks x k x |queries|."""
+    from paradedb_ray.pipelines.search import _chunk_refs, _merge_blocks
+
+    def topk_tbl(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True])
+        out = df.groupby("query_id", sort=True).head(k).reset_index(
+            drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).cast(t.schema)
+
+    refs = scored.to_arrow_refs()
+    chunks = _chunk_refs(refs)
+    if len(chunks) < len(refs):
+        refs = [_merge_blocks.remote(topk_tbl, *ch) for ch in chunks]
+    return ray.data.from_arrow_refs([_merge_blocks.remote(topk_tbl, *refs)])
+
+
 def knn_brute(
     ds: ray.data.Dataset,
     emb_col: str,
@@ -98,18 +127,7 @@ def knn_brute(
         batch_format="pyarrow", batch_size=None,
     )
 
-    import pandas as pd
-
-    # per-block outputs are already <= k rows per query: one tiny block
-    # suffices — a vectorized groupby-head beats Ray's all-to-all shuffle
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True])
-        return df.groupby("query_id", sort=True).head(k).reset_index(
-            drop=True)
-
-    return scored.repartition(1).map_batches(topk, batch_format="pandas",
-                                             batch_size=None)
+    return _merge_topk(scored, key_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -199,18 +217,7 @@ def knn_ivf(
     scored = ds.map_batches(IvfScorer, batch_format="pyarrow",
                             batch_size=None, concurrency=(1, max(2, cpus)))
 
-    import pandas as pd
-
-    # per-block outputs are already <= k rows per query: one tiny block
-    # suffices — a vectorized groupby-head beats Ray's all-to-all shuffle
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True])
-        return df.groupby("query_id", sort=True).head(k).reset_index(
-            drop=True)
-
-    return scored.repartition(1).map_batches(topk, batch_format="pandas",
-                                             batch_size=None)
+    return _merge_topk(scored, key_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -336,16 +343,7 @@ def knn_ivf_partitioned(
     scored = ds.map_batches(CellScorer, batch_format="pyarrow",
                             batch_size=None, concurrency=(1, max(2, cpus)))
 
-    import pandas as pd
-
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True])
-        return df.groupby("query_id", sort=True).head(k).reset_index(
-            drop=True)
-
-    return scored.repartition(1).map_batches(topk, batch_format="pandas",
-                                             batch_size=None)
+    return _merge_topk(scored, key_col, k)
 
 
 # ---------------------------------------------------------------------------

@@ -419,19 +419,32 @@ def search_topk(
 
     from paradedb_ray.stages.search_stages import expand_nulls_keys
 
-    def merge_rank(b: pa.Table) -> pa.Table:
+    def _ranked(b: pa.Table, head: int, skip: int = 0) -> pa.Table:
         import pyarrow.compute as pc2
 
         b, keys, helpers = expand_nulls_keys(b, order_by)
         idx = pc2.sort_indices(b, sort_keys=keys)
-        b = b.take(idx.slice(offset, limit))
+        b = b.take(idx.slice(skip, head))
         return b.drop_columns(helpers) if helpers else b
 
-    return _anchor_empty(
-        scored.repartition(1).map_batches(merge_rank,
-                                          batch_format="pyarrow",
-                                          batch_size=None),
-        out_schema)
+    def merge_rank(b: pa.Table) -> pa.Table:
+        return _ranked(b, limit, offset)
+
+    def keep_rank(b: pa.Table) -> pa.Table:
+        # level-1 keep: every globally-top offset+limit row is within
+        # its chunk's top offset+limit, so the final merge is unchanged
+        return _ranked(b, offset + limit)
+
+    # at high block counts limit x blocks rows into ONE merge block is
+    # itself a growth term: chunk to O(CPUs) level-1 keeps first
+    refs = scored.to_arrow_refs()
+    empty_ref = ray.put(out_schema.empty_table())
+    chunks = _chunk_refs(refs)
+    if len(chunks) < len(refs):
+        refs = [_merge_blocks.remote(keep_rank, empty_ref, *ch)
+                for ch in chunks]
+    merged = _merge_blocks.remote(merge_rank, empty_ref, *refs)
+    return ray.data.from_arrow_refs([merged])
 
 
 def search_topk_multi(
