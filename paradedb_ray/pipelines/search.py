@@ -776,6 +776,6 @@ def search_count(
         hits = Searcher(seg, schema, stats).eval(query)
         return pa.table({"n": pa.array([len(hits)], pa.int64())})
 
-    rows = ds.map_batches(count_block, batch_format="pyarrow",
-                          batch_size=None).take_all()
-    return int(sum(r["n"] for r in rows))
+    total = ds.map_batches(count_block, batch_format="pyarrow",
+                           batch_size=None).sum("n")
+    return int(total or 0)
