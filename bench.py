@@ -248,6 +248,11 @@ def run_once(num_cpus: int, sf_dir: str, transcripts_only: bool = False) -> dict
     _init_ray(num_cpus)
     path = _transcripts(sf_dir)
     warmup(path, num_cpus)
+    # single-thread spin rate before/after the phases: this host drifts
+    # 2-4x minute-to-minute (BASELINE.md), so the control stamps each
+    # bench line with the window it ran in — compare spin rates, not raw
+    # wall times, across rounds
+    spin_before = _spin(0.25) / 0.25
     queries = {}
     t_all = time.time()
 
@@ -278,6 +283,8 @@ def run_once(num_cpus: int, sf_dir: str, transcripts_only: bool = False) -> dict
         "topk_rows_per_s": round(topk["rows_per_s"], 1),
         **({"streaming_turns_per_s": round(stream["turns_per_s"], 1)}
            if stream else {}),
+        "hw_spin_ops_per_s": {"before": round(spin_before),
+                              "after": round(_spin(0.25) / 0.25)},
     }
 
 
