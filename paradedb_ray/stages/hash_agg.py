@@ -182,6 +182,21 @@ def _agg_final(key_cols: list, specs: list, aggs: dict, *parts) -> pa.Table:
     return pa.table(cols)
 
 
+def _exec_blocks_schema(ds: ray.data.Dataset):
+    """Execute ``ds`` ONCE and return ``(block_refs, schema)``.
+
+    Calling ``ds.schema()`` on a not-yet-executed mapped dataset launches
+    a SEPARATE limit-1 probe execution — recomputing every upstream stage,
+    and the probe's early-termination task cancels can trip a Ray-core
+    cancel-vs-completion race (``task_manager.cc`` check failure) when the
+    blocks are tiny.  Executing first via ``to_arrow_refs`` makes
+    ``schema(fetch_if_missing=False)`` read the cached snapshot for free,
+    and an all-empty-but-typed result still reports its schema."""
+    blocks = _bounded_blocks(ds.to_arrow_refs())
+    sch = ds.schema(fetch_if_missing=False)
+    return blocks, sch
+
+
 def hash_group_aggregate(
     ds: ray.data.Dataset,
     key_cols: list,
@@ -207,13 +222,12 @@ def hash_group_aggregate(
             spec = (col if needs_col else None, fn)
             if spec not in specs:
                 specs.append(spec)
-    sch = ds.schema()
+    blocks, sch = _exec_blocks_schema(ds)
     if sch is None:
         raise ValueError("hash_group_aggregate: input has no schema "
                          "(all-empty dataset) — caller should fall back")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _agg_partial_split.options(num_returns=P if P > 1 else 1)
@@ -291,12 +305,11 @@ def hash_partition_apply(
             cpus = 8
         num_partitions = max(2, min(64, cpus))
     P = num_partitions
-    sch = ds.schema()
+    blocks, sch = _exec_blocks_schema(ds)
     if sch is None:
         raise ValueError("hash_partition_apply: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _rows_split.options(num_returns=P if P > 1 else 1)
@@ -333,12 +346,11 @@ def hash_distinct(
             cpus = 8
         num_partitions = max(2, min(64, cpus))
     P = num_partitions
-    sch = ds.schema()
+    blocks, sch = _exec_blocks_schema(ds)
     if sch is None:
         raise ValueError("hash_distinct: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _distinct_split.options(num_returns=P if P > 1 else 1)
@@ -388,12 +400,11 @@ def hash_distinct_count(
             cpus = 8
         num_partitions = max(2, min(64, cpus))
     P = num_partitions
-    sch = ds.schema()
+    blocks, sch = _exec_blocks_schema(ds)
     if sch is None:
         raise ValueError("hash_distinct_count: input has no schema")
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         blocks = [ray.put(template)]
     split = _distinct_split.options(num_returns=P if P > 1 else 1)
@@ -438,10 +449,9 @@ def grouped_min_count(
             cpus = 8
         num_partitions = max(2, min(64, cpus))
     P = num_partitions
-    sch = ds.schema()
+    blocks, sch = _exec_blocks_schema(ds)
     template = pa.schema(
         [pa.field(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
-    blocks = _bounded_blocks(ds.to_arrow_refs())
     if not blocks:
         empty = pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
                           min_alias: pa.array([], pa.int64()),

@@ -323,10 +323,26 @@ class JiebaTokenizer(CjkBigramTokenizer):
     observable behavior as the reference build: character conversion,
     no Taiwan vocabulary substitution — see golden test 13).  The
     bundled conversion is length-preserving, so token offsets refer to
-    the original text."""
+    the original text.
+
+    Token emission follows jieba's ``cut()`` block structure (the
+    reference wraps ``tantivy_jieba`` over jieba-rs, which mirrors it):
+    ``re_han_default`` blocks are dictionary-cut; everything else is
+    split into ``\\r\\n``/single-whitespace tokens and char-by-char
+    remainders — so WHITESPACE AND PUNCTUATION ARE EMITTED AS TOKENS
+    (`token_trim_filter.out`: {this," ",is," ",a," ",test,.}) and the
+    ``trim=true`` filter is what removes the whitespace ones.  Kana is
+    outside ``re_han_default`` and therefore emits per-character, as
+    real jieba does."""
 
     name = "jieba"
-    _HAN_RE = re.compile(r"[一-鿿㐀-䶿]")
+    #: jieba re_han_default: dictionary-cut blocks
+    _RE_HAN = re.compile(r"[一-鿕a-zA-Z0-9+#&._%\-]+")
+    #: jieba re_skip_default: whitespace tokens inside non-han blocks
+    _RE_SKIP = re.compile(r"\r\n|\s")
+    #: finalseg re_skip: alnum (decimal/percent) runs stay whole
+    _RE_ENG = re.compile(r"[a-zA-Z0-9]+(?:\.\d+)?%?")
+    _HAN_RUN = re.compile(r"[一-鿕]+")
 
     def __init__(self, chinese_convert: Optional[str] = None,
                  filters: Optional[dict] = None):
@@ -356,22 +372,58 @@ class JiebaTokenizer(CjkBigramTokenizer):
             text = cjk_dict.convert(text, self.chinese_convert)
         if self._jieba is not None:  # pragma: no cover
             return [(w, s, e) for w, s, e in self._jieba.tokenize(
-                text, mode="search") if w.strip()]
+                text, mode="search")]
         out = []
-        for m in _CJK_RUN_RE.finditer(text):
-            run, s = m.group(), m.start()
-            if self._HAN_RE.match(run):
-                out.extend((w, s + ws, s + we)
-                           for w, ws, we in cjk_dict.cut_for_search(run))
-            elif self._CJK_ONE.match(run):  # kana: bigram fallback
-                if len(run) == 1:
-                    out.append((run, s, s + 1))
-                else:
-                    out.extend((run[i:i + 2], s + i, s + i + 2)
-                               for i in range(len(run) - 1))
-            else:
-                out.append((run, s, m.end()))
+        pos = 0
+        for m in self._RE_HAN.finditer(text):
+            if m.start() > pos:
+                self._other_block(text[pos:m.start()], pos, out)
+            self._han_block(m.group(), m.start(), out)
+            pos = m.end()
+        if pos < len(text):
+            self._other_block(text[pos:], pos, out)
         return out
+
+    def _han_block(self, blk: str, base: int, out: list) -> None:
+        """A ``re_han_default`` block: Han runs dictionary-cut in search
+        mode (with the BMES Viterbi for OOV runs); the interleaved
+        ascii-ish remainder through the finalseg split (`_eng_piece`)."""
+        from paradedb_ray.text import cjk_dict
+
+        i = 0
+        for m in self._HAN_RUN.finditer(blk):
+            if m.start() > i:
+                self._eng_piece(blk[i:m.start()], base + i, out)
+            out.extend((w, base + m.start() + ws, base + m.start() + we)
+                       for w, ws, we in cjk_dict.cut_for_search(m.group()))
+            i = m.end()
+        if i < len(blk):
+            self._eng_piece(blk[i:], base + i, out)
+
+    def _eng_piece(self, piece: str, base: int, out: list) -> None:
+        """finalseg's non-Han handling: alnum (decimal/percent) runs whole,
+        the chars between them grouped as-is ('test.' -> test, .)."""
+        i = 0
+        for m in self._RE_ENG.finditer(piece):
+            if m.start() > i:
+                out.append((piece[i:m.start()], base + i, base + m.start()))
+            out.append((m.group(), base + m.start(), base + m.end()))
+            i = m.end()
+        if i < len(piece):
+            out.append((piece[i:], base + i, base + len(piece)))
+
+    def _other_block(self, blk: str, base: int, out: list) -> None:
+        """Between-block text: each ``\\r\\n``/whitespace char is its own
+        token; everything else (punctuation, kana, symbols) emits
+        char-by-char — jieba ``cut()``'s non-han branch."""
+        i = 0
+        for m in self._RE_SKIP.finditer(blk):
+            for j in range(i, m.start()):
+                out.append((blk[j], base + j, base + j + 1))
+            out.append((m.group(), base + m.start(), base + m.end()))
+            i = m.end()
+        for j in range(i, len(blk)):
+            out.append((blk[j], base + j, base + j + 1))
 
 
 class IcuTokenizer(Tokenizer):
@@ -575,7 +627,11 @@ class SourceCodeTokenizer(Tokenizer):
 from paradedb_ray.text.stopwords import ENGLISH as ENGLISH_STOPWORDS
 from paradedb_ray.text.stopwords import stopwords_for as _stopwords_for
 
-_ALNUM_ONLY_RE = re.compile(r"^\w+$", re.UNICODE)
+# tantivy AlphaNumOnlyFilter: ASCII alphanumeric ONLY — 'Český' is dropped
+# even though it is Unicode-alphanumeric (`alpha_num_only_filter.out`:
+# plain alpha_num_only=true over Czech text yields {}; only after
+# ascii_folding do the tokens survive).
+_ALNUM_ONLY_RE = re.compile(r"^[a-zA-Z0-9]+$")
 
 
 def _ascii_fold(s: str) -> str:
@@ -623,10 +679,14 @@ class TokenFilterChain:
             for lang in langs:
                 s |= _stopwords_for(lang)
             self.lang_stopwords = frozenset(s)
-        # Precompute whether the chain is a pure per-text transform (fast path)
+        # Precompute whether the chain is a pure per-text transform (fast
+        # path).  trim is a REMOVING filter: tokens that become empty after
+        # whitespace-trimming are dropped (`tokenizers/src/token_trim.rs`,
+        # "After trimming, tokens that become empty are filtered out").
         self._removes = bool(
             self.remove_short or self.remove_long or self.stopwords is not None
             or self.alpha_num_only or self.lang_stopwords is not None
+            or self.trim
         )
 
     def _map_text(self, t: str) -> str:
@@ -676,6 +736,8 @@ class TokenFilterChain:
             if not self._keep_pre(t):
                 continue
             t2 = self._map_text(t)
+            if self.trim and not t2:
+                continue
             if self._keep_post(t2):
                 out.append(t2)
         return out
@@ -686,6 +748,8 @@ class TokenFilterChain:
             if not self._keep_pre(tok.text):
                 continue
             t2 = self._map_text(tok.text)
+            if self.trim and not t2:
+                continue
             if self._keep_post(t2):
                 tok.text = t2
                 out.append(tok)

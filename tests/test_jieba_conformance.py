@@ -100,3 +100,23 @@ def test_t2s_index_queries():  # golden tests 6-11
 def test_s2t_index_queries():  # golden test 12
     seg, s = _searcher("s2t")
     assert _ids(seg, s.eval(pdb.match_disjunction("title", "标题"))) == [1, 2]
+
+
+# --- token_trim_filter.out: jieba whitespace tokens + trim filter ---------
+
+def test_jieba_emits_whitespace_tokens():  # row 1
+    # jieba cut() emits whitespace and punctuation as tokens; only the
+    # trim filter removes the whitespace ones
+    assert _tok("this is a test.") == [
+        "this", " ", "is", " ", "a", " ", "test", "."]
+
+
+def test_trim_removes_whitespace_tokens():  # rows 2-3
+    assert _tok("this is a test.", trim=True) == ["this", "is", "a", "test", "."]
+    assert _tok("   ", trim=True) == []
+
+
+def test_trim_unicode_whitespace():  # rows 4-5 (NBSP, ideographic space)
+    assert _tok("\u00a0foo\u00a0") == ["\u00a0", "foo", "\u00a0"]
+    assert _tok("\u00a0foo\u00a0", trim=True) == ["foo"]
+    assert _tok("\u3000漢字\u3000", trim=True) == ["漢字"]

@@ -190,3 +190,28 @@ def test_tokenizers_listing():
             tokenizer_from_config(cfg)
         except ImportError:
             pass  # dictionary-gated CJK tokenizers may be unavailable
+
+
+def test_alpha_num_only_regress():
+    """Mirror of `alpha_num_only_filter.out` — tantivy AlphaNumOnlyFilter
+    is ASCII-only: Unicode letters are dropped unless ascii_folding (which
+    runs FIRST in the chain) already folded them to ASCII."""
+    def tok(text, type="simple", **cfg):
+        return tokenizer_from_config({"type": type, **cfg}).tokenize(text)
+
+    assert tok("Hello World 123!") == ["hello", "world", "123"]
+    assert tok("Hello World 123!", alpha_num_only=False) == [
+        "hello", "world", "123"]
+    assert tok("Hello World 123!", alpha_num_only=True) == [
+        "hello", "world", "123"]
+    assert tok("Hello World 123!", type="ngram", min_gram=3, max_gram=3) == [
+        "hel", "ell", "llo", "lo ", "o w", " wo", "wor", "orl", "rld",
+        "ld ", "d 1", " 12", "123", "23!"]
+    assert tok("Hello World 123!", type="ngram", min_gram=3, max_gram=3,
+               alpha_num_only=True) == [
+        "hel", "ell", "llo", "wor", "orl", "rld", "123"]
+    czech = "Český člověk žlutý " \
+            "kůň příliš"
+    assert tok(czech, alpha_num_only=True) == []
+    assert tok(czech, alpha_num_only=True, ascii_folding=True) == [
+        "cesky", "clovek", "zluty", "kun", "prilis"]

@@ -3,6 +3,14 @@ sf and compare against oracle_sql() via DuckDB (row count + schema +
 order-insensitive value hash).  Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --chunked [N] [sf_dir]
+
+``--chunked`` runs the entries in chunks of N (default 20) in SEPARATE
+subprocesses (fresh Ray session each), retrying a chunk once if the
+process dies — Ray 2.49's cancel-vs-completion race (task_manager.cc
+check failure) can abort a long single session at tiny SFs, and chunking
+bounds the blast radius to one chunk.  The default single-session mode
+mirrors the driver exactly.
 """
 
 from __future__ import annotations
@@ -51,12 +59,55 @@ def value_hash(df):
     return int(hash_pandas_object(canon(df), index=False).sum())
 
 
+def chunked_main(argv):
+    import re
+    import subprocess
+
+    n = 20
+    rest = []
+    it = iter(argv)
+    for a in it:
+        if a.isdigit():
+            n = int(a)
+        else:
+            rest.append(a)
+    sf = rest[0] if rest else "/root/testdata/sf0.01"
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries().keys())
+    tot_ok = tot_fail = tot_rows = 0
+    for i in range(0, len(names), n):
+        chunk = names[i:i + n]
+        for attempt in (1, 2):
+            p = subprocess.run(
+                [sys.executable, __file__, sf, *chunk],
+                capture_output=True, text=True, timeout=1800)
+            m = re.search(r"(\d+) ok, (\d+) fail, (\d+) rows-only",
+                          p.stdout)
+            if m:
+                print(p.stdout[:p.stdout.rfind("\n\n")])
+                tot_ok += int(m.group(1))
+                tot_fail += int(m.group(2))
+                tot_rows += int(m.group(3))
+                break
+            print(f"chunk {i//n} attempt {attempt} CRASHED "
+                  f"(rc={p.returncode}); tail:\n" +
+                  "\n".join(p.stdout.splitlines()[-3:]))
+        else:
+            tot_fail += len(chunk)
+    print(f"\nTOTAL: {tot_ok} ok, {tot_fail} fail, {tot_rows} rows-only")
+    return 1 if tot_fail else 0
+
+
 def main():
     import duckdb
     import ray
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--chunked":
+        return chunked_main(argv[1:])
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR", log_to_driver=False)
