@@ -851,6 +851,34 @@ def _q_agg_filter_groupby(sf):
         agg_filters={"n_big": flt, "qty_big": flt})
 
 
+def _q_agg_filter_search(sf):
+    """Aggregate FILTER clauses whose predicates are SEARCH queries
+    (`groupby_filter_mixed_buckets.sql`: ``COUNT(*) FILTER (WHERE
+    category @@@ 'electronics')``): ``search_agg_filters`` builds each
+    block's segment ONCE and shares it across every mask, so N search
+    filters cost one tokenize pass — all in the same single aggregate
+    shuffle as the plain comparison filters."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.stages.search_stages import search_agg_filters
+
+    d = _docs(sf, columns=["doc_id", "lang", "text", "n_chars"])
+    flt = search_agg_filters(_doc_schema(), {
+        "n_spark": pdb.term("text", "spark"),
+        "n_vector": pdb.term("text", "vector"),
+        "chars_spark": pdb.term("text", "spark"),
+    })
+    flt["n_long"] = lambda b: pc.greater(b.column("n_chars"), 200)
+    return sql_aggregate(
+        d, ["lang"],
+        {"n_all": ("count_star", None),
+         "n_spark": ("count_star", None),
+         "n_vector": ("count_star", None),
+         "n_long": ("count_star", None),
+         "chars_spark": ("sum", "n_chars")},
+        agg_filters=flt)
+
+
 def _q_collation_order(sf):
     """ORDER BY <text> under an en-US collation (`order_by_collation.sql`
     section 4): the opt-in ``collation=`` sort-key modifier computes a
@@ -1302,7 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver row within the last two rounds.  Everything past 50 was
     # driver-green in r3 and is re-verified locally each round.
     return {
-        # --- no driver row in r3 (45 rotated + 2 new this round) ---
+        # --- no driver row in r3 (45 rotated + new this round) ---
+        "agg_filter_search": _q_agg_filter_search,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "collation_order": _q_collation_order,
         "range_agg": _q_range_agg,
@@ -1353,14 +1382,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- pipeline/oracle changed in round 4 ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
         "langid": _q_langid,  # new exact oracle
-        "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
         # ---- entries past the driver window (driver-green in r3;
         # re-verified locally at both SFs each round) ----
-        # knn_ivf_exact is NEW in round 4 (IVF at nprobe==n_clusters is
-        # exactly brute force, making the IVF path oracle-checkable) and
-        # dedup_embedding's r4 attach-join rework is pinned bit-identical
-        # by tests over its r3 driver-green oracle; the window is full
-        # with the r4 rotation, so both lead the r5 window
+        # agg_filter_search (never driver-checked) displaced fingerprint
+        # (r3 driver row; md5-hash oracle verified locally both SFs) to
+        # slot 51 — fingerprint, knn_ivf_exact (NEW in r4: IVF at
+        # nprobe==n_clusters is exactly brute force, making the IVF path
+        # oracle-checkable) and dedup_embedding (r4 attach-join rework,
+        # pinned bit-identical by tests over its r3 driver-green oracle)
+        # lead the r5 window
+        "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
         "knn_ivf_exact": _q_knn_ivf_exact,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "dedup_embedding": _q_dedup_embedding,
@@ -1711,6 +1742,21 @@ def oracle_sql() -> dict[str, str]:
             " 4 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 29"
             "   AS height"
             " FROM documents",
+        # search-predicate FILTER clauses: the corpus text is
+        # space-separated tokens, so list_contains(string_split(.))
+        # reproduces the default-tokenizer term match exactly (same
+        # convention as the search_* oracles); n_chars is integer so the
+        # FILTERed SUM is bit-exact
+        "agg_filter_search":
+            f"SELECT lang, count(*) AS n_all,"
+            f" count(*) FILTER (WHERE list_contains({_TOKS}, 'spark'))"
+            f"   AS n_spark,"
+            f" count(*) FILTER (WHERE list_contains({_TOKS}, 'vector'))"
+            f"   AS n_vector,"
+            f" count(*) FILTER (WHERE n_chars > 200) AS n_long,"
+            f" CAST(sum(n_chars) FILTER (WHERE list_contains({_TOKS},"
+            f" 'spark')) AS BIGINT) AS chars_spark"
+            f" FROM documents GROUP BY lang",
         # constant-color + all-ones quant makes the JPEG roundtrip
         # bit-exact, so the decoded pixel sum is (r+g+b) * w * h with
         # r,g,b = md5 bytes 2..4 — the oracle predicts the exact output

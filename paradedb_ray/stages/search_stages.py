@@ -456,6 +456,41 @@ class MultiQueryScorer:
         return pa.concat_tables(outs)
 
 
+def search_agg_filters(schema: IndexSchema, queries: dict,
+                       stats: Optional[GlobalStats] = None) -> dict:
+    """``agg_filters``-compatible mask callables for search-predicate
+    FILTER clauses — ``COUNT(*) FILTER (WHERE category @@@ 'electronics')``
+    (`pg_regress/sql/groupby_filter_mixed_buckets.sql`).
+
+    Matching is boolean so no global stats pass is needed (pass ``stats``
+    only for score-dependent clauses).  The batch's segment (tokenization
+    + postings) is built ONCE and shared by every mask through a
+    per-batch memo — the same amortization as ``MultiQueryScorer`` —
+    so twelve FILTER clauses cost one tokenize pass per block."""
+    need_pos = any(needs_positions(q, schema) for q in queries.values())
+    memo: dict = {}
+
+    def _searcher(batch: pa.Table) -> Searcher:
+        # id(batch) is stable while the caller holds the batch across the
+        # mask loop; the memo holds ONE entry so peak memory is one segment
+        if memo.get("key") != id(batch):
+            seg = build_segment(batch, schema, store_positions=need_pos)
+            memo["key"] = id(batch)
+            memo["searcher"] = Searcher(seg, schema, stats)
+        return memo["searcher"]
+
+    def _make(q: ast.Query):
+        def mask(batch: pa.Table) -> np.ndarray:
+            hits = _searcher(batch).eval(q)
+            m = np.zeros(batch.num_rows, dtype=bool)
+            if len(hits.ids):
+                m[np.asarray(hits.ids, dtype=np.int64)] = True
+            return m
+        return mask
+
+    return {name: _make(q) for name, q in queries.items()}
+
+
 def expand_nulls_keys(table: pa.Table, sort_keys):
     """Expand extended sort keys into Arrow-sortable form.  Elements past
     ``(col, dir)`` may be ``"nulls_first"``/``"nulls_last"``
