@@ -202,6 +202,7 @@ class Searcher:
 
     def _fast_term_mask(self, field: str, value) -> np.ndarray:
         col = self.seg.column(field)
+        value = _coerce_bound_value(col.type, value)
         try:
             m = pc.equal(col, value)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
@@ -1159,10 +1160,32 @@ _VECTOR_OPS = {"<->": "l2", "<=>": "cosine", "<#>": "ip"}
 
 
 def _coerce_bound_value(typ: pa.DataType, val):
-    if pa.types.is_timestamp(typ) and isinstance(val, str):
-        import datetime as _dt
+    """String query literals against temporal columns parse as typed
+    values — `parse.sql`: ``created_at:"2023-05-01 09:12:34"``,
+    ``last_updated_date:"2023-05-03"``, ``latest_available_time:"09:12:34"``
+    and the tz-suffixed forms are all datetime terms, not text."""
+    if not isinstance(val, str):
+        return val
+    import datetime as _dt
 
-        return _dt.datetime.fromisoformat(val)
+    try:
+        if pa.types.is_timestamp(typ):
+            v = _dt.datetime.fromisoformat(val)
+            if v.tzinfo is not None and typ.tz is None:
+                # naive column stores UTC instants (the reference converts
+                # timestamptz to UTC at index time)
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+        if pa.types.is_date(typ):
+            return _dt.date.fromisoformat(val)
+        if pa.types.is_time(typ):
+            # time64 has no zone; a "+00" suffix means UTC wall time
+            t = _dt.time.fromisoformat(val)
+            if t.tzinfo is not None:
+                t = t.replace(tzinfo=None)
+            return t
+    except ValueError:
+        return val
     return val
 
 

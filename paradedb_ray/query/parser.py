@@ -179,7 +179,15 @@ class _Parser:
                 prefix = True
             subs = []
             for f in fields:
-                if prefix:
+                fdef = self.schema.fields.get(
+                    f.split(".")[0] if "." in f else f)
+                if (fdef is not None and not prefix
+                        and fdef.ftype in (I64, U64, F64, BOOL, DATE)):
+                    # quoted literal on a typed field is a typed term, not
+                    # a tokenized phrase (`parse.sql`:
+                    # created_at:"2023-05-01 09:12:34" is a datetime term)
+                    subs.append(ast.Term(f, _coerce(content, fdef.ftype)))
+                elif prefix:
                     subs.append(ast.PhrasePrefix(f, [content]))
                 else:
                     subs.append(ast.TokenizedPhrase(f, content, slop))

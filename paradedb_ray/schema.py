@@ -213,4 +213,6 @@ def mock_items_schema() -> IndexSchema:
         in_stock={"type": BOOL, "fast": True},
         metadata={"type": JSON, "fast": True},
         created_at={"type": DATE, "fast": True},
+        last_updated_date={"type": DATE, "fast": True},
+        latest_available_time={"type": DATE, "fast": True},
     )

@@ -128,3 +128,44 @@ def test_end_to_end_on_mock_items():
         ast.Term(field="description", value="shoes")]))
     assert parsed.ids.tolist() == manual.ids.tolist()
     assert parsed.scores.tolist() == manual.scores.tolist()
+
+
+def test_parse_datetime_terms():
+    """Mirror of `parse.out` rows 4-8: quoted literals on date/timestamp/
+    time fields are TYPED TERMS, not tokenized phrases — including the
+    tz-suffixed timestamptz/timetz forms (naive columns store UTC)."""
+    t = mock_items_table()
+    schema = mock_items_schema()
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+
+    def ids(qs):
+        q = parse_query_string(qs, schema, ["description"], False, False)
+        return sorted(t.column("id")[i].as_py() for i in s.eval(q).ids)
+
+    assert ids('created_at:"2023-05-01 09:12:34"') == [1]
+    assert ids('created_at:"2023-05-01 09:12:34+00"') == [1]
+    assert ids('last_updated_date:"2023-05-03"') == [1, 5, 28]
+    assert ids('latest_available_time:"09:12:34"') == [1]
+    assert ids('latest_available_time:"09:12:34+00"') == [1]
+
+
+def test_parse_conjunction_and_field_group():
+    """Mirror of `parse.out` rows 1-3 (field-grouped parse, conjunction
+    mode, lenient parse_with_field)."""
+    t = mock_items_table()
+    schema = mock_items_schema()
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+
+    def ids(q):
+        return sorted(t.column("id")[i].as_py() for i in s.eval(q).ids)
+
+    from paradedb_ray.query import builders as pdb
+    assert ids(pdb.parse(
+        'description:(running shoes) AND category:footwear')) == [3, 4, 5]
+    assert ids(pdb.parse(
+        'description:(running shoes) AND category:footwear',
+        conjunction_mode=True)) == [3]
+    assert ids(pdb.parse_with_field(
+        "description", "(running shoes)", lenient=True)) == [3, 4, 5]
