@@ -347,6 +347,13 @@ class StreamEngine:
     def vacuum(self):
         return sum(ray.get([a.vacuum.remote() for a in self.actors]))
 
+    def force_merge(self, target_bytes=None):
+        """``paradedb.force_merge`` analogue (`api/admin.rs`): collapse
+        every partition's sealed segments into byte-bounded bins (None =
+        one segment per partition); runs on all partitions in parallel."""
+        return sum(ray.get([a.force_merge.remote(target_bytes)
+                            for a in self.actors]))
+
     # -- query --------------------------------------------------------------
 
     def global_stats(self, query: ast.Query) -> GlobalStats:

@@ -544,6 +544,49 @@ class Bm25PartitionStore:
             n_merged += merge_n
         return n_merged
 
+    def force_merge(self, target_bytes: Optional[int] = None) -> int:
+        """``paradedb.force_merge(index, bytes)`` (`api/admin.rs`
+        force_merge_pretty_bytes/raw_bytes): merge this partition's sealed
+        segments into as few as possible, each at most ``target_bytes``
+        (None = everything into one segment).  Greedy first-fit over the
+        size-sorted list; superseded copies vacuum away in the rewrite,
+        exactly like ``merge_tick``'s merges."""
+        from paradedb_ray.index.segment import merge_segments
+
+        if len(self.sealed) < 2:
+            return 0
+        bins: list = []
+        for s in sorted(self.sealed, key=lambda s: s.table.nbytes,
+                        reverse=True):
+            placed = False
+            if target_bytes is not None:
+                for b in bins:
+                    if b[0] + s.table.nbytes <= target_bytes:
+                        b[0] += s.table.nbytes
+                        b[1].append(s)
+                        placed = True
+                        break
+            elif bins:
+                bins[0][1].append(s)
+                placed = True
+            if not placed:
+                bins.append([s.table.nbytes, [s]])
+        out = []
+        n_merged = 0
+        for _, group in bins:
+            if len(group) < 2:
+                out.extend(group)
+                continue
+            keeps = [self._visible_mask(s.table) for s in group]
+            m = merge_segments(group, self.schema, keeps)
+            m.uid = self._new_uid()
+            self.metrics_["merges"] += 1
+            n_merged += len(group)
+            if m.num_docs:
+                out.append(m)
+        self.sealed = out
+        return n_merged
+
     def vacuum(self) -> int:
         """Rewrite every segment dropping superseded copies (exact stats);
         postings filter through the visibility mask — no re-tokenization."""

@@ -936,3 +936,37 @@ def test_mixed_legacy_then_stamped_upsert_counts():
     s.ingest(tbl(["stale zero", "stale one"], arr=[5, 6]))
     assert s.n_dead == 4
     assert s.metrics_["retractions"] == 2
+
+
+def test_force_merge_collapses_segments(ray_session, turns):
+    """`paradedb.force_merge` analogue (`api/admin.rs`
+    force_merge_pretty_bytes): collapses each partition's sealed segments
+    into byte-bounded bins — None means one segment per partition — with
+    query results identical before and after."""
+    eng = _engine(parts=2)
+    try:
+        for i in range(0, 3000, 500):
+            eng.ingest(turns.slice(i, 500))
+        before = eng.query_matches(pdb.term("text", "the"),
+                                   columns=["conv_id", "turn_idx"])
+        assert any(m["sealed_segments"] >= 2 for m in eng.metrics())
+        n_merged = eng.force_merge(None)
+        assert n_merged > 0
+        after = eng.query_matches(pdb.term("text", "the"),
+                                  columns=["conv_id", "turn_idx"])
+        assert _result_ids(before) == _result_ids(after)
+        for m in eng.metrics():
+            assert m["sealed_segments"] <= 1
+        # byte-bounded variant: every partition obeys the bin cap
+        eng2 = _engine(parts=2)
+        try:
+            for i in range(0, 3000, 500):
+                eng2.ingest(turns.slice(i, 500))
+            eng2.force_merge(64 * 1024)
+            got = eng2.query_matches(pdb.term("text", "the"),
+                                     columns=["conv_id", "turn_idx"])
+            assert _result_ids(got) == _result_ids(before)
+        finally:
+            eng2.shutdown()
+    finally:
+        eng.shutdown()
