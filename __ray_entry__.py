@@ -923,6 +923,35 @@ def _q_is_null(sf):
                   output_columns=["event_id"])
 
 
+def _q_search_not(sf):
+    """SQL-level NOT under three-valued logic
+    (`tests/tests/query_edge_cases.rs`, issue 5264): ``NOT (etype_hi =
+    'click')`` must EXCLUDE the NULL rows — ``sql_not`` adds the
+    zero-scored existence guard.  The nullable column derives from
+    ``value`` so every sf has NULL, matching and non-matching rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    ev = _tbl(sf, "events", columns=["event_id", "event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b.column("value"), 10.0)
+        return b.append_column(
+            "etype_hi", pc.if_else(m, b.column("event_type"), None))
+
+    ds = ev.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    schema = IndexSchema.build(
+        "event_id", event_id={"type": "i64", "fast": True},
+        etype_hi={"type": "keyword", "tokenizer": {"type": "keyword"},
+                  "fast": True})
+    return search(ds, schema, pdb.sql_not(pdb.term("etype_hi", "click")),
+                  with_score=False, output_columns=["event_id"])
+
+
 def _q_percentiles_tdigest(sf):
     """t-digest sketch percentiles (reference: tantivy t-digest percentile
     path) — approximate, so rows-only: no oracle_sql entry."""
@@ -1332,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
+        "search_not": _q_search_not,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "collation_order": _q_collation_order,
         "range_agg": _q_range_agg,
@@ -1381,16 +1411,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_agg": _q_score_agg,
         # --- pipeline/oracle changed in round 4 ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
-        "langid": _q_langid,  # new exact oracle
         # ---- entries past the driver window (driver-green in r3;
         # re-verified locally at both SFs each round) ----
-        # agg_filter_search (never driver-checked) displaced fingerprint
-        # (r3 driver row; md5-hash oracle verified locally both SFs) to
-        # slot 51 — fingerprint, knn_ivf_exact (NEW in r4: IVF at
-        # nprobe==n_clusters is exactly brute force, making the IVF path
-        # oracle-checkable) and dedup_embedding (r4 attach-join rework,
-        # pinned bit-identical by tests over its r3 driver-green oracle)
-        # lead the r5 window
+        # agg_filter_search + search_not (never driver-checked) displaced
+        # langid and fingerprint (r3 driver rows; their new exact oracles
+        # verified locally both SFs) to slots 51-52 — langid, fingerprint,
+        # knn_ivf_exact (NEW in r4: IVF at nprobe==n_clusters is exactly
+        # brute force, making the IVF path oracle-checkable) and
+        # dedup_embedding (r4 attach-join rework, pinned bit-identical by
+        # tests over its r3 driver-green oracle) lead the r5 window
+        "langid": _q_langid,  # new exact oracle
         "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
         "knn_ivf_exact": _q_knn_ivf_exact,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
@@ -1742,6 +1772,14 @@ def oracle_sql() -> dict[str, str]:
             " 4 + CAST(('0x' || substr(md5(text),3,2)) AS INTEGER) % 29"
             "   AS height"
             " FROM documents",
+        # three-valued NOT: SQL's strict equality already excludes the
+        # NULL rows, which is exactly what sql_not's existence guard does
+        "search_not":
+            "SELECT event_id FROM ("
+            " SELECT event_id,"
+            "  CASE WHEN value >= 10 THEN event_type END AS etype_hi"
+            " FROM events)"
+            " WHERE NOT (etype_hi = 'click')",
         # search-predicate FILTER clauses: the corpus text is
         # space-separated tokens, so list_contains(string_split(.))
         # reproduces the default-tokenizer term match exactly (same

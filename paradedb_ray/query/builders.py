@@ -40,6 +40,55 @@ def boost(factor: float, query: ast.Query) -> ast.Query:
     return ast.Boost(query, factor)
 
 
+def sql_not(query: ast.Query, array_fields=()) -> ast.Query:
+    """SQL-level ``NOT (...)`` over a pushed-down predicate under
+    three-valued logic (`qual_inspect.rs:280-432`, issue 5264): a strict
+    predicate over a NULL field evaluates to NULL, so its negation must
+    still EXCLUDE the NULL rows — plain complement-of-matches would
+    wrongly include them.
+
+    Mirrors ``negate_fielded_input`` exactly:
+
+    - fielded predicate P(f) on an eligible SCALAR field -> must
+      ``ConstScore(0, Exists(f))`` (scored 0 so rankings inside
+      ``should`` don't shift) AND NOT P
+    - ``Exists`` (incl. wrapped in Boost/ConstScore — existence is
+      non-strict, the wrapper is unwrapped per
+      ``negated_exists_returns_missing_rows``) -> the missing rows,
+      never ``exists AND NOT exists``
+    - array and JSON fields are NOT guarded (``'{}'::text[]`` /
+      ``'{}'::jsonb`` are SQL NOT NULL yet index no values —
+      ``field_supports_null_preserving_guard``); they fall back to the
+      generic complement, the reference's documented trade-off.  Pass
+      the index's array-typed field names via ``array_fields`` (our
+      IndexSchema types arrays as their element type; array-ness lives
+      in the Arrow column).
+    - pure-AND / pure-OR booleans -> De Morgan with each clause negated
+      by this same rule; mixed shapes -> generic complement
+    """
+    inner = query
+    while isinstance(inner, (ast.Boost, ast.ConstScore)):
+        inner = inner.query
+    if isinstance(inner, ast.Exists):
+        return ast.Boolean(must=[ast.All()],
+                           must_not=[ast.Exists(inner.field)])
+    if isinstance(inner, ast.Boolean) and not inner.must_not:
+        if inner.must and not inner.should:
+            return ast.Boolean(
+                should=[sql_not(c, array_fields) for c in inner.must])
+        if inner.should and not inner.must \
+                and not inner.minimum_should_match:
+            return ast.Boolean(
+                must=[sql_not(c, array_fields) for c in inner.should])
+    field = getattr(inner, "field", None)
+    if isinstance(field, str) and "." not in field \
+            and field not in array_fields:
+        guard = ast.ConstScore(ast.Exists(field), 0.0)
+        return ast.Boolean(must=[guard], must_not=[inner])
+    # array/JSON-path/non-fielded predicate: complement of matches
+    return ast.Boolean(must=[ast.All()], must_not=[query])
+
+
 def const_score(score: float, query: ast.Query) -> ast.Query:
     return ast.ConstScore(query, score)
 
