@@ -296,6 +296,19 @@ def is_null(field: str) -> ast.Query:
     return ast.Boolean(must=[ast.All()], must_not=[ast.Exists(field)])
 
 
+def boolean_is(field: str, value: bool, negated: bool = False) -> ast.Query:
+    """``bool_field IS [NOT] TRUE/FALSE`` pushdown
+    (`qual_inspect.rs:84-110` PushdownVarIsTrue/IsFalse +
+    `pushdown.rs::test_boolean_operators_with_null_values`): ``IS x``
+    matches only the x rows (NULL is not TRUE and not FALSE), while the
+    negation ``IS NOT x`` INCLUDES the NULL rows — unlike ``NOT (field
+    = x)``, whose equality guard keeps NULLs excluded (``sql_not``)."""
+    if not negated:
+        return ast.Term(field, bool(value))
+    return ast.Boolean(must=[ast.All()],
+                       must_not=[ast.Term(field, bool(value))])
+
+
 def term_with_operator(field: str, operator: str, value) -> ast.Query:
     """``paradedb.term_with_operator(field, op, value)`` — the planner's
     comparison pushdown (`api/builder_fns/paradedb.rs:109-165`): ``=`` ->

@@ -169,3 +169,45 @@ def test_parse_conjunction_and_field_group():
         conjunction_mode=True)) == [3]
     assert ids(pdb.parse_with_field(
         "description", "(running shoes)", lenient=True)) == [3, 4, 5]
+
+
+def test_datetime_precision_terms():
+    """Mirror of `tests/tests/datetime.rs`: microsecond-precision term /
+    parse / range with ISO 'T'+'Z' literal forms; sub-precision literals
+    match nothing on coarser columns (TIMESTAMP(3) semantics)."""
+    import datetime as dt
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import DATE, I64, IndexSchema
+
+    def mk(typ, vals):
+        t = pa.table({
+            "id": pa.array(range(1, len(vals) + 1), pa.int64()),
+            "t": pa.array([dt.datetime.fromisoformat(v) for v in vals],
+                          typ)})
+        schema = IndexSchema.build(
+            key_field="id", id={"type": I64, "fast": True},
+            t={"type": DATE, "fast": True})
+        seg = build_segment(t, schema)
+        return t, schema, Searcher(seg, schema)
+
+    us = ['2025-01-28T18:19:14.079776', '2025-01-28T18:19:14.079777',
+          '2025-01-28T18:19:14.079778']
+    t, schema, s = mk(pa.timestamp("us"), us)
+
+    def ids(q):
+        return sorted(t.column("id")[i].as_py() for i in s.eval(q).ids)
+
+    assert ids(pdb.term("t", "2025-01-28T18:19:14.079777Z")) == [2]
+    q = parse_query_string('t:"2025-01-28T18:19:14.079777Z"',
+                           schema, ["t"], False, False)
+    assert ids(q) == [2]
+    assert ids(pdb.range("t", lower="2025-01-28T18:19:14.079777Z",
+                         lower_inclusive=False)) == [3]
+
+    ms = ['2025-01-28T18:19:14.078', '2025-01-28T18:19:14.079',
+          '2025-01-28T18:19:14.080']
+    t, schema, s = mk(pa.timestamp("ms"), ms)
+    assert ids(pdb.term("t", "2025-01-28T18:19:14.079Z")) == [2]
+    assert ids(pdb.term("t", "2025-01-28T18:19:14.078001Z")) == []
+    assert ids(pdb.term("t", "2025-01-28T18:19:14Z")) == []

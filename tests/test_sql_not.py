@@ -125,3 +125,28 @@ def test_negated_predicate_empty_array_not_null():
     got = _ids(seg, s.eval(pdb.sql_not(pdb.term("tags", "beer"),
                                        ("tags",))))
     assert 2 in got and 1 not in got
+
+
+def test_boolean_is_operators_with_nulls():
+    """`pushdown.rs::test_boolean_operators_with_null_values`: IS TRUE /
+    IS FALSE exclude NULLs; IS NOT TRUE / IS NOT FALSE INCLUDE NULLs;
+    = TRUE/FALSE and their sql_not negations always exclude NULLs."""
+    from paradedb_ray.schema import BOOL
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "bool_field": pa.array([True, False, None], pa.bool_())})
+    seg, s = _searcher(t, bool_field={"type": BOOL, "fast": True})
+
+    assert _ids(seg, s.eval(pdb.boolean_is("bool_field", True))) == [1]
+    assert _ids(seg, s.eval(pdb.boolean_is("bool_field", False))) == [2]
+    assert _ids(seg, s.eval(
+        pdb.boolean_is("bool_field", True, negated=True))) == [2, 3]
+    assert _ids(seg, s.eval(
+        pdb.boolean_is("bool_field", False, negated=True))) == [1, 3]
+    # equality forms: NULL excluded in both directions
+    assert _ids(seg, s.eval(pdb.term("bool_field", True))) == [1]
+    assert _ids(seg, s.eval(
+        pdb.sql_not(pdb.term("bool_field", True)))) == [2]
+    assert _ids(seg, s.eval(
+        pdb.sql_not(pdb.term("bool_field", False)))) == [1]
