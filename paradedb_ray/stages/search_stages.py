@@ -498,7 +498,9 @@ def expand_nulls_keys(table: pa.Table, sort_keys):
     default becomes a prepended is-null helper column — and/or
     ``"collation=<locale>"`` (`order_by_collation.sql`): the key column is
     swapped for a locale-sort-key helper (byte order otherwise, exactly
-    the reference's C-collation pushdown rule).  Returns
+    the reference's C-collation pushdown rule) — and/or ``"lower"``
+    (`sorting.rs::sort_by_lower`: ``ORDER BY lower(field)`` pushes down
+    as a case-folded key).  Returns
     (table+helpers, 2-tuple keys, helper column names)."""
     import pyarrow.compute as pc
 
@@ -507,9 +509,12 @@ def expand_nulls_keys(table: pa.Table, sort_keys):
         col, direction = k[0], k[1]
         nulls = None
         collation = None
+        lower = False
         for extra in k[2:]:
             if extra in ("nulls_first", "nulls_last"):
                 nulls = extra
+            elif extra == "lower":
+                lower = True
             elif isinstance(extra, str) and extra.startswith("collation="):
                 collation = extra.split("=", 1)[1]
         # Arrow's default places nulls at_end for either direction; only
@@ -531,6 +536,13 @@ def expand_nulls_keys(table: pa.Table, sort_keys):
                 helpers.append(h)
             out_keys.append((h, direction))
             # original column stays as the deterministic final tiebreak
+        if lower:
+            h = f"__lower_{col}"
+            if h not in table.column_names:
+                table = table.append_column(
+                    h, pc.utf8_lower(table.column(col)))
+                helpers.append(h)
+            out_keys.append((h, direction))
         out_keys.append((col, direction))
     return table, out_keys, helpers
 

@@ -403,3 +403,29 @@ def test_knn_ivf_partitioned_matches_scan(ray_session, tmp_path):
     all_cells = {d for d in os.listdir(out_dir)
                  if d.startswith("__ivf_cell=")}
     assert len(all_cells) > 3  # multiple cells materialized
+
+
+def test_order_by_lower_transform(ray_session):
+    """`sorting.rs::sort_by_lower`: ORDER BY lower(field) pushes down as
+    a case-folded TopK key (the reference's lowercase normalizer makes
+    lower(category) equal the indexed key)."""
+    import pyarrow as pa
+
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import I64, TEXT, IndexSchema
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "category": ["Banana", "apple", "Cherry", "APRICOT", "blueberry"],
+    })
+    schema = IndexSchema.build(
+        key_field="id", id={"type": I64, "fast": True},
+        category={"type": TEXT, "fast": True})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = search_topk(ds, schema, pdb.all_query(), limit=5,
+                      order_by=[("category", "ascending", "lower")],
+                      with_score=False,
+                      output_columns=["id", "category"]).take_all()
+    got = [r["category"] for r in out]
+    assert got == sorted(got, key=str.lower)
+    assert got == ["apple", "APRICOT", "Banana", "blueberry", "Cherry"]
