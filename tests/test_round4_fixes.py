@@ -429,3 +429,64 @@ def test_order_by_lower_transform(ray_session):
     got = [r["category"] for r in out]
     assert got == sorted(got, key=str.lower)
     assert got == ["apple", "APRICOT", "Banana", "blueberry", "Cherry"]
+
+
+def test_string_fast_field_edges():
+    """`str_ff_exec.rs`: empty-string term matches only the ''-valued row
+    (never NULLs); IS NULL composes with ranges; an ALL-NULL string
+    segment still answers range queries over other columns."""
+    import pyarrow as pa
+
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import I64, KEYWORD, IndexSchema
+
+    schema = IndexSchema.build(
+        key_field="id", id={"type": I64, "fast": True},
+        col_text={"type": KEYWORD, "tokenizer": {"type": "keyword"},
+                  "fast": True})
+
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "col_text": pa.array([None, "foo", "bar", None, ""])})
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+
+    def ids(sg, sr, q):
+        return sorted(sg.table.column("id")[i].as_py() for i in sr.eval(q).ids)
+
+    assert ids(seg, s, pdb.term("col_text", "")) == [5]
+    assert ids(seg, s, pdb.is_null("col_text")) == [1, 4]
+
+    t2 = pa.table({"id": pa.array([1, 3, 4, 6, 7, 8], pa.int64()),
+                   "col_text": pa.array([None] * 6, pa.string())})
+    seg2 = build_segment(t2, schema)
+    s2 = Searcher(seg2, schema)
+    q = pdb.boolean(must=[pdb.is_null("col_text"),
+                          pdb.range("id", lower=3, lower_inclusive=False)])
+    assert ids(seg2, s2, q) == [4, 6, 7, 8]
+    assert ids(seg2, s2, pdb.range("id", lower=1, upper=8,
+                                   lower_inclusive=True,
+                                   upper_inclusive=True)) == [1, 3, 4, 6, 7, 8]
+
+
+def test_datetime_shaped_string_stays_string():
+    """`term.rs::datetime_shaped_string_term`: a TEXT/literal field whose
+    VALUES look like datetimes must term-match as STRINGS — the temporal
+    coercion keys off the COLUMN type, never the value shape."""
+    import pyarrow as pa
+
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import I64, KEYWORD, IndexSchema
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "value": pa.array(["2023-04-15 13:27:09",
+                                     "2019-08-02 07:52:43.123"])})
+    schema = IndexSchema.build(
+        key_field="id", id={"type": I64, "fast": True},
+        value={"type": KEYWORD, "tokenizer": {"type": "keyword"},
+               "fast": True})
+    seg = build_segment(t, schema)
+    s = Searcher(seg, schema)
+    hits = s.eval(pdb.term("value", "2019-08-02 07:52:43.123"))
+    assert [seg.table.column("id")[i].as_py() for i in hits.ids] == [2]
