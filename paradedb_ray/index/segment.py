@@ -189,6 +189,16 @@ def _build_text_index(
     has_value = np.zeros(n, dtype=bool)
     lens = np.zeros(n, dtype=np.int64)
     tokenize = analyzer.tokenize
+    # ngram / edge_ngram assign their own token positions (all-zero unless
+    # ngram positions=true; per-word for edge_ngram) — route those through
+    # tokenize_tokens so the index sees the tokenizer's numbering
+    custom_pos = getattr(analyzer, "custom_positions", False)
+
+    def _toks_pos(value):
+        tts = analyzer.tokenize_tokens(value)
+        return ([tk.text for tk in tts],
+                [tk.position for tk in tts])
+
     for i, t in enumerate(texts):
         if t is None:
             tok_lists.append(())
@@ -204,11 +214,17 @@ def _build_text_index(
             for v in t:
                 if v is None:
                     continue
-                vt = tokenize(v)
+                if custom_pos:
+                    vt, vp = _toks_pos(v)
+                    positions.extend(off + p for p in vp)
+                    if vt:
+                        off += max(vp) + 2  # gap after this value's last pos
+                else:
+                    vt = tokenize(v)
+                    positions.extend(range(off, off + len(vt)))
+                    if vt:
+                        off += len(vt) + 1  # last pos + 2 == next start
                 toks.extend(vt)
-                positions.extend(range(off, off + len(vt)))
-                if vt:
-                    off += len(vt) + 1  # last pos + 2 == next start
             if not toks and not any(v is not None for v in t):
                 tok_lists.append(())
                 continue
@@ -218,7 +234,11 @@ def _build_text_index(
             pos_lists[i] = np.asarray(positions, dtype=np.int32)
             continue
         has_value[i] = True
-        toks = tokenize(t)
+        if custom_pos:
+            toks, tpos = _toks_pos(t)
+            pos_lists[i] = np.asarray(tpos, dtype=np.int32)
+        else:
+            toks = tokenize(t)
         lens[i] = len(toks)
         tok_lists.append(toks)
 

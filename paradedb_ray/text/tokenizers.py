@@ -114,6 +114,12 @@ class Tokenizer:
 
     name = "base"
 
+    #: True when the tokenizer assigns its own token positions (ngram /
+    #: edge_ngram); sequential-by-index otherwise.  Positions are assigned
+    #: BEFORE the filter chain runs and removing filters never renumber
+    #: them (tantivy filter semantics).
+    custom_positions = False
+
     def __init__(self, filters: Optional[dict] = None):
         self.filters = TokenFilterChain(filters or {}, lowercase_default=self.lowercase_default())
 
@@ -142,11 +148,18 @@ class Tokenizer:
         toks = [t for t, _, _ in self._segments(text)]
         return f.apply_texts(toks)
 
+    def _segment_positions(self, segs):
+        """Token positions parallel to ``segs`` (pre-filter).  Overridden
+        by position-aware tokenizers (ngram / edge_ngram)."""
+        return range(len(segs))
+
     def tokenize_tokens(self, text: str) -> list[Token]:
         """Full tokens with positions + char offsets (for phrase indexes and
         snippet generation)."""
+        segs = list(self._segments(text))
         toks = [
-            Token(t, i, s, e) for i, (t, s, e) in enumerate(self._segments(text))
+            Token(t, p, s, e)
+            for (t, s, e), p in zip(segs, self._segment_positions(segs))
         ]
         return self.filters.apply_tokens(toks)
 
@@ -213,19 +226,35 @@ class LiteralNormalizedTokenizer(KeywordTokenizer):
 
 
 class NgramTokenizer(Tokenizer):
+    """pg_search ``ngram``: tantivy's NgramTokenizer, wrapped so that
+    positional queries work only when explicitly requested.
+
+    Tantivy's tokenizer leaves every gram at position 0 (so phrase /
+    proximity queries never match an ngram field); pg_search's wrapper
+    (`tokenizers/src/ngram.rs:18-48`) emits sequential positions
+    0,1,2,... when ``positions=true`` AND ``min_gram == max_gram`` —
+    unequal grams with positions enabled are a build-time error."""
+
     name = "ngram"
+    custom_positions = True
 
     def __init__(
         self,
         min_gram: int = 2,
         max_gram: int = 3,
         prefix_only: bool = False,
+        positions: bool = False,
         filters: Optional[dict] = None,
     ):
         super().__init__(filters)
         if min_gram <= 0 or max_gram < min_gram:
             raise ValueError("invalid ngram bounds")
+        if positions and min_gram != max_gram:
+            # error string matches ngram.rs:39-42 / expected/ngram.out
+            raise ValueError(
+                "min_gram must equal max_gram when positions are enabled")
         self.min_gram, self.max_gram, self.prefix_only = min_gram, max_gram, prefix_only
+        self.positions = positions
 
     def _segments(self, text: str):
         out = []
@@ -237,12 +266,110 @@ class NgramTokenizer(Tokenizer):
                     out.append((text[s : s + g], s, s + g))
         return out
 
+    def _segment_positions(self, segs):
+        if self.positions:
+            return range(len(segs))
+        return (0,) * len(segs)
 
-class EdgeNgramTokenizer(NgramTokenizer):
+
+def _edge_char_pred(classes: tuple) -> "callable":
+    """Predicate for the reference's TokenCharClass matching
+    (`tokenizers/src/edge_ngram.rs:48-80`): letter = Unicode L*,
+    digit = Nd/Nl/No (Rust ``char::is_numeric``), whitespace =
+    White_Space, punctuation = P*, symbol = S*."""
+    want_letter = "letter" in classes
+    want_digit = "digit" in classes
+    want_ws = "whitespace" in classes
+    want_punct = "punctuation" in classes
+    want_sym = "symbol" in classes
+    unknown = set(classes) - {"letter", "digit", "whitespace",
+                              "punctuation", "symbol"}
+    if unknown:
+        raise ValueError(
+            f"unknown token_chars class: '{sorted(unknown)[0]}'. expected "
+            "one of: letter, digit, whitespace, punctuation, symbol")
+    _ws_extra = "\t\n\x0b\x0c\r\x85"
+
+    def pred(c: str) -> bool:
+        if want_letter and c.isalpha():
+            return True
+        cat = unicodedata.category(c)
+        if want_digit and cat in ("Nd", "Nl", "No"):
+            return True
+        if want_ws and (cat in ("Zs", "Zl", "Zp") or c in _ws_extra):
+            return True
+        if want_punct and cat.startswith("P"):
+            return True
+        if want_sym and cat.startswith("S"):
+            return True
+        return False
+
+    return pred
+
+
+class EdgeNgramTokenizer(Tokenizer):
+    """pg_search ``edge_ngram``: word-aware leading-edge grams
+    (`tokenizers/src/edge_ngram.rs:93-240`, NOT tantivy's prefix-only
+    ngram over the raw text).  The text is segmented into words — maximal
+    runs of characters matching any ``token_chars`` class (default
+    ``[letter, digit]``, `manager.rs:499-512`) — and each word emits its
+    ``min_gram..=max_gram``-char prefixes.  Words shorter than
+    ``min_gram`` are skipped entirely and do NOT consume a position;
+    every gram of the i-th emitted word carries position i."""
+
     name = "edge_ngram"
+    custom_positions = True
 
-    def __init__(self, min_gram=2, max_gram=3, filters=None):
-        super().__init__(min_gram, max_gram, prefix_only=True, filters=filters)
+    def __init__(self, min_gram: int = 1, max_gram: int = 2,
+                 token_chars=None, filters: Optional[dict] = None):
+        super().__init__(filters)
+        if min_gram < 1:
+            raise ValueError("min_gram must be >= 1")
+        if max_gram < min_gram:
+            raise ValueError("max_gram must be >= min_gram")
+        self.min_gram, self.max_gram = min_gram, max_gram
+        self.token_chars = tuple(token_chars or ("letter", "digit"))
+        self._pred = _edge_char_pred(self.token_chars)
+
+    def _words(self, text: str):
+        """Maximal runs of token_chars-matching characters as
+        (char_start, char_end) spans."""
+        pred = self._pred
+        out = []
+        start = None
+        for i, c in enumerate(text):
+            if pred(c):
+                if start is None:
+                    start = i
+            elif start is not None:
+                out.append((start, i))
+                start = None
+        if start is not None:
+            out.append((start, len(text)))
+        return out
+
+    def _segments(self, text: str):
+        out = []
+        for ws, we in self._words(text):
+            wlen = we - ws
+            if wlen < self.min_gram:
+                continue  # skipped words do not consume a position
+            for g in range(self.min_gram, min(self.max_gram, wlen) + 1):
+                out.append((text[ws : ws + g], ws, ws + g))
+        return out
+
+    def _segment_positions(self, segs):
+        # every gram of one word shares the word's char start, and words
+        # are emitted in order — position = rank of distinct starts
+        pos = []
+        p = -1
+        prev_start = None
+        for _, s, _ in segs:
+            if s != prev_start:
+                p += 1
+                prev_start = s
+            pos.append(p)
+        return pos
 
 
 class RegexTokenizer(Tokenizer):
@@ -804,10 +931,14 @@ def tokenizer_from_config(config: Optional[dict]) -> Tokenizer:
     if cls is NgramTokenizer:
         return cls(
             extra.get("min_gram", 2), extra.get("max_gram", 3),
-            extra.get("prefix_only", False), filters,
+            extra.get("prefix_only", False),
+            extra.get("positions", False), filters,
         )
     if cls is EdgeNgramTokenizer:
-        return cls(extra.get("min_gram", 2), extra.get("max_gram", 3), filters)
+        # reference defaults: min 1, max 2, token_chars [letter, digit]
+        # (`manager.rs:499-512`)
+        return cls(extra.get("min_gram", 1), extra.get("max_gram", 2),
+                   extra.get("token_chars"), filters)
     if cls is RegexTokenizer:
         return cls(extra["pattern"], filters)
     if cls is UnicodeWordsTokenizer:
