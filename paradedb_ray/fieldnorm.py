@@ -9,8 +9,11 @@ replicate the scheme so scores match the reference
 encoding is the public Lucene ``SmallFloat.intToByte4`` 4-bit-mantissa
 scheme that tantivy's ``fieldnorm/code.rs`` table implements).
 
-Values 0..39 encode exactly; beyond that the mantissa keeps 4 significant
-bits, so e.g. 40..47 -> step 1 range ends and steps grow geometrically.
+Values 0..39 encode exactly (24 free values + the int4 subnormal/shift-0
+ranges); beyond that the mantissa keeps 4 significant bits, so steps grow
+geometrically per octave: 40,42..54, 56,60..84, 88,96..144, 152,168..264,
+280,312..504, ...  The golden anchor is `snippet_position_01_basic.out`
+row 4: a 321-token document scores with dl=312.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ def _long_to_int4(i: int) -> int:
         return i
     shift = num_bits - 4
     encoded = i >> shift  # top 4 bits, leading bit set
+    encoded &= 0x07  # clear the implicit leading bit (Lucene SmallFloat)
     encoded |= (shift + 1) << 3
     return encoded
 

@@ -105,21 +105,13 @@ def generate(text: Optional[str], analyzer, terms: set, cfg: SnippetConfig):
     if text is None:
         return None if cfg.mode == "single" else []
     if isinstance(text, (list, tuple)):
-        # TEXT[] multi-value: each element highlights independently;
-        # single mode keeps the first matching element's fragment, list
-        # mode concatenates fragments in element order
-        if cfg.mode == "positions":
-            raise ValueError("snippet_positions is per-string; not "
-                             "supported on TEXT[] fields")
-        parts = [generate(v, analyzer, terms, cfg) for v in text
-                 if v is not None]
-        if cfg.mode == "single":
-            scored = [p for p in parts if p]
-            return scored[0] if scored else None
-        out = []
-        for p in parts:
-            out.extend(p)
-        return out
+        # varchar[] / text[] are flattened into a single space-joined
+        # string before snippet generation, emulating tantivy's behavior
+        # for highlighting text arrays (`scan_state.rs:447-461`); the
+        # golden `snippet_position_01_basic.out` shows positions spanning
+        # element boundaries ('test','snippet',... -> {{0,4},{5,12}})
+        joined = " ".join(v for v in text if v is not None)
+        return generate(joined, analyzer, terms, cfg)
     tokens = analyzer.tokenize_tokens(text)
     frags = _fragments(tokens, terms, cfg.max_num_chars)
     if cfg.mode == "positions":

@@ -85,21 +85,16 @@ def test_snippets_limit(env):
 
 
 def test_snippet_on_text_array():
-    """Snippets over TEXT[] fields: single mode keeps the first matching
-    element's fragment; list mode collects fragments across elements;
-    positions mode raises (spans are per-string)."""
-    import pytest
-
+    """Snippets over TEXT[] fields flatten the array into one space-joined
+    string (`scan_state.rs:447-461`): fragments, highlight spans and
+    snippet_positions all address the joined text."""
     from paradedb_ray.index.snippet import SnippetConfig, generate
     from paradedb_ray.text.tokenizers import tokenizer_from_config
 
     an = tokenizer_from_config(None)
     arr = ["red fox", "no match here", "blue fox jumps"]
     single = generate(arr, an, {"fox"}, SnippetConfig(field="arr"))
-    assert single == "red <b>fox</b>"
-    multi = generate(arr, an, {"fox"},
-                     SnippetConfig(field="arr", mode="list"))
-    assert multi == ["red <b>fox</b>", "blue <b>fox</b> jumps"]
-    with pytest.raises(ValueError):
-        generate(arr, an, {"fox"},
-                 SnippetConfig(field="arr", mode="positions"))
+    assert single == ("red <b>fox</b> no match here blue <b>fox</b> jumps")
+    pos = generate(arr, an, {"fox"},
+                   SnippetConfig(field="arr", mode="positions"))
+    assert pos == [[4, 7], [27, 30]]
