@@ -65,6 +65,56 @@ def _q_search_term(sf):
                   with_score=False, output_columns=["doc_id"])
 
 
+def _q_search_ngram_contains(sf):
+    """Substring search via an ngram(3,3) index: term 'par' matches any
+    document whose text contains the gram — the oracle is a plain
+    ``position()`` test, exact by construction (the tokenizer emits every
+    3-char window of the raw text)."""
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    schema = IndexSchema.build("doc_id", text={
+        "type": "text",
+        "tokenizer": {"type": "ngram", "min_gram": 3, "max_gram": 3}})
+    return search(_docs(sf, columns=["doc_id", "text"]), schema,
+                  pdb.term("text", "par"), with_score=False,
+                  output_columns=["doc_id"])
+
+
+def _q_search_ngram_phrase(sf):
+    """Positional ngram search (`ngram.out:37-48`): with positions=true,
+    consecutive grams 'par','ark' form a phrase that matches exactly the
+    documents containing the 4-gram 'park'."""
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    schema = IndexSchema.build("doc_id", text={
+        "type": "text",
+        "tokenizer": {"type": "ngram", "min_gram": 3, "max_gram": 3,
+                      "positions": True}})
+    return search(_docs(sf, columns=["doc_id", "text"]), schema,
+                  pdb.phrase_array("text", ["par", "ark"]),
+                  with_score=False, output_columns=["doc_id"])
+
+
+def _q_search_edge_prefix(sf):
+    """Prefix (autocomplete) search via a word-aware edge_ngram(2,5)
+    index (`tokenizers/src/edge_ngram.rs`): term 'spa' matches documents
+    with any letter/digit word starting with 'spa'."""
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+    from paradedb_ray.schema import IndexSchema
+
+    schema = IndexSchema.build("doc_id", text={
+        "type": "text",
+        "tokenizer": {"type": "edge_ngram", "min_gram": 2, "max_gram": 5}})
+    return search(_docs(sf, columns=["doc_id", "text"]), schema,
+                  pdb.term("text", "spa"), with_score=False,
+                  output_columns=["doc_id"])
+
+
 def _q_search_term_set(sf):
     from paradedb_ray.pipelines.search import search
     from paradedb_ray.query import builders as pdb
@@ -1359,6 +1409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver row within the last two rounds.  Everything past 50 was
     # driver-green in r3 and is re-verified locally each round.
     return {
+        # --- NEW in round 4 session 2 (never driver-checked) ---
+        "search_ngram_contains": _q_search_ngram_contains,
+        "search_ngram_phrase": _q_search_ngram_phrase,
+        "search_edge_prefix": _q_search_edge_prefix,
         # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
@@ -1530,6 +1584,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_term":
             f"SELECT doc_id FROM documents WHERE list_contains({_TOKS}, 'spark')",
+        "search_ngram_contains":
+            "SELECT doc_id FROM documents"
+            " WHERE position('par' IN lower(text)) > 0",
+        "search_ngram_phrase":
+            "SELECT doc_id FROM documents"
+            " WHERE position('park' IN lower(text)) > 0",
+        "search_edge_prefix":
+            "SELECT doc_id FROM documents"
+            " WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spa')",
         "search_term_set":
             f"SELECT doc_id FROM documents WHERE list_has_any({_TOKS}, ['spark', 'vector'])",
         "search_boolean":
