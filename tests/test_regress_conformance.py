@@ -710,22 +710,36 @@ def test_exists_json_golden():
     schema = IndexSchema.build("id", description={"type": "text"},
                                data={"type": "json"})
     t = pa.table({
-        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
         "description": pa.array(["Marketing manager", "Sales manager",
-                                 "Engineer", "CEO", "CTO"]),
+                                 "Engineer", "CEO", "CTO", "Intern"]),
         "data": pa.array([
             '{"last_name": "Smith", "first_name": "John"}',
             '{"first_name": "Jane"}',
             '{"last_name": "Wilson"}',
             None,
-            '{"last_name": "Johnson", "first_name": "Jim"}']),
+            '{"last_name": "Johnson", "first_name": "Jim"}',
+            '{"address": {"city": "New York", "zip": "10001"}}']),
     })
     s = Searcher(build_segment(t, schema), schema)
+    # jsonb_exists_operator.out test 1: data ? 'first_name'
     assert _ids(s, s.eval(ast.Exists(field="data.first_name"))) == [1, 2, 5]
+    # test 2: data ? 'last_name' OR description ||| 'CEO'
     q = ast.Boolean(should=[ast.Exists(field="data.last_name"),
                             ast.ParseWithField("description", "CEO")])
     assert _ids(s, s.eval(q)) == [1, 3, 4, 5]
-    assert _ids(s, s.eval(ast.Exists(field="data"))) == [1, 2, 3, 5]
+    # test 3: AND of two key-exists
+    q = ast.Boolean(must=[ast.Exists(field="data.first_name"),
+                          ast.Exists(field="data.last_name")])
+    assert _ids(s, s.eval(q)) == [1, 5]
+    # test 5: nested path (data->'address' ? 'city')
+    assert _ids(s, s.eval(ast.Exists(field="data.address.city"))) == [6]
+    # test 7: NOT (data ? 'first_name') is index-exists semantics — the
+    # NULL-data row 4 IS included (unlike vanilla SQL three-valued NOT)
+    q = ast.Boolean(must=[ast.All()],
+                    must_not=[ast.Exists(field="data.first_name")])
+    assert _ids(s, s.eval(q)) == [3, 4, 6]
+    assert _ids(s, s.eval(ast.Exists(field="data"))) == [1, 2, 3, 5, 6]
 
 
 # -- aggregate.out ----------------------------------------------------------
