@@ -128,7 +128,10 @@ class IndexSchema:
                 is_key=name in keys,
                 k1=d.get("k1"),
                 b=d.get("b"),
-                expr_source=d.get("expr_source"),
+                # "column" is the pg_search spelling for a field that
+                # re-indexes another column under a second configuration
+                # (`ngram-text-array.sql`: all_titles_ngram.column)
+                expr_source=d.get("expr_source") or d.get("column"),
                 expr_fn=d.get("expr_fn"),
                 scale=d.get("scale"),
                 search_tokenizer=d.get("search_tokenizer"),
