@@ -22,7 +22,9 @@ def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     col = batch.column(emb_col)
     flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     n = len(col)
-    return flat.reshape(n, -1).astype(np.float32)
+    # copy=False: the flattened float32 buffer is already the right dtype
+    # (zero-copy view of the Arrow data) — astype would duplicate it
+    return flat.reshape(n, -1).astype(np.float32, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -149,6 +151,46 @@ def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+class _IvfScorer:
+    """Per-batch IVF scorer: assign rows to their nearest centroid, keep
+    rows in each query's probed cells, brute-force the survivors.  Probe
+    membership is a (nq, n_clusters) bool lookup — one O(n) gather per
+    query instead of an np.isin sort+search pass over the batch."""
+
+    def __init__(self, cent, probe, qn, emb_col, key_col, k, dtype):
+        self.cent, self.probe, self.q = cent, probe, qn
+        self.emb_col, self.key_col, self.k, self.dtype = \
+            emb_col, key_col, k, dtype
+        nb = np.zeros((len(qn), len(cent)), dtype=bool)
+        for qi, cells in enumerate(probe):
+            nb[qi, cells] = True
+        self.probe_bool = nb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.emb_col).astype(
+            self.dtype, copy=False))
+        assign = (m @ self.cent.T).argmax(1)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        k = self.k
+        out_q, out_key, out_score = [], [], []
+        for qi in range(len(self.q)):
+            mask = self.probe_bool[qi, assign]
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            sel = np.flatnonzero(mask)[idx]
+            out_q.extend([qi] * kk)
+            out_key.extend(keys[sel].tolist())
+            out_score.extend(sims[idx].astype(np.float32).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            self.key_col: pa.array(out_key),
+            "score": pa.array(out_score, pa.float32()),
+        })
+
+
 def knn_ivf(
     ds: ray.data.Dataset,
     emb_col: str,
@@ -175,47 +217,13 @@ def knn_ivf(
     cent = _normalize(_kmeans(_normalize(xs.astype(np.float32)), n_clusters))
     qn = _normalize(q)
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cent_ref = ray.put(cent)
-    probe_ref = ray.put(probe)
-    q_ref = ray.put(qn)
 
-    class IvfScorer:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.probe = ray.get(probe_ref)
-            self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, emb_col).astype(dtype))
-            assign = (m @ self.cent.T).argmax(1)
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            out_q, out_key, out_score = [], [], []
-            for qi in range(len(self.q)):
-                mask = np.isin(assign, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.q[qi]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                sel = np.flatnonzero(mask)[idx]
-                out_q.extend([qi] * kk)
-                out_key.extend(keys[sel].tolist())
-                out_score.extend(sims[idx].astype(np.float32).tolist())
-            return pa.table({
-                "query_id": pa.array(out_q, pa.int32()),
-                key_col: pa.array(out_key),
-                "score": pa.array(out_score, pa.float32()),
-            })
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    # autoscaling actor pool up to the cluster width — a hardcoded tiny
-    # pool starves a 32-CPU run (VERDICT r1 #5); centroid/probe state is
-    # fetched once per actor in __init__
-    scored = ds.map_batches(IvfScorer, batch_format="pyarrow",
-                            batch_size=None, concurrency=(1, max(2, cpus)))
+    # a callable INSTANCE runs on the task pool (the callable is put in
+    # the object store once and shared zero-copy by every task), scaling
+    # to the cluster width with no actor-pool spinup — the per-call pool
+    # previously cost ~2.5 s before the first batch was scored
+    scorer = _IvfScorer(cent, probe, qn, emb_col, key_col, k, dtype)
+    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
 
     return _merge_topk(scored, key_col, k)
 
@@ -264,6 +272,37 @@ def ivf_build(
     return cent
 
 
+class _CellScorer(_IvfScorer):
+    """_IvfScorer over an ``ivf_build`` layout: the hive partition column
+    ``__ivf_cell`` already carries each row's centroid assignment, so the
+    per-batch argmax is replaced by a column read."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.emb_col).astype(
+            self.dtype, copy=False))
+        cell = batch.column("__ivf_cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        k = self.k
+        out_q, out_key, out_score = [], [], []
+        for qi in range(len(self.q)):
+            mask = self.probe_bool[qi, cell]
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            sel = np.flatnonzero(mask)[idx]
+            out_q.extend([qi] * kk)
+            out_key.extend(keys[sel].tolist())
+            out_score.extend(sims[idx].astype(np.float32).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int32()),
+            self.key_col: pa.array(out_key),
+            "score": pa.array(out_score, pa.float32()),
+        })
+
+
 def knn_ivf_partitioned(
     index_dir: str,
     emb_col: str,
@@ -305,43 +344,10 @@ def knn_ivf_partitioned(
             lambda d: "__ivf_cell" in d and int(d["__ivf_cell"]) in cells,
             base_dir=index_dir),
         partitioning=Partitioning("hive", base_dir=index_dir))
-    q_ref = ray.put(qn)
-    probe_ref = ray.put(probe)
-
-    class CellScorer:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-            self.probe = ray.get(probe_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, emb_col).astype(dtype))
-            cell = batch.column("__ivf_cell").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            out_q, out_key, out_score = [], [], []
-            for qi in range(len(self.q)):
-                mask = np.isin(cell, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.q[qi]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                sel = np.flatnonzero(mask)[idx]
-                out_q.extend([qi] * kk)
-                out_key.extend(keys[sel].tolist())
-                out_score.extend(sims[idx].astype(np.float32).tolist())
-            return pa.table({
-                "query_id": pa.array(out_q, pa.int32()),
-                key_col: pa.array(out_key),
-                "score": pa.array(out_score, pa.float32()),
-            })
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    scored = ds.map_batches(CellScorer, batch_format="pyarrow",
-                            batch_size=None, concurrency=(1, max(2, cpus)))
+    # rows within a probed cell's files are already cell-assigned: reuse
+    # the IVF scorer with the persisted cell id instead of re-assigning
+    scorer = _CellScorer(cent, probe, qn, emb_col, key_col, k, dtype)
+    scored = ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
 
     return _merge_topk(scored, key_col, k)
 
