@@ -340,6 +340,15 @@ class StreamEngine:
             "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
         })
 
+    def drain_dead_letters(self) -> Optional[pa.Table]:
+        """Union of every partition's buffered too-late rows (side
+        output), cleared on read; None when nothing was dropped."""
+        got = ray.get([a.drain_dead_letters.remote() for a in self.actors])
+        parts = [t for t in got if t is not None]
+        if not parts:
+            return None
+        return pa.concat_tables(parts, promote_options="default")
+
     def merge_tick(self):
         return sum(ray.get([a.merge_tick.remote(self.cfg.merge_max_segments)
                             for a in self.actors]))
@@ -711,6 +720,7 @@ class EpochRunner:
                 eng = self.engine
                 eng.epoch = epoch
                 info = eng.ingest(table, epoch=epoch)
+                eng.drain_dead_letters()  # discard: emissions are history
                 eng.advance_watermark(self._watermark_for(table), epoch=epoch)
                 eng.merge_tick()
                 if epoch % self.checkpoint_every == 0 and eng.checkpoint_dir:
@@ -722,6 +732,14 @@ class EpochRunner:
         eng = self.engine
         eng.epoch = epoch
         info = eng.ingest(table, epoch=epoch)
+        # dead-letter side output: rows beyond the lateness horizon are
+        # recoverable from the sink instead of silently dropped — one file
+        # per epoch, so a crash-replay rewrites the same path (idempotent)
+        dead = eng.drain_dead_letters()
+        if dead is not None and dead.num_rows:
+            _write_atomic_parquet(
+                dead, os.path.join(self.sink_dir, "dead_letter",
+                                   f"epoch={epoch:06d}.parquet"))
         wm = self._watermark_for(table)
         sessions = eng.advance_watermark(wm, epoch=epoch)
         if sessions.num_rows:

@@ -169,6 +169,12 @@ class Bm25PartitionStore:
         self._live_rows_persisted = 0
         self.metrics_ = {"ingested": 0, "late_dropped": 0, "retractions": 0,
                          "reopened": 0, "freezes": 0, "merges": 0}
+        # dead-letter side output: rows beyond the lateness horizon are
+        # dropped from the index but buffered here (epoch, table) until
+        # the runner drains them to the sink — the streaming analogue of
+        # Flink/Beam late-data side outputs, so "late_dropped" is a
+        # recoverable stream, not silent data loss
+        self._dead_letter: list = []
 
     def _new_uid(self) -> int:
         u = self.next_seg_uid
@@ -190,6 +196,10 @@ class Bm25PartitionStore:
         n_late = int((~ok).sum())
         self.metrics_["late_dropped"] += n_late
         if n_late:
+            dead = table.filter(pa.array(~ok))
+            if "__arr" in dead.column_names:
+                dead = dead.drop_columns(["__arr"])
+            self._dead_letter.append((epoch, dead))
             table = table.filter(pa.array(ok))
             conv, turn, ts = conv[ok], turn[ok], ts[ok]
         if table.num_rows == 0:
@@ -444,6 +454,20 @@ class Bm25PartitionStore:
         self.mutable = []
         self.mutable_count = 0
         self.metrics_["freezes"] += 1
+
+    def drain_dead_letters(self) -> Optional[pa.Table]:
+        """Return and clear the buffered too-late rows (with an ``epoch``
+        column stamping the ingest epoch that rejected each row); None
+        when the buffer is empty.  The runner writes one sink file per
+        epoch, so an epoch replay rewrites the same path (idempotent)."""
+        if not self._dead_letter:
+            return None
+        parts = []
+        for epoch, t in self._dead_letter:
+            parts.append(t.append_column(
+                "epoch", pa.array([epoch] * t.num_rows, pa.int64())))
+        self._dead_letter = []
+        return pa.concat_tables(parts, promote_options="default")
 
     # -- windows / watermark ------------------------------------------------
 

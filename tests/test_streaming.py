@@ -147,6 +147,61 @@ def test_late_beyond_lateness_dropped(ray_session):
         eng.ingest(old)
         assert eng.num_docs() == 0
         assert sum(x["late_dropped"] for x in eng.metrics()) == 1
+        # the dropped row is recoverable from the dead-letter side output
+        dead = eng.drain_dead_letters()
+        assert dead.num_rows == 1
+        assert dead.column("conv_id").to_pylist() == ["z"]
+        assert dead.column("text").to_pylist() == ["ancient"]
+        assert "epoch" in dead.column_names
+        assert "__arr" not in dead.column_names
+        # drain clears the buffer
+        assert eng.drain_dead_letters() is None
+    finally:
+        eng.shutdown()
+
+
+def test_dead_letter_sink_files(ray_session, tmp_path):
+    """EpochRunner writes too-late rows under sink/dead_letter, one file
+    per epoch; replaying a committed epoch does not duplicate them."""
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000_000_000
+
+    def turn(conv, idx, text, ts):
+        return pa.table({
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([idx], pa.int32()),
+            "role": pa.array(["user"]), "text": pa.array([text]),
+            "tool": pa.array([""]),
+            "ts": pa.array([ts], pa.timestamp("us"))})
+
+    e0 = pa.concat_tables([turn("a", 0, "hello world", t0),
+                           turn("b", 0, "more data", t0 + 5_000_000)])
+    # epoch 1 carries one fresh row and one row far beyond the lateness
+    # horizon established by epoch 0's watermark
+    e1 = pa.concat_tables([turn("c", 0, "fresh row", t0 + 6_000_000),
+                           turn("z", 9, "ancient row", t0 - 9_000_000_000)])
+    sink = str(tmp_path / "sink")
+    eng = _engine(parts=2, lateness_us=1_000_000)
+    try:
+        r = EpochRunner(eng, sink, {"q": pdb.term("text", "hello")},
+                        topk=5, columns=["conv_id", "turn_idx", "score"])
+        r.run([e0, e1])
+        dl_dir = os.path.join(sink, "dead_letter")
+        files = sorted(os.listdir(dl_dir))
+        assert files == ["epoch=000001.parquet"]
+        got = pq.read_table(os.path.join(dl_dir, files[0]))
+        assert got.num_rows == 1
+        assert got.column("conv_id").to_pylist() == ["z"]
+        assert got.column("epoch").to_pylist() == [1]
+        # replay: both epochs are committed -> skipped, no new files, no
+        # duplicated dead letters
+        r2 = EpochRunner(eng, sink, {"q": pdb.term("text", "hello")},
+                         topk=5, columns=["conv_id", "turn_idx", "score"])
+        r2.run([e0, e1])
+        got2 = pq.read_table(os.path.join(dl_dir, "epoch=000001.parquet"))
+        assert got2.num_rows == 1
+        assert sorted(os.listdir(dl_dir)) == ["epoch=000001.parquet"]
     finally:
         eng.shutdown()
 
