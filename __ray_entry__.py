@@ -1119,6 +1119,18 @@ def _q_dedup_embedding(sf):
                                      "vec_id", threshold=0.9)
 
 
+def _q_chunk_docs(sf):
+    """Sliding token-window chunking (max 32 tokens, overlap 8): the
+    fixture text is single-space separated, so the DuckDB oracle rebuilds
+    each chunk with list_slice + array_to_string."""
+    from paradedb_ray.functions.text_analysis import chunk_documents
+
+    out = chunk_documents(_docs(sf, columns=["doc_id", "text"]),
+                          "text", "doc_id", max_tokens=32, overlap=8)
+    return out.select_columns(["doc_id", "chunk_idx", "chunk_text",
+                               "n_tokens"])
+
+
 def _q_multimodal_decode(sf):
     from paradedb_ray.pipelines.multimodal import (
         decode_media,
@@ -1413,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ngram_contains": _q_search_ngram_contains,
         "search_ngram_phrase": _q_search_ngram_phrase,
         "search_edge_prefix": _q_search_edge_prefix,
+        "chunk_docs": _q_chunk_docs,
         # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
@@ -1593,6 +1606,19 @@ def oracle_sql() -> dict[str, str]:
         "search_edge_prefix":
             "SELECT doc_id FROM documents"
             " WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spa')",
+        "chunk_docs":
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM documents),"
+            " s AS (SELECT doc_id, toks,"
+            "  unnest(generate_series(1, greatest(len(toks), 1), 24))"
+            "   AS start FROM t)"
+            " SELECT doc_id,"
+            "  CAST((start - 1) / 24 AS INTEGER) AS chunk_idx,"
+            "  array_to_string(list_slice(toks, start,"
+            "   least(start + 31, len(toks))), ' ') AS chunk_text,"
+            "  CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER)"
+            "   AS n_tokens"
+            " FROM s",
         "search_term_set":
             f"SELECT doc_id FROM documents WHERE list_has_any({_TOKS}, ['spark', 'vector'])",
         "search_boolean":

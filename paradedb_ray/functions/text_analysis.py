@@ -258,3 +258,59 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str,
         return batch.append_column(out_col, pa.array(vals, pa.int64()))
 
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)
+
+
+# -- document chunking --------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def chunk_documents(ds: ray.data.Dataset, text_col: str, key_col: str,
+                    max_tokens: int = 128, overlap: int = 0,
+                    ) -> ray.data.Dataset:
+    """Sliding token-window chunking — the training-data op that splits
+    long documents into model-context-sized pieces.
+
+    Chunks start every ``max_tokens - overlap`` whitespace tokens; each
+    chunk covers up to ``max_tokens`` tokens.  ``chunk_text`` is the
+    ORIGINAL text slice between the first and last covered token (inner
+    whitespace preserved), with exact char offsets for traceability.
+    Output: (key, chunk_idx, chunk_text, n_tokens, char_start, char_end),
+    one row per chunk, NULL/empty docs dropped.  Stateless vectorized-
+    per-batch map_batches — chunk boundaries are a pure function of each
+    row, so any block partitioning yields the same chunks.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        row_idx, cidx, ctext, ntok, cs, ce = [], [], [], [], [], []
+        for r, txt in enumerate(texts):
+            if not txt:
+                continue
+            spans = [(m.start(), m.end())
+                     for m in _WS_TOKEN_RE.finditer(txt)]
+            n = len(spans)
+            if n == 0:
+                continue
+            for ci, start in enumerate(range(0, n, step)):
+                stop = min(start + max_tokens, n)
+                row_idx.append(r)
+                cidx.append(ci)
+                ctext.append(txt[spans[start][0]:spans[stop - 1][1]])
+                ntok.append(stop - start)
+                cs.append(spans[start][0])
+                ce.append(spans[stop - 1][1])
+        keys = batch.column(key_col).take(pa.array(row_idx, pa.int64()))
+        return pa.table({
+            key_col: keys,
+            "chunk_idx": pa.array(cidx, pa.int32()),
+            "chunk_text": pa.array(ctext, pa.string()),
+            "n_tokens": pa.array(ntok, pa.int32()),
+            "char_start": pa.array(cs, pa.int64()),
+            "char_end": pa.array(ce, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -512,3 +512,33 @@ def test_knn_ivf_exhaustive_probe_equals_brute(ray_session):
                   dtype=np.float64).take_all()
     key = lambda r: (r["query_id"], r["vec_id"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_chunk_documents(ray_session):
+    """Sliding token-window chunking: chunk_text preserves ORIGINAL inner
+    whitespace, char offsets are exact, overlap repeats the tail tokens,
+    null/empty docs drop, overlap >= max_tokens rejects."""
+    import pyarrow as pa
+    import pytest
+
+    from paradedb_ray.functions.text_analysis import chunk_documents
+
+    txt = "a  bb\tccc dddd eee"  # irregular whitespace, 5 tokens
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([txt, None, ""])})
+    ds = ray.data.from_arrow(t)
+    out = chunk_documents(ds, "text", "doc_id",
+                          max_tokens=3, overlap=1).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # starts at 0, 2, 4 (step 2): tokens [a,bb,ccc], [ccc,dddd,eee], [eee]
+    assert out["doc_id"].tolist() == [1, 1, 1]
+    assert out["chunk_text"].tolist() == [
+        "a  bb\tccc", "ccc dddd eee", "eee"]
+    assert out["n_tokens"].tolist() == [3, 3, 1]
+    assert out["char_start"].tolist() == [0, 6, 15]
+    assert out["char_end"].tolist() == [9, 18, 18]
+    # char offsets index back into the original text exactly
+    for _, r in out.iterrows():
+        assert txt[r["char_start"]:r["char_end"]] == r["chunk_text"]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, "text", "doc_id", max_tokens=4, overlap=4)
