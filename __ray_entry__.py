@@ -1131,6 +1131,43 @@ def _q_chunk_docs(sf):
                                "n_tokens"])
 
 
+def _q_scrub_pii(sf):
+    """PII masking over deterministically planted spans: each doc gains
+    an email + phone + IP suffix derived from doc_id (the fixture itself
+    is PII-free), then the scrubber masks them.  DuckDB's regexp_replace
+    is the same RE2 engine as Arrow's kernel, so replacement semantics
+    match byte-for-byte."""
+    from paradedb_ray.functions.text_analysis import scrub_text
+
+    def plant(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            [f" contact u{i}@example.com or +1 555-0100 at 10.0.0.{i % 250 + 1}"
+             for i in ids], pa.string())
+        i = b.column_names.index("text")
+        return b.set_column(
+            i, "text",
+            pc.binary_join_element_wise(b.column("text"), suffix, ""))
+
+    ds = _docs(sf, columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None)
+    return scrub_text(ds, "text", out_col="scrubbed").select_columns(
+        ["doc_id", "scrubbed"])
+
+
+def _q_decontaminate(sf):
+    """Eval-decontamination: drop documents containing any benchmark
+    needle (case-insensitive exact substring)."""
+    from paradedb_ray.functions.text_analysis import decontaminate
+
+    out = decontaminate(_docs(sf, columns=["doc_id", "text"]),
+                        "text", ["spark batch", "merge join"])
+    return out.select_columns(["doc_id"])
+
+
 def _q_multimodal_decode(sf):
     from paradedb_ray.pipelines.multimodal import (
         decode_media,
@@ -1426,6 +1463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ngram_phrase": _q_search_ngram_phrase,
         "search_edge_prefix": _q_search_edge_prefix,
         "chunk_docs": _q_chunk_docs,
+        "scrub_pii": _q_scrub_pii,
+        "decontaminate": _q_decontaminate,
         # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
@@ -1619,6 +1658,24 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER)"
             "   AS n_tokens"
             " FROM s",
+        "scrub_pii":
+            "WITH planted AS (SELECT doc_id,"
+            " text || ' contact u' || CAST(doc_id AS VARCHAR)"
+            "  || '@example.com or +1 555-0100 at 10.0.0.'"
+            "  || CAST(doc_id % 250 + 1 AS VARCHAR) AS text"
+            " FROM documents)"
+            " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "  text,"
+            "  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',"
+            "  '<EMAIL>', 'g'),"
+            "  '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g'),"
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',"
+            "  '<IP>', 'g') AS scrubbed"
+            " FROM planted",
+        "decontaminate":
+            "SELECT doc_id FROM documents"
+            " WHERE NOT (contains(lower(text), 'spark batch')"
+            "  OR contains(lower(text), 'merge join'))",
         "search_term_set":
             f"SELECT doc_id FROM documents WHERE list_has_any({_TOKS}, ['spark', 'vector'])",
         "search_boolean":

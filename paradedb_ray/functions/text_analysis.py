@@ -314,3 +314,60 @@ def chunk_documents(ds: ray.data.Dataset, text_col: str, key_col: str,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+#: default masks: email, international-ish phone, IPv4 — each vectorized
+#: through Arrow's RE2 kernel in one pass per pattern
+DEFAULT_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_text(ds: ray.data.Dataset, text_col: str,
+               patterns=DEFAULT_PII_PATTERNS,
+               out_col: Optional[str] = None) -> ray.data.Dataset:
+    """Mask PII-shaped spans: each (regex, replacement) pair applies in
+    order via ``pc.replace_substring_regex`` (RE2, whole column per call
+    — no Python row loop).  Writes ``out_col`` (default: in place)."""
+    dst = out_col or text_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        for pat, repl in patterns:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        if dst in batch.column_names:
+            return batch.set_column(batch.column_names.index(dst), dst, col)
+        return batch.append_column(dst, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# -- benchmark decontamination -------------------------------------------------
+
+
+def decontaminate(ds: ray.data.Dataset, text_col: str, needles,
+                  case_insensitive: bool = True) -> ray.data.Dataset:
+    """Drop documents containing ANY of the benchmark strings — exact
+    substring containment, the standard eval-decontamination filter.
+    The needle list is broadcast inside the (pickled-once) closure;
+    each needle is one vectorized ``pc.match_substring`` pass."""
+    needles = tuple(needles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        bad = None
+        for n in needles:
+            hit = pc.match_substring(col, pattern=n,
+                                     ignore_case=case_insensitive)
+            bad = hit if bad is None else pc.or_kleene(bad, hit)
+        if bad is None:
+            return batch
+        keep = pc.fill_null(pc.invert(bad), True)  # NULL text: keep
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
