@@ -1168,6 +1168,15 @@ def _q_decontaminate(sf):
     return out.select_columns(["doc_id"])
 
 
+def _q_pack_bins(sf):
+    """Fixed-boundary sample packing into 256-token bins, doc_id order."""
+    from paradedb_ray.functions.text_analysis import pack_documents
+
+    out = pack_documents(_docs(sf, columns=["doc_id", "text"]),
+                         "text", "doc_id", budget=256)
+    return out.select_columns(["doc_id", "n_tokens", "bin"])
+
+
 def _q_multimodal_decode(sf):
     from paradedb_ray.pipelines.multimodal import (
         decode_media,
@@ -1465,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "scrub_pii": _q_scrub_pii,
         "decontaminate": _q_decontaminate,
+        "pack_bins": _q_pack_bins,
         # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
@@ -1676,6 +1686,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents"
             " WHERE NOT (contains(lower(text), 'spark batch')"
             "  OR contains(lower(text), 'merge join'))",
+        "pack_bins":
+            "WITH t AS (SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+            " FROM documents),"
+            " c AS (SELECT doc_id, n_tokens,"
+            "  sum(n_tokens) OVER (ORDER BY doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   - n_tokens AS before_ FROM t)"
+            " SELECT doc_id, n_tokens,"
+            "  CAST(floor(before_ / 256) AS BIGINT) AS bin FROM c",
         "search_term_set":
             f"SELECT doc_id FROM documents WHERE list_has_any({_TOKS}, ['spark', 'vector'])",
         "search_boolean":

@@ -371,3 +371,51 @@ def decontaminate(ds: ray.data.Dataset, text_col: str, needles,
         return batch.filter(keep)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# -- sample packing -------------------------------------------------------------
+
+
+def pack_documents(ds: ray.data.Dataset, text_col: str, key_col: str,
+                   budget: int, partition_cols: Optional[list] = None,
+                   ) -> ray.data.Dataset:
+    """Fixed-boundary sample packing: assign each document to the
+    context-window bin its starting token offset falls in —
+    ``bin = tokens_before // budget`` with documents ordered by
+    ``key_col`` inside each partition.  Deterministic (a pure function
+    of the partition's ordered token counts), so any block layout yields
+    the same bins, and SQL-expressible for the oracle (a window
+    running sum).
+
+    At 100-TB scale pass ``partition_cols`` (e.g. a shard key): packing
+    is then partition-local — one shuffle, no global order — which is
+    how production packing runs; the global (no-partition) form is for
+    small corpora and testing.  Output adds (n_tokens, bin).
+    """
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    ds = add_token_count(ds, text_col, mode="whitespace")
+    part = list(partition_cols) if partition_cols else []
+    if not part:
+        # single global partition: constant key (small-corpus form)
+        def const(b: pa.Table) -> pa.Table:
+            return b.append_column("__pack_part",
+                                   pa.array([0] * b.num_rows, pa.int32()))
+
+        ds = ds.map_batches(const, batch_format="pyarrow", batch_size=None)
+        part = ["__pack_part"]
+    out = partitioned_window(
+        ds, part, [(key_col, "ascending")],
+        {"__cum": ("running_sum", "n_tokens")})
+
+    def binize(b: pa.Table) -> pa.Table:
+        cum = b.column("__cum").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        before = (cum - n).astype(np.int64)
+        bins = before // budget
+        b = b.append_column("bin", pa.array(bins, pa.int64()))
+        return b.drop_columns(["__cum"] + (["__pack_part"]
+                                           if "__pack_part" in b.column_names
+                                           else []))
+
+    return out.map_batches(binize, batch_format="pyarrow", batch_size=None)
