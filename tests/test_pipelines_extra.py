@@ -542,3 +542,43 @@ def test_chunk_documents(ray_session):
         assert txt[r["char_start"]:r["char_end"]] == r["chunk_text"]
     with pytest.raises(ValueError):
         chunk_documents(ds, "text", "doc_id", max_tokens=4, overlap=4)
+
+
+def test_scrub_and_decontaminate_and_pack(ray_session):
+    import pyarrow as pa
+
+    from paradedb_ray.functions.text_analysis import (
+        decontaminate,
+        pack_documents,
+        scrub_text,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "mail me at bob.smith+x@corp.io today",
+            "call +1 555-0199 1234 or visit 192.168.0.7 now",
+            "clean document with no pii",
+            None,
+        ])})
+    ds = ray.data.from_arrow(t)
+    out = scrub_text(ds, "text").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out["text"][0] == "mail me at <EMAIL> today"
+    assert out["text"][1] == "call <PHONE> or visit <IP> now"
+    assert out["text"][2] == "clean document with no pii"
+    assert out["text"][3] is None
+
+    kept = decontaminate(ray.data.from_arrow(t), "text",
+                         ["NO PII"]).to_pandas()
+    # case-insensitive needle hit drops doc 3; NULL text rows are kept
+    assert sorted(kept["doc_id"].tolist()) == [1, 2, 4]
+
+    pt = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                   "text": pa.array(["a b c", "d e", "f g h i", "j"])})
+    packed = pack_documents(ray.data.from_arrow(pt), "text", "doc_id",
+                            budget=4).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # token starts: 0, 3, 5, 9 -> bins 0, 0, 1, 2
+    assert packed["n_tokens"].tolist() == [3, 2, 4, 1]
+    assert packed["bin"].tolist() == [0, 0, 1, 2]
