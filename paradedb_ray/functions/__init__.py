@@ -4,4 +4,8 @@ from paradedb_ray.functions.text_analysis import (  # noqa: F401
     add_quality_score,
     add_langid,
     add_fingerprint,
+    chunk_documents,
+    scrub_text,
+    decontaminate,
+    pack_documents,
 )
