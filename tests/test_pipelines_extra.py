@@ -582,3 +582,68 @@ def test_scrub_and_decontaminate_and_pack(ray_session):
     # token starts: 0, 3, 5, 9 -> bins 0, 0, 1, 2
     assert packed["n_tokens"].tolist() == [3, 2, 4, 1]
     assert packed["bin"].tolist() == [0, 0, 1, 2]
+
+
+def test_chunk_pack_invariants_random(ray_session):
+    """Randomized invariants over messy-whitespace docs (one Ray pass):
+
+    * every chunk's text slice reproduces exactly from its char offsets,
+    * de-overlapped chunk token streams reconstruct the full token list,
+    * consecutive chunks share exactly `overlap` tokens (except the tail),
+    * pack bins are nondecreasing in key order and bin boundaries match
+      the running token count.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from paradedb_ray.functions.text_analysis import (
+        chunk_documents,
+        pack_documents,
+    )
+
+    rng = np.random.default_rng(20260818)
+    words = ["alpha", "be", "gamma!", "d,e", "<eos>", "x9", "Zz"]
+    seps = [" ", "  ", "\t", "\n", " \t "]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(1, 40))
+        parts = []
+        for j in range(n):
+            parts.append(words[int(rng.integers(0, len(words)))])
+            parts.append(seps[int(rng.integers(0, len(seps)))])
+        docs.append("".join(parts[:-1]))
+    t = pa.table({"doc_id": pa.array(list(range(60)), pa.int64()),
+                  "text": pa.array(docs)})
+
+    MAXT, OV = 7, 3
+    out = chunk_documents(ray.data.from_arrow(t), "text", "doc_id",
+                          max_tokens=MAXT, overlap=OV).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"])
+    for doc_id, g in out.groupby("doc_id"):
+        txt = docs[doc_id]
+        toks = txt.split()
+        rebuilt = []
+        prev_tokens = None
+        for k, r in enumerate(g.itertuples()):
+            assert txt[r.char_start:r.char_end] == r.chunk_text
+            ctoks = r.chunk_text.split()
+            assert len(ctoks) == r.n_tokens <= MAXT
+            if prev_tokens is not None and k < len(g):
+                # consecutive chunks overlap by OV tokens unless the tail
+                # chunk is shorter than the overlap
+                shared = min(OV, len(ctoks))
+                assert prev_tokens[-shared:] == ctoks[:shared] or \
+                    len(ctoks) < OV
+            rebuilt.extend(ctoks if prev_tokens is None else ctoks[OV:])
+            prev_tokens = ctoks
+        assert rebuilt == toks, doc_id
+
+    packed = pack_documents(ray.data.from_arrow(t), "text", "doc_id",
+                            budget=16).to_pandas().sort_values("doc_id")
+    bins = packed["bin"].tolist()
+    ns = packed["n_tokens"].tolist()
+    assert bins == sorted(bins)  # nondecreasing in key order
+    before = 0
+    for n, b in zip(ns, bins):
+        assert b == before // 16
+        before += n
