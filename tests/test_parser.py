@@ -211,3 +211,33 @@ def test_datetime_precision_terms():
     assert ids(pdb.term("t", "2025-01-28T18:19:14.079Z")) == [2]
     assert ids(pdb.term("t", "2025-01-28T18:19:14.078001Z")) == []
     assert ids(pdb.term("t", "2025-01-28T18:19:14Z")) == []
+
+
+def test_composite_multitoken_term_is_phrase():
+    """`composite.out`: a bare parse term that the field tokenizer splits
+    into several tokens ('PostgreSQL_Guide' -> postgresql, guide) becomes
+    a tokenized PHRASE — adjacency required, order-sensitive."""
+    import pyarrow as pa
+
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.query import ast
+    from paradedb_ray.schema import IndexSchema
+
+    schema = IndexSchema.build("id", title={"type": "text"},
+                               body={"type": "text"})
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "title": pa.array(["PostgreSQL_Guide", "Search_Tutorial"]),
+        "body": pa.array(["Learn_PostgreSQL_basics",
+                          "Full_text_search_techniques"])})
+    s = Searcher(build_segment(t, schema), schema)
+
+    def ids(q):
+        return sorted(t.column("id").to_numpy()[s.eval(q).ids].tolist())
+
+    assert ids(ast.ParseWithField("title", "PostgreSQL_Guide")) == [1]
+    assert ids(ast.ParseWithField("body",
+                                  "Full_text_search_techniques")) == [2]
+    # order matters: the reversed word pair matches nothing even though
+    # both tokens exist in row 1's title/body
+    assert ids(ast.ParseWithField("title", "Guide_PostgreSQL")) == []
