@@ -661,6 +661,141 @@ def _q_join_left_outer(sf):
                           right_columns=["n_big"])
 
 
+def _q_agg_join_multi(sf):
+    """3-table join + grouped aggregate with GROUP BY keys drawn from a
+    JOINED dimension (`aggregate_join_multitable.sql` sections 1+5):
+    orders x customer x nation, grouped by (n_name, o_orderpriority).
+    Both dimension sides broadcast once; one grouped shuffle."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders",
+             columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 150000.0))
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _tbl(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    j = broadcast_join(j, n, on="c_nationkey", right_on="n_nationkey",
+                       how="inner")
+    return sql_aggregate(j, ["n_name", "o_orderpriority"],
+                         {"n_orders": ("count_star", None),
+                          "min_price": ("min", "o_totalprice"),
+                          "max_price": ("max", "o_totalprice")})
+
+
+def _q_agg_join_multi4(sf):
+    """4-table join + grouped aggregate
+    (`aggregate_join_multitable.sql` section 2): orders x customer x
+    nation x region grouped by region name."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 200000.0))
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _tbl(sf, "nation", columns=["n_nationkey", "n_regionkey"])
+    r = _tbl(sf, "region", columns=["r_regionkey", "r_name"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    j = broadcast_join(j, n, on="c_nationkey", right_on="n_nationkey",
+                       how="inner")
+    j = broadcast_join(j, r, on="n_regionkey", right_on="r_regionkey",
+                       how="inner")
+    return sql_aggregate(j, ["r_name"],
+                         {"n_orders": ("count_star", None),
+                          "max_price": ("max", "o_totalprice")})
+
+
+def _q_agg_join_distinct(sf):
+    """COUNT(DISTINCT) over a 3-table join
+    (`aggregate_join_multitable.sql` section 9): distinct priorities per
+    nation — two-stage hash-distinct after the broadcast joins."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    n = _tbl(sf, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    j = broadcast_join(j, n, on="c_nationkey", right_on="n_nationkey",
+                       how="inner")
+    return sql_aggregate(j, ["n_name"],
+                         {"n_prio": ("cardinality", "o_orderpriority"),
+                          "n_orders": ("count_star", None)})
+
+
+def _q_agg_join_having(sf):
+    """HAVING over a join aggregate (`aggregate_join_multitable.sql`
+    section 6): the post-aggregate filter is a stateless map_batches over
+    the (small) grouped result."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    agg = sql_aggregate(j, ["c_nationkey", "o_orderpriority"],
+                        {"n_orders": ("count_star", None)})
+    return filter_batches(
+        agg, lambda b: pc.greater(b.column("n_orders"), 20))
+
+
+def _q_join_orderby_expr(sf):
+    """ORDER BY an order-preserving expression over a join + LIMIT
+    (`join_orderby_expression.sql` test 2: `ORDER BY id + 0 DESC`): the
+    expression is derived per batch, per-block heads merge in O(CPUs)
+    chunked tasks (`relational.topk_by`)."""
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches, topk_by
+
+    o = _tbl(sf, "orders",
+             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 300000.0))
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_name"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column("ord_expr",
+                               pc.add(b.column("o_orderkey"), 0))
+
+    j = j.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return topk_by(j, [("ord_expr", "descending")], 20,
+                   columns=["o_orderkey", "c_name"])
+
+
+def _q_join_orderby_nulls(sf):
+    """ORDER BY a nullable join-produced column DESC NULLS FIRST + LIMIT
+    (`join_order_by.sql` test 7 shape): unmatched LEFT-JOIN rows carry
+    NULL and must lead; tie-broken by key for a total order."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches, topk_by
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = filter_batches(
+        li, lambda b: pc.greater(b.column("l_quantity"), 49))
+    counts = sql_aggregate(li, ["l_orderkey"],
+                           {"n_big": ("count_star", None)})
+    o = _tbl(sf, "orders", columns=["o_orderkey"])
+    j = broadcast_join(o, counts, on="o_orderkey",
+                       right_on="l_orderkey", how="left",
+                       right_columns=["n_big"])
+    return topk_by(j, [("n_big", "descending"),
+                       ("o_orderkey", "ascending")], 25,
+                   null_placement="at_start",
+                   columns=["o_orderkey", "n_big"])
+
+
 def _q_distinct(sf):
     from paradedb_ray.pipelines.relational import distinct
 
@@ -1523,6 +1658,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
         "knn_ivf_exact": _q_knn_ivf_exact,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        # --- NEW in round 5: aggregate-over-join breadth
+        # (`aggregate_join_multitable.sql`, `join_order_by.sql` family) ---
+        "agg_join_multi": _q_agg_join_multi,
+        "agg_join_multi4": _q_agg_join_multi4,
+        "agg_join_distinct": _q_agg_join_distinct,
+        "agg_join_having": _q_agg_join_having,
+        "join_orderby_expr": _q_join_orderby_expr,
+        "join_orderby_nulls": _q_join_orderby_nulls,
         # --- rows-only entries displaced past the window (driver rows
         # from r1/r2; their count-only check gains nothing from changed
         # values, and all are re-verified locally both SFs each round) ---
@@ -1831,6 +1974,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_orders FROM orders"
             " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
             " WHERE l_quantity > 45) GROUP BY o_orderpriority",
+        "agg_join_multi":
+            "SELECT n_name, o_orderpriority, count(*) AS n_orders,"
+            " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " WHERE o_totalprice > 150000"
+            " GROUP BY n_name, o_orderpriority",
+        "agg_join_multi4":
+            "SELECT r_name, count(*) AS n_orders,"
+            " max(o_totalprice) AS max_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE o_totalprice > 200000 GROUP BY r_name",
+        "agg_join_distinct":
+            "SELECT n_name, count(DISTINCT o_orderpriority) AS n_prio,"
+            " count(*) AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        "agg_join_having":
+            "SELECT c_nationkey, o_orderpriority, count(*) AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_nationkey, o_orderpriority HAVING count(*) > 20",
+        "join_orderby_expr":
+            "SELECT o_orderkey, c_name FROM orders JOIN customer"
+            " ON o_custkey = c_custkey WHERE o_totalprice > 300000"
+            " ORDER BY o_orderkey + 0 DESC LIMIT 20",
+        "join_orderby_nulls":
+            "SELECT o_orderkey, n_big FROM orders"
+            " LEFT JOIN (SELECT l_orderkey, count(*) AS n_big"
+            " FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey)"
+            " ON o_orderkey = l_orderkey"
+            " ORDER BY n_big DESC NULLS FIRST, o_orderkey LIMIT 25",
         "join_hash":
             "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity > 45",

@@ -994,13 +994,36 @@ def percentiles_tdigest_agg(
             fin, batch_format="pyarrow").map_batches(
             lambda t: _sentinel_decode(t, group_by),
             batch_format="pyarrow", batch_size=None)
-    # ungrouped: one O(compression) digest per block — driver merge is tiny
-    d = TDigest.merge_all(
-        [TDigest.from_bytes(r["__td"], compression)
-         for r in partials.take_all()], compression)
+    # ungrouped: fan-in-32 tree-reduce of the per-block digests (t-digest
+    # merge is the sketch's own combine op) — O(log B) task waves, the
+    # driver unpickles exactly one O(compression) digest regardless of
+    # block count
+    from paradedb_ray.stages.search_stages import tree_reduce_refs
+
+    refs = tree_reduce_refs(partials.to_arrow_refs(),
+                            _merge_tdigest_parts, compression)
+    if refs:
+        d = TDigest.merge_all(
+            [TDigest.from_bytes(b.as_py(), compression)
+             for b in ray.get(refs[0]).column("__td")], compression)
+    else:
+        d = TDigest.empty(compression)
     row = {keyname(p): (d.percentile(p) if d.count else None)
            for p in percents}
     return ray.data.from_items([row])
+
+
+@ray.remote
+def _merge_tdigest_parts(compression: float, *tabs: pa.Table) -> pa.Table:
+    """Tree-reduce node: merge the ``__td`` digests of up to fan-in child
+    tables into one single-digest table (t-digest merge is the sketch's
+    associative combine)."""
+    from paradedb_ray.functions.tdigest import TDigest
+
+    d = TDigest.merge_all(
+        [TDigest.from_bytes(b.as_py(), compression)
+         for t in tabs for b in t.column("__td")], compression)
+    return pa.table({"__td": pa.array([d.to_bytes()], pa.binary())})
 
 
 def _dist_count_valid(ds: ray.data.Dataset, col: str) -> int:
@@ -1009,13 +1032,36 @@ def _dist_count_valid(ds: ray.data.Dataset, col: str) -> int:
         return pa.table({"n": pa.array([int((~np.isnan(x)).sum())],
                                        pa.int64())})
 
-    return sum(r["n"] for r in ds.map_batches(
-        cnt, batch_format="pyarrow", batch_size=None).take_all())
+    # native distributive sum — per-block partials reduce inside Ray, the
+    # driver receives one scalar (was a take_all + O(B) driver loop)
+    total = ds.map_batches(cnt, batch_format="pyarrow",
+                           batch_size=None).sum("n")
+    return int(total or 0)
 
 
 #: fetch at most this many raw values onto the driver per refinement
 _QUANTILE_FETCH_LIMIT = 2_000_000
 _QUANTILE_BUCKETS = 4096
+
+
+@ray.remote
+def _merge_hist_parts(*tabs: pa.Table) -> pa.Table:
+    """Tree-reduce node for `_dist_rank_values`: sum per-block bucket
+    counts and min/max the per-bucket bounds (all associative — the tree
+    is bit-identical to a flat driver merge)."""
+    import pickle as _pickle
+
+    counts = np.zeros(_QUANTILE_BUCKETS, np.int64)
+    bmin = np.full(_QUANTILE_BUCKETS, np.inf)
+    bmax = np.full(_QUANTILE_BUCKETS, -np.inf)
+    for t in tabs:
+        for buf in t.column("part").to_pylist():
+            c, mn, mx = _pickle.loads(buf)
+            counts += c
+            bmin = np.minimum(bmin, mn)
+            bmax = np.maximum(bmax, mx)
+    payload = _pickle.dumps((counts, bmin, bmax))
+    return pa.table({"part": pa.array([payload], pa.binary())})
 
 
 def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
@@ -1053,16 +1099,24 @@ def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
             payload = _pickle.dumps((counts, bmin, bmax))
             return pa.table({"part": pa.array([payload], pa.binary())})
 
-        rows = ds.map_batches(part, batch_format="pyarrow",
-                              batch_size=None).take_all()
+        # fan-in-32 tree-reduce: counts are integer sums, bmin/bmax are
+        # min/max — associative, so the tree is bit-identical to the old
+        # O(B) driver loop at any block count
+        from paradedb_ray.stages.search_stages import tree_reduce_refs
+
+        refs = tree_reduce_refs(
+            ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs(),
+            _merge_hist_parts)
         counts = np.zeros(_QUANTILE_BUCKETS, np.int64)
         bmin = np.full(_QUANTILE_BUCKETS, np.inf)
         bmax = np.full(_QUANTILE_BUCKETS, -np.inf)
-        for r in rows:
-            c, mn, mx = _pickle.loads(r["part"])
-            counts += c
-            bmin = np.minimum(bmin, mn)
-            bmax = np.maximum(bmax, mx)
+        if refs:
+            for buf in ray.get(refs[0]).column("part").to_pylist():
+                c, mn, mx = _pickle.loads(buf)
+                counts += c
+                bmin = np.minimum(bmin, mn)
+                bmax = np.maximum(bmax, mx)
         return counts, bmin, bmax
 
     def fetch(lo: float, hi: float) -> np.ndarray:
@@ -1109,10 +1163,13 @@ def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
         return pa.table({"lo": pa.array([float(x.min())]),
                          "hi": pa.array([float(x.max())])})
 
-    rows = ds.map_batches(mm, batch_format="pyarrow",
-                          batch_size=None).take_all()
-    lo = min(r["lo"] for r in rows)
-    hi = max(r["hi"] for r in rows)
+    # native distributive min/max over the per-block bounds — no driver loop
+    agg = ds.map_batches(mm, batch_format="pyarrow",
+                         batch_size=None).aggregate(
+        Min(on="lo", alias_name="lo"), Max(on="hi", alias_name="hi")) or {}
+    lo, hi = agg.get("lo"), agg.get("hi")
+    if lo is None or hi is None:
+        return {}
     out: dict = {}
     if lo == hi:
         return {g: float(lo) for g in ranks}

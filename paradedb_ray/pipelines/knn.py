@@ -13,6 +13,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -75,7 +76,8 @@ class _BruteScorer:
             out_score.extend(col[idx].astype(np.float32).tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int32()),
-            self.key_col: pa.array(out_key),
+            self.key_col: pa.array(out_key,
+                                   type=batch.column(self.key_col).type),
             "score": pa.array(out_score, pa.float32()),
         })
 
@@ -137,6 +139,73 @@ def knn_brute(
 # ---------------------------------------------------------------------------
 
 
+@ray.remote
+def _merge_sample_parts(sample_size: int, *tabs: pa.Table) -> pa.Table:
+    """Tree-reduce node for `_centroid_sample`: keep the global
+    ``sample_size`` lowest-priority rows (priority = deterministic hash
+    of the vector bytes + seed, so bottom-k == a uniform seeded sample
+    without replacement — associative under min-k merge).  ALWAYS sorted
+    by priority: block arrival order is not deterministic under load, so
+    the canonical priority order is what makes the sample (and the
+    k-means seeded from it) a pure function of (corpus, seed)."""
+    t = pa.concat_tables(tabs, promote_options="default")
+    idx = pc.sort_indices(t, sort_keys=[("__pri", "ascending")])
+    return t.take(idx[:sample_size])
+
+
+def _centroid_sample(ds: ray.data.Dataset, emb_col: str,
+                     sample_size: int, seed: int = 42) -> np.ndarray:
+    """Seeded DISTRIBUTED uniform sample of ``sample_size`` vectors for
+    centroid training (VERDICT r4 #3: ``ds.limit(n)`` took the FIRST n
+    rows — biased on corpora sorted by time/source, silently degrading
+    recall).  Each row's priority is an order-independent hash of its
+    vector bytes mixed with the seed; per-block bottom-k partials
+    tree-reduce (fan-in 32) to the global bottom-k, so the sample is a
+    pure function of (corpus contents, seed) — deterministic, unbiased
+    by row order, and never materializes more than O(blocks-in-flight x
+    sample_size) rows anywhere."""
+    from paradedb_ray.stages.search_stages import tree_reduce_refs
+
+    useed = np.uint64(seed)
+
+    def part(t: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(
+            _batch_matrix(t, emb_col).astype(np.float32, copy=False))
+        n, d = m.shape
+        pri = np.empty(0, np.uint64)
+        if n:
+            w = m.view(np.uint32).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = np.full(n, useed ^ np.uint64(0x9E3779B97F4A7C15),
+                            np.uint64)
+                for j in range(d):  # FNV-style fold, vectorized over rows
+                    h = (h ^ w[:, j]) * np.uint64(0x100000001B3)
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+            pri = h
+        # always priority-sorted (not just when trimming): downstream
+        # concat order then never depends on block arrival order
+        keep = np.argsort(pri, kind="stable")[:sample_size]
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(m[keep].ravel(), pa.float32()), d)
+        return pa.table({"__pri": pa.array(pri[keep], pa.uint64()),
+                         "__vec": vecs})
+
+    refs = tree_reduce_refs(
+        ds.select_columns([emb_col]).map_batches(
+            part, batch_format="pyarrow", batch_size=None).to_arrow_refs(),
+        _merge_sample_parts, sample_size)
+    if not refs:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    t = ray.get(refs[0])
+    if t.num_rows == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    col = t.column("__vec").combine_chunks()
+    d = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
 def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10,
             seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
@@ -186,7 +255,8 @@ class _IvfScorer:
             out_score.extend(sims[idx].astype(np.float32).tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int32()),
-            self.key_col: pa.array(out_key),
+            self.key_col: pa.array(out_key,
+                                   type=batch.column(self.key_col).type),
             "score": pa.array(out_score, pa.float32()),
         })
 
@@ -212,9 +282,8 @@ def knn_ivf(
     q = np.asarray(queries, dtype=dtype)
     if q.ndim == 1:
         q = q[None, :]
-    sample = ds.limit(sample_size).to_pandas()
-    xs = np.stack(sample[emb_col].to_numpy())
-    cent = _normalize(_kmeans(_normalize(xs.astype(np.float32)), n_clusters))
+    xs = _centroid_sample(ds, emb_col, sample_size)
+    cent = _normalize(_kmeans(_normalize(xs), n_clusters))
     qn = _normalize(q)
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 
@@ -251,9 +320,8 @@ def ivf_build(
     discovery from reading it as data).  Returns the centroid matrix."""
     import pyarrow.parquet as pq
 
-    sample = ds.limit(sample_size).to_pandas()
-    xs = np.stack(sample[emb_col].to_numpy())
-    cent = _normalize(_kmeans(_normalize(xs.astype(np.float32)), n_clusters))
+    xs = _centroid_sample(ds, emb_col, sample_size)
+    cent = _normalize(_kmeans(_normalize(xs), n_clusters))
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -298,7 +366,8 @@ class _CellScorer(_IvfScorer):
             out_score.extend(sims[idx].astype(np.float32).tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int32()),
-            self.key_col: pa.array(out_key),
+            self.key_col: pa.array(out_key,
+                                   type=batch.column(self.key_col).type),
             "score": pa.array(out_score, pa.float32()),
         })
 

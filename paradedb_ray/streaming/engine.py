@@ -615,6 +615,41 @@ def _session_shard_of(conv_ids: "pa.ChunkedArray") -> "np.ndarray":
     return (h % np.uint64(_SESSION_SHARDS)).astype(np.int64)
 
 
+def _latest_sessions_view(t: pa.Table,
+                          drop_tombstones: bool = True) -> pa.Table:
+    """Latest emission per (conv_id, session_start) identity, ordered by
+    epoch; tombstones (n_turns=0) optionally dropped.  The ONE fold
+    kernel shared by the driver-side ``read_sessions`` and the per-shard
+    ``_read_session_shard`` tasks — parity by construction."""
+    import pandas as pd  # noqa: F401
+
+    df = t.to_pandas().sort_values(["conv_id", "session_start", "epoch"],
+                                   kind="stable")
+    df = df.drop_duplicates(subset=["conv_id", "session_start"],
+                            keep="last")
+    if drop_tombstones:
+        df = df[df["n_turns"] > 0]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+@ray.remote
+def _read_session_shard(shard_path, tail_rows) -> pa.Table:
+    """Read-side fold of ONE hash shard: compacted snapshot (read inside
+    the task — the driver never touches shard payloads) + the few
+    tail-epoch rows hashed to this shard -> latest-per-identity live
+    sessions.  One task per shard makes ``read_sessions_dataset`` a
+    distributed read that returns without materializing any shard on the
+    driver."""
+    snap = (pq.read_table(shard_path)
+            if shard_path and os.path.exists(shard_path) else None)
+    parts = [t for t in (snap, tail_rows) if t is not None and t.num_rows]
+    if not parts:
+        return pa.table({})
+    return _latest_sessions_view(
+        pa.concat_tables(parts, promote_options="default"))
+
+
 @ray.remote
 def _fold_session_shard(new_rows: pa.Table, out_path: str) -> None:
     """Fold one shard: previous snapshot (read INSIDE the task, so the
@@ -873,12 +908,44 @@ class EpochRunner:
         if not tables:
             return pa.table({})
         t = pa.concat_tables(tables, promote_options="default")
-        import pandas as pd
+        return _latest_sessions_view(t)
 
-        df = t.to_pandas().sort_values(["conv_id", "session_start", "epoch"],
-                                       kind="stable")
-        df = df.drop_duplicates(subset=["conv_id", "session_start"],
-                                keep="last")
-        df = df[df["n_turns"] > 0]
-        return pa.Table.from_pandas(df.reset_index(drop=True),
-                                    preserve_index=False)
+    def read_sessions_dataset(self) -> "ray.data.Dataset":
+        """Distributed view of all closed sessions: one fold task per
+        compacted hash shard (snapshot read INSIDE the task + the
+        tail-epoch rows hashed to it), returned as a ``ray.data.Dataset``
+        — the scale path for corpora whose closed-session set cannot fit
+        on the driver.  Tail epochs (bounded by one checkpoint interval)
+        are the only driver-side read; same rows as ``read_sessions``
+        (both call ``_latest_sessions_view``), shard-partitioned order."""
+        import ray.data
+
+        import numpy as np
+
+        d = os.path.join(self.sink_dir, "sessions")
+        if not os.path.isdir(d):
+            return ray.data.from_arrow(pa.table({}))
+        tail_paths = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+        tail = (pa.concat_tables([pq.read_table(p) for p in tail_paths],
+                                 promote_options="default")
+                if tail_paths else None)
+        cdir = os.path.join(d, "compact")
+        shard_ids = (_session_shard_of(tail.column("conv_id"))
+                     if tail is not None and tail.num_rows else None)
+        refs = []
+        for k in range(_SESSION_SHARDS):
+            spath = os.path.join(cdir, f"shard={k:02d}.parquet")
+            rows = None
+            if shard_ids is not None:
+                sel = np.flatnonzero(shard_ids == k)
+                if len(sel):
+                    rows = tail.take(pa.array(sel, pa.int64()))
+            have_snap = os.path.exists(spath)
+            if rows is None and not have_snap:
+                continue
+            refs.append(_read_session_shard.remote(
+                spath if have_snap else None, rows))
+        if not refs:
+            return ray.data.from_arrow(pa.table({}))
+        return ray.data.from_arrow_refs(refs)

@@ -44,13 +44,20 @@ def _centers() -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _block(start: int, stop: int, centers: np.ndarray) -> pa.Table:
+def _block(start: int, stop: int, centers: np.ndarray,
+           n_total: int = 0) -> pa.Table:
     """Rows [start, stop): deterministic per-row noise via a seeded
     generator keyed on the row range (ranges are fixed by the driver
-    loop, not by Ray's partitioning)."""
+    loop, not by Ray's partitioning).  ``n_total`` > 0 selects the
+    SORTED layout: rows grouped by cluster in contiguous runs — the
+    corpus shape where first-N centroid sampling (the pre-round-5 bug)
+    sees only the first few clusters and recall quietly collapses."""
     n = stop - start
     rng = np.random.default_rng(start)
-    idx = (np.arange(start, stop) % N_CENTERS)
+    if n_total:
+        idx = (np.arange(start, stop) * N_CENTERS) // n_total
+    else:
+        idx = (np.arange(start, stop) % N_CENTERS)
     v = centers[idx] + 0.25 * rng.standard_normal((n, DIM)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     return pa.table({
@@ -62,7 +69,8 @@ def _block(start: int, stop: int, centers: np.ndarray) -> pa.Table:
 STEP = 50_000
 
 
-def _ground_truth(centers: np.ndarray, n: int, queries: np.ndarray):
+def _ground_truth(centers: np.ndarray, n: int, queries: np.ndarray,
+                  n_total: int = 0):
     """Exact cosine top-K per query by chunked matmul (independent of the
     engine: recomputes the same deterministic corpus).  MUST walk the
     same STEP-sized ranges as the corpus builder — the per-row noise
@@ -71,7 +79,7 @@ def _ground_truth(centers: np.ndarray, n: int, queries: np.ndarray):
     best_scores = [None] * len(queries)
     for start in range(0, n, STEP):
         stop = min(n, start + STEP)
-        t = _block(start, stop, centers)
+        t = _block(start, stop, centers, n_total)
         m = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
         keys = t.column("vec_id").to_numpy()
         sims = queries @ m.T  # (nq, block)
@@ -102,22 +110,27 @@ def main(n: int = 1_000_000):
     ranges = [(s, min(n, s + STEP)) for s in range(0, n, STEP)]
 
     # synthesize blocks in parallel tasks, materialize once, reuse per run
-    ds = ray.data.from_items([{"start": s, "stop": e} for s, e in ranges]) \
-        .map_batches(lambda b: pa.concat_tables(
-            [_block(int(s), int(e), centers)
-             for s, e in zip(b.column("start").to_pylist(),
-                             b.column("stop").to_pylist())]),
-            batch_format="pyarrow", batch_size=1).materialize()
+    def corpus(n_total: int = 0):
+        return ray.data.from_items(
+            [{"start": s, "stop": e} for s, e in ranges]) \
+            .map_batches(lambda b: pa.concat_tables(
+                [_block(int(s), int(e), centers, n_total)
+                 for s, e in zip(b.column("start").to_pylist(),
+                                 b.column("stop").to_pylist())]),
+                batch_format="pyarrow", batch_size=1).materialize()
+
+    ds = corpus()
 
     print(f"corpus: {n} vectors dim {DIM}")
     gt = _ground_truth(centers, n, q)
 
-    def run(label, fn):
+    def run(label, fn, truth=None):
+        truth = gt if truth is None else truth
         t0 = time.time()
         out = fn().to_pandas()
         dt = time.time() - t0
         got = {qi: set(g["vec_id"]) for qi, g in out.groupby("query_id")}
-        hits = sum(len(got.get(qi, set()) & set(gt[qi]))
+        hits = sum(len(got.get(qi, set()) & set(truth[qi]))
                    for qi in range(N_QUERIES))
         recall = hits / (N_QUERIES * K)
         rate = n / dt
@@ -138,6 +151,16 @@ def main(n: int = 1_000_000):
         ds, "embedding", "vec_id", q, k=K, n_clusters=16, nprobe=16))
     assert res["ivf_exhaustive"]["recall"] == 1.0, \
         "exhaustive-probe IVF must be exactly brute force"
+
+    # SORTED corpus (contiguous cluster runs): the seeded distributed
+    # reservoir sample must hold recall here too — ds.limit() sampling
+    # (pre-round-5) would train centroids on the first clusters only
+    ds_sorted = corpus(n_total=n)
+    gt_sorted = _ground_truth(centers, n, q, n_total=n)
+    res["ivf_np4_sorted"] = run(
+        "ivf nprobe=4/16 SORTED corpus",
+        lambda: knn_ivf(ds_sorted, "embedding", "vec_id", q, k=K,
+                        n_clusters=16, nprobe=4), truth=gt_sorted)
     print(json.dumps(res))
     ray.shutdown()
 
