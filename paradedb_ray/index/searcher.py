@@ -146,6 +146,12 @@ class Searcher:
                  stats: Optional[GlobalStats] = None):
         self.seg = segment
         self.schema = schema
+        # local stats (segment == corpus) may lazily learn JSON-path dfs
+        # and json token totals from the segment; distributed stats must
+        # carry them from the stats exchange or scoring falls back to
+        # const (never a segment-local guess, which would make scores
+        # depend on block partitioning)
+        self._local_stats = stats is None
         self.stats = stats or GlobalStats.from_segment(segment, schema)
         self._norm_caches: dict = {}
 
@@ -341,7 +347,59 @@ class Searcher:
         return mask
 
     def _json_term_hits(self, field: str, path: str, value, boost=1.0) -> Hits:
-        return _mask_to_hits(self._json_term_doc_mask(field, path, value))
+        """Hits for a term over a JSON dot-path.  Single-token string
+        values score REAL BM25 the way tantivy scores json term queries
+        (`snippet_json_02_advanced.out` goldens): df/tf per (path, term),
+        per-doc dl = 1 (no fieldnorms stored for json fields), avgdl =
+        total tokens under the WHOLE json field / num docs.  Non-string
+        or multi-token values keep the legacy constant score (typed
+        terms)."""
+        mask = self._json_term_doc_mask(field, path, value)
+        if not isinstance(value, str):
+            return _mask_to_hits(mask)
+        toks = self.schema.field(field).analyzer.tokenize(value)
+        if len(toks) != 1:
+            return _mask_to_hits(mask)
+        tok = toks[0]
+        full = f"{field}.{path}"
+        ti = self.seg.json_text_index(field, path)
+        code = ti.term_code(tok)
+        if code >= 0:
+            pdocs, ptfs, _ = ti.postings(code)
+        else:
+            pdocs = np.empty(0, dtype=np.int64)
+            ptfs = np.empty(0, dtype=np.int64)
+        if (full, tok) not in self.stats.term_df:
+            if not self._local_stats:
+                return _mask_to_hits(mask)  # stats not collected: legacy
+            self.stats.term_df[(full, tok)] = int(len(pdocs))
+        df = self.stats.term_df[(full, tok)]
+        if not mask.any():
+            return Hits.empty()
+        if df <= 0:
+            return _mask_to_hits(mask)
+        if self._local_stats and field not in self.stats.field_total_tokens:
+            self.stats.field_total_tokens[field] = \
+                self.seg.json_total_tokens(field)
+        avg = self.stats.avg_fieldnorm(field)
+        f = self.schema.fields.get(field)
+        k1 = self._field_k1(field)
+        b = getattr(f, "b", None) if f is not None else None
+        b = B if b is None else np.float32(b)
+        # dl = 1 constant: the norm is the bm25_norm_cache formula at
+        # decoded_norm == 1, computed with the same f32 op order
+        norm = (k1 * (_ONE - b + b * _ONE / _F32(avg))).astype(np.float32)
+        idf = idf_f32(df, self.stats.num_docs)
+        weight = idf * _F32(boost) * (_ONE + k1)
+        docs = np.flatnonzero(mask)
+        tf = np.ones(len(docs), dtype=np.float32)
+        if len(pdocs):
+            pos = np.searchsorted(pdocs, docs)
+            pos_c = np.clip(pos, 0, len(pdocs) - 1)
+            hit = pdocs[pos_c] == docs
+            tf[hit] = ptfs[pos_c[hit]].astype(np.float32)
+        scores = (weight * (tf / (tf + norm))).astype(np.float32)
+        return Hits(docs.astype(np.int64), scores)
 
     # -- vocab expansion (fuzzy/regex/prefix): constant-score 1.0 -----------
 

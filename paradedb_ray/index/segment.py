@@ -141,7 +141,13 @@ class Segment:
                     out.append(obj)
                 except Exception:
                     out.append(None)
-            vals = np.array(out, dtype=object)
+            # element-wise fill: np.array(out, dtype=object) would turn
+            # UNIFORM-length list leaves (e.g. every doc's "titles" has 3
+            # elements) into a 2-D array, silently changing list elements
+            # into ndarray rows that fail isinstance(list) downstream
+            vals = np.empty(len(out), dtype=object)
+            for i, v in enumerate(out):
+                vals[i] = v
             self._json_cache[key] = vals
         return vals
 
@@ -168,6 +174,45 @@ class Segment:
             analyzer = self.schema.field(field).analyzer
             got = _build_text_index(list(texts), analyzer,
                                     store_positions=True)
+            self._json_cache[key] = got
+        return got
+
+    def json_total_tokens(self, field: str) -> int:
+        """Total tokens indexed under a JSON field across ALL paths:
+        string leaves through the field analyzer, array elements
+        individually, ONE token per numeric/bool leaf — tantivy's
+        ``total_num_tokens`` statistic for a json field, the avgdl
+        denominator of JSON BM25 (per-doc dl itself is constant 1:
+        tantivy stores no fieldnorms for json fields, verified against
+        every score in `snippet_json_02_advanced.out`)."""
+        key = ("_jtotal", field)
+        got = self._json_cache.get(key)
+        if got is None:
+            import json as _json
+
+            analyzer = self.schema.field(field).analyzer
+
+            def count(obj) -> int:
+                if isinstance(obj, str):
+                    return len(analyzer.tokenize(obj))
+                if isinstance(obj, bool) or isinstance(obj, (int, float)):
+                    return 1
+                if isinstance(obj, dict):
+                    return sum(count(v) for v in obj.values())
+                if isinstance(obj, (list, tuple)):
+                    return sum(count(v) for v in obj)
+                return 0
+
+            total = 0
+            for v in self.table.column(field).to_pylist():
+                if v is None:
+                    continue
+                try:
+                    total += count(_json.loads(v) if isinstance(v, str)
+                                   else v)
+                except Exception:
+                    pass
+            got = total
             self._json_cache[key] = got
         return got
 

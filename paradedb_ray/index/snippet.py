@@ -48,10 +48,22 @@ class SnippetConfig:
 
 
 def query_terms_for_field(query: ast.Query, schema, field: str) -> set:
-    """Exact terms the query mentions on ``field`` (used for highlighting)."""
+    """Exact terms the query mentions on ``field`` (used for highlighting).
+
+    For a JSON dot-path, terms from EVERY path under the same base json
+    field highlight (`snippet_json_02_advanced.out`: a `titles:test`
+    clause highlights 'test' inside the `content` snippet too — tantivy
+    collects snippet terms per FIELD, and the whole json column is one
+    field)."""
     from paradedb_ray.stages.search_stages import collect_stat_requests
 
     req = collect_stat_requests(query, schema)
+    base = field.split(".")[0]
+    json_base = ("." in field and schema is not None
+                 and base in getattr(schema, "fields", {})
+                 and schema.field(base).ftype == JSON)
+    if json_base:
+        return {t for (f, t) in req["terms"] if f.split(".")[0] == base}
     return {t for (f, t) in req["terms"] if f == field}
 
 

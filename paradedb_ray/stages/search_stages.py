@@ -260,13 +260,32 @@ class StatsCollector:
 
                 col = batch.column(fname)
                 g.field_doc_count[fname] = int(pc.count(col).as_py())
+                jseg = None
+                if f.ftype == JSON:
+                    jseg = build_segment(
+                        batch.select([fname]),
+                        IndexSchema(fields={fname: f}, key_fields=[]),
+                    )
+                    # avgdl denominator of JSON BM25 (Searcher
+                    # _json_term_hits): total tokens under every path
+                    g.field_total_tokens[fname] = \
+                        jseg.json_total_tokens(fname)
                 for (full, t) in by_field.get(fname, ()):
                     if f.ftype == JSON and "." in full:
-                        seg = build_segment(
-                            batch.select([fname]),
-                            IndexSchema(fields={fname: f}, key_fields=[]),
-                        )
-                        vals = seg.json_path_values(fname, full.split(".", 1)[1])
+                        path = full.split(".", 1)[1]
+                        toks = (f.analyzer.tokenize(t)
+                                if isinstance(t, str) else [])
+                        if len(toks) == 1 and toks[0] == t:
+                            # scored json term: df = token doc freq in
+                            # the path index (what the Searcher divides
+                            # by), NOT full-value equality
+                            ti = jseg.json_text_index(fname, path)
+                            code = ti.term_code(t)
+                            cnt = (int(len(ti.postings(code)[0]))
+                                   if code >= 0 else 0)
+                            g.term_df[(full, t)] = cnt
+                            continue
+                        vals = jseg.json_path_values(fname, path)
                         tv = t.lower() if isinstance(t, str) else t
                         cnt = sum(
                             1 for v in vals
