@@ -338,6 +338,25 @@ def _q_facet_lang(sf):
                        filter_query=pdb.term("text", "spark"))
 
 
+def _q_partial_index(sf):
+    """Partial-index analogue (`partial_index_gating.sql` /
+    `partial_index_score_fix.sql`): the index contains ONLY rows
+    satisfying the gate predicate (here lang = 'en'); searches answer
+    from the gated corpus — rows outside the gate are invisible and
+    never counted.  The streaming twin (StreamConfig.gate with
+    retraction on gate exit) is pinned in
+    tests/test_round5_fixes.py::test_partial_index_gated_streaming."""
+    from paradedb_ray.pipelines.relational import filter_batches
+    from paradedb_ray.pipelines.search import search
+    from paradedb_ray.query import builders as pdb
+
+    ds = _docs(sf, columns=["doc_id", "lang", "text", "n_chars"])
+    gated = filter_batches(
+        ds, lambda b: pc.equal(b.column("lang"), "en"))
+    return search(gated, _doc_schema(), pdb.term("text", "spark"),
+                  with_score=False, output_columns=["doc_id", "n_chars"])
+
+
 def _q_search_dismax(sf):
     from paradedb_ray.pipelines.search import search
     from paradedb_ray.query import builders as pdb
@@ -1666,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_join_having": _q_agg_join_having,
         "join_orderby_expr": _q_join_orderby_expr,
         "join_orderby_nulls": _q_join_orderby_nulls,
+        "partial_index": _q_partial_index,
         # --- rows-only entries displaced past the window (driver rows
         # from r1/r2; their count-only check gains nothing from changed
         # values, and all are re-verified locally both SFs each round) ---
@@ -1941,6 +1961,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang":
             f"SELECT lang, count(*) AS doc_count FROM documents"
             f" WHERE list_contains({_TOKS}, 'spark') GROUP BY lang",
+        "partial_index":
+            f"SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
+            f" AND list_contains({_TOKS}, 'spark')",
         "agg_groupby":
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
             " avg(l_quantity) AS avg_qty, min(l_extendedprice) AS min_price,"

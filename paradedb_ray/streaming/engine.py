@@ -71,12 +71,24 @@ class StreamConfig:
     #: size-tiered merge ladder (None = reference default 100KB..10GB,
     #: `postgres/options.rs:64-71`)
     layer_sizes: tuple = _CFG.layer_sizes
+    #: partial-index gate (`partial_index_gating.sql` / CREATE INDEX ...
+    #: WHERE <pred>): a picklable callable ``pa.Table -> bool ndarray``.
+    #: Rows failing the gate are INVISIBLE to the index: gated ingest
+    #: skips them, and an upsert arriving OUTSIDE the gate retracts its
+    #: key (the reference's partial_index_score_fix Test 3: UPDATE that
+    #: moves a row out of the predicate removes it from results).  BM25
+    #: stats then reflect the gated corpus only, exactly like a tantivy
+    #: partial index.  (The reference's planner-side "decline when the
+    #: query does not imply the predicate" check protects a table+index
+    #: pair; here the gated engine IS the only view, so there is nothing
+    #: to decline.)
+    gate: object = None
 
 
 def _route_table(table: pa.Table, arr_base: int, actors: list,
                  num_partitions: int, salt_k: int, key_cols: tuple,
                  hot, epoch: int, batch_rows: int,
-                 max_inflight: int = 8) -> int:
+                 max_inflight: int = 8, gate=None) -> int:
     """Route one table's batches to the partition actors (runs on the
     driver for small tables, inside a shard task for the parallel path).
 
@@ -104,6 +116,28 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
         turn = batch.column(key_cols[1]).to_numpy(zero_copy_only=False)
         h = _stable_hash_strings(conv)
         base = (h % np.uint64(num_partitions)).astype(np.int64)
+        if gate is not None:
+            gm = np.asarray(gate(batch), dtype=bool)
+            if not gm.all():
+                # rows outside the partial-index gate: retract their keys
+                # (an upsert leaving the gate deletes; fresh keys no-op) at
+                # both candidate partitions (salted + home), then drop them
+                out = ~gm
+                kh = _key_hash(conv[out], turn[out])
+                ob = base[out]
+                osalt = ((h[out].astype(np.int64)
+                          + (turn[out].astype(np.int64) % salt_k)
+                          * np.int64(2654435761)) % num_partitions)
+                for p_ in np.unique(np.concatenate([ob, osalt])):
+                    sel = (ob == p_) | (osalt == p_)
+                    pend.append(actors[p_].retract_keys.remote(
+                        kh[sel].tolist()))
+                batch = batch.filter(pa.array(gm))
+                conv, turn = conv[gm], turn[gm]
+                h, base = h[gm], base[gm]
+                if batch.num_rows == 0:
+                    drain(max_inflight)
+                    continue
         part = base.copy()
         if hot:
             hm = np.fromiter((c in hot for c in conv), dtype=bool,
@@ -135,7 +169,8 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
 def _route_shard_task(source, arr_base: int, actors: list,
                       num_partitions: int, salt_k: int, key_cols: tuple,
                       hot, epoch: int, batch_rows: int,
-                      off: int = None, length: int = None) -> int:
+                      off: int = None, length: int = None,
+                      gate=None) -> int:
     """One router task per shard: reads its shard (a parquet path, or an
     Arrow table shipped by reference — with ``off``/``length`` the table
     was ``ray.put`` ONCE and every router slices the same plasma copy
@@ -149,7 +184,7 @@ def _route_shard_task(source, arr_base: int, actors: list,
     if off is not None:
         source = source.slice(off, length)
     return _route_table(source, arr_base, actors, num_partitions, salt_k,
-                        key_cols, hot, epoch, batch_rows)
+                        key_cols, hot, epoch, batch_rows, gate=gate)
 
 
 #: tables at least this large ingest through parallel shard-router tasks
@@ -264,14 +299,14 @@ class StreamEngine:
                         src_ref, arr_base + off,
                         self.actors, cfg.num_partitions, cfg.salt_k,
                         cfg.key_cols, hot, epoch, shard_rows,
-                        off, shard_rows)
+                        off, shard_rows, gate=cfg.gate)
                     for off in range(0, n, shard_rows)
                 ]
                 return {"epoch": epoch, "rows": sum(ray.get(refs))}
             total = _route_table(source, arr_base, self.actors,
                                  cfg.num_partitions, cfg.salt_k,
                                  cfg.key_cols, hot, epoch, 16384,
-                                 max_inflight=max_inflight)
+                                 max_inflight=max_inflight, gate=cfg.gate)
             return {"epoch": epoch, "rows": total}
 
         total = 0
@@ -282,7 +317,7 @@ class StreamEngine:
             total += _route_table(
                 b, self._arr_base(epoch, b.num_rows), self.actors,
                 cfg.num_partitions, cfg.salt_k, cfg.key_cols, hot, epoch,
-                16384, max_inflight=max_inflight)
+                16384, max_inflight=max_inflight, gate=cfg.gate)
         return {"epoch": epoch, "rows": total}
 
     def ingest_files(self, paths: list, epoch=None,
@@ -301,7 +336,8 @@ class StreamEngine:
         refs = [
             _route_shard_task.remote(
                 p, base0 + (i << 28), self.actors, cfg.num_partitions,
-                cfg.salt_k, cfg.key_cols, hot, epoch, batch_rows)
+                cfg.salt_k, cfg.key_cols, hot, epoch, batch_rows,
+                gate=cfg.gate)
             for i, p in enumerate(paths)
         ]
         return {"epoch": epoch, "rows": sum(ray.get(refs))}

@@ -274,3 +274,127 @@ def test_aggregate_join_multitable_sections_4_5_9(ray_session):
                         {"count": ("cardinality", "tag_name")})
     got = _rows(out.select_columns(["category", "count"]), ["category"])
     assert got == [("Electronics", 3)]
+
+
+# ---------------------------------------------------------------------------
+# #7 partial-index analogue (`partial_index_gating.sql`,
+# `partial_index_score_fix.sql`)
+# ---------------------------------------------------------------------------
+
+
+def test_partial_index_score_fix_mirror(ray_session):
+    """Mirror of partial_index_score_fix.out Test Cases 1-2: the gated
+    corpus IS the index, so BM25 stats come from the Electronics subset
+    only — 'Apple' scores 0.47000363 (= idf over df=2, N=3, dl=avgdl=2),
+    NOT the full-table score."""
+    import pyarrow.compute as pc
+
+    from paradedb_ray.index import Searcher, build_segment
+    from paradedb_ray.schema import IndexSchema
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "description": ["Apple iPhone", "Samsung Galaxy", "Nike Shoes",
+                        "Apple Watch", "Apple Box", "Adidas Sneakers"],
+        "category": ["Electronics", "Electronics", "Footwear",
+                     "Electronics", "Footwear", "Footwear"],
+        "rating": pa.array([5, 4, 3, 4, 4, 2], pa.int64()),
+    })
+    schema = IndexSchema.build("id", description={"type": TEXT},
+                               category={"type": TEXT, "fast": True},
+                               rating={"type": I64, "fast": True})
+    q = pdb.parse_with_field("description", "Apple")
+
+    gated = t.filter(pc.equal(t.column("category"), "Electronics"))
+    s = Searcher(build_segment(gated, schema), schema)
+    h = s.eval(q)
+    ids = gated.column("id").to_numpy()[h.ids].tolist()
+    got = dict(zip(ids, [np.float32(x) for x in h.scores.tolist()]))
+    assert got == {1: np.float32(0.47000363), 4: np.float32(0.47000363)}
+
+    # the same query over the FULL table scores differently (df=3, N=6,
+    # varied dl) — the partial index's stats are the gated corpus's, the
+    # exact bug partial_index_score_fix pins
+    s_full = Searcher(build_segment(t, schema), schema)
+    full = {int(i): np.float32(x) for i, x in
+            zip(t.column("id").to_numpy()[s_full.eval(q).ids].tolist(),
+                s_full.eval(q).scores.tolist())}
+    assert set(full) == {1, 4, 5}
+    assert full[1] != got[1]
+
+    # Test Case 2: + rating >= 4 heap filter keeps both rows, same scores
+    keep = [i for i in ids
+            if gated.column("rating")[
+                gated.column("id").to_pylist().index(i)].as_py() >= 4]
+    assert keep == [1, 4]
+
+
+def _gate_user_turns(t: pa.Table):
+    import pyarrow.compute as pc
+
+    return np.asarray(pc.equal(t.column("role"), "user").fill_null(False))
+
+
+def test_partial_index_gated_streaming(ray_session):
+    """Gated ingest (StreamConfig.gate): rows failing the gate are
+    invisible; an upsert that leaves the gate RETRACTS its key
+    (partial_index_score_fix Test 3), and one that re-enters restores
+    it (Test 4)."""
+    import pyarrow.compute as pc
+
+    from paradedb_ray.schema import transcripts_schema
+    from paradedb_ray.streaming import StreamConfig, StreamEngine
+    from paradedb_ray.testing.transcripts import transcript_turns
+
+    turns = transcript_turns(2000, seed=5)
+    n_user = int(pc.sum(pc.equal(turns.column("role"),
+                                 "user")).as_py())
+    eng = StreamEngine(
+        transcripts_schema(),
+        StreamConfig(num_partitions=2, mutable_rows=500,
+                     gate=_gate_user_turns))
+    try:
+        eng.ingest(turns)
+        assert eng.num_docs() == n_user
+
+        # matches contain ONLY gated (user) rows
+        got = eng.query_matches(pdb.term("text", "merge"),
+                                columns=["conv_id", "turn_idx"])
+        want = turns.filter(pc.equal(turns.column("role"), "user"))
+        want_ids = {(c, i) for c, i, x in zip(
+            want.column("conv_id").to_pylist(),
+            want.column("turn_idx").to_pylist(),
+            want.column("text").to_pylist()) if "merge" in x.split(" ")}
+        got_ids = set(zip(got.column("conv_id").to_pylist(),
+                          got.column("turn_idx").to_pylist()))
+        assert got_ids == want_ids and want_ids
+
+        # pick one matching user turn; update it OUT of the gate
+        conv0, turn0 = next(iter(sorted(want_ids)))
+        upd = pa.table({
+            "conv_id": pa.array([conv0]), "turn_idx": pa.array(
+                [turn0], pa.int32()),
+            "role": pa.array(["assistant"]),
+            "text": pa.array(["replaced away"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([pa.scalar(0, pa.timestamp("us"))
+                            .as_py()], pa.timestamp("us")),
+        })
+        eng.ingest(upd)
+        got2 = eng.query_matches(pdb.term("text", "merge"),
+                                 columns=["conv_id", "turn_idx"])
+        got2_ids = set(zip(got2.column("conv_id").to_pylist(),
+                           got2.column("turn_idx").to_pylist()))
+        assert got2_ids == want_ids - {(conv0, turn0)}
+
+        # update it BACK into the gate with matching text: visible again
+        upd2 = upd.set_column(2, "role", pa.array(["user"])) \
+                  .set_column(3, "text", pa.array(["back to merge work"]))
+        eng.ingest(upd2)
+        got3 = eng.query_matches(pdb.term("text", "merge"),
+                                 columns=["conv_id", "turn_idx"])
+        got3_ids = set(zip(got3.column("conv_id").to_pylist(),
+                           got3.column("turn_idx").to_pylist()))
+        assert got3_ids == want_ids
+    finally:
+        eng.shutdown()
