@@ -329,6 +329,34 @@ def test_partial_index_score_fix_mirror(ray_session):
     assert keep == [1, 4]
 
 
+# ---------------------------------------------------------------------------
+# ADVICE r4: oracle fixture-discipline pins.  Two oracles are exact only
+# under properties of the driver fixtures; pin them so a future fixture
+# change fails LOUDLY here instead of silently hash-mismatching.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_fixture_text_discipline(sf_dir):
+    """1) search_edge_prefix's oracle uses the ASCII word-boundary class
+    [^a-z0-9] while edge_ngram segments by Unicode categories — parity
+    needs pure-ASCII text.  2) chunk_docs/pack_bins oracles tokenize
+    with string_split(text, ' ') vs the ops' \\S+ — parity needs
+    single-space separation, no leading/trailing whitespace, and no
+    NULL/empty text rows."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    assert texts
+    for x in texts:
+        assert x, "NULL/empty text row breaks chunk_docs/pack_bins oracles"
+        assert x.isascii(), "non-ASCII breaks the edge_prefix oracle"
+        assert x == " ".join(x.split()), \
+            "whitespace discipline broken: oracles split on single spaces"
+
+
 def _gate_user_turns(t: pa.Table):
     import pyarrow.compute as pc
 
