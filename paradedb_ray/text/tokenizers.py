@@ -599,15 +599,18 @@ _KO_JOSA_2 = frozenset((
     "이랑", "처럼", "보다", "하고", "라고", "마저", "조차", "밖에",
 ))
 _KO_JOSA_1 = frozenset("가이은는을를에의와과도만로나랑")
-# Japanese case/topic particles (joshi) — likewise a closed class.
-# Verb-inflection kana (さ/れ/ま/す/...) are deliberately NOT listed so
-# conjugation runs keep the bigram fallback.
-_JA_JOSHI = frozenset("はがをにでとのもへやかねよぞぜ")
+# (Japanese particles/auxiliaries now live in `text/ja_dict.py`'s
+# closed-class FUNCTION table, consumed by the lexeme lattice.)
 
-_HIRA_RE = re.compile(r"[぀-ゟ]+")
-_KATA_RE = re.compile(r"[゠-ヿ]+")
 _HAN_RE_ONE = re.compile(r"[一-鿿㐀-䶿]")
 _HANGUL_RE_ONE = re.compile(r"[가-힯]")
+#: japanese_lindera run split: ONE run per contiguous Japanese
+#: (Han+kana) stretch — the ja_dict lattice needs cross-script spans —
+#: plus hangul and Latin/digit runs as before
+_JA_SEG_RE = re.compile(
+    r"[一-鿿㐀-䶿぀-ゟ゠-ヿ々〆ヶ]+"
+    r"|[가-힯]+"
+    r"|[A-Za-z0-9_]+")
 
 
 class LinderaTokenizer(CjkBigramTokenizer):
@@ -622,11 +625,13 @@ class LinderaTokenizer(CjkBigramTokenizer):
       (`text/cjk_dict.py`) with OOV characters emitted singly —
       jieba's ``cut(HMM=False)``, which is also how a cc-cedict lattice
       treats unknown runs (no name-grouping model).
-    * **japanese**: Han runs bigram; a hiragana run following a
-      single-kanji stem splits at the first particle (joshi, closed
-      class) — the ≤2-char non-particle prefix is okurigana and attaches
-      to the stem (祭+りが → 祭り + が), matching ipadic's
-      kanji+okurigana lexeme boundaries for the dominant 1-kanji case.
+    * **japanese**: ipadic-style LEXEME LATTICE over the bundled
+      minimal word table (`text/ja_dict.py`, the approach that closed
+      jieba): content lexemes (incl. cross-script forms 新しい / 祭り /
+      食べ物) + closed-class particles/auxiliaries, min-cost Viterbi
+      with MeCab-style unknown handling (katakana groups as runs,
+      kanji/hiragana OOV emit singly).  Token-level goldens for the
+      lindera.rs fixture sentences: `tests/test_ja_lattice.py`.
     * **korean**: hangul runs (space-delimited eojeol) split a trailing
       case particle (josa, closed class) off the stem (축제가 → 축제 +
       가), matching ko-dic's noun+particle analysis.
@@ -657,27 +662,6 @@ class LinderaTokenizer(CjkBigramTokenizer):
         return [(run[i:i + 2], s + i, s + i + 2)
                 for i in range(len(run) - 1)]
 
-    def _japanese_hira(self, run: str, s: int, out: list, prev_end: int):
-        """Hiragana subrun: okurigana attachment + particle splitting."""
-        # okurigana prefix = chars before the first particle
-        p = 0
-        while p < len(run) and run[p] not in _JA_JOSHI:
-            p += 1
-        attached = False
-        if (0 < p <= 2 and out and out[-1][2] == prev_end == s
-                and len(out[-1][0]) == 1 and _HAN_RE_ONE.match(out[-1][0])):
-            stem = out[-1]
-            out[-1] = (stem[0] + run[:p], stem[1], s + p)
-            attached = True
-        i = p if attached else 0
-        # leading particles emit singly; the remainder keeps the bigram
-        # fallback (verb inflections etc.)
-        while i < len(run) and run[i] in _JA_JOSHI:
-            out.append((run[i], s + i, s + i + 1))
-            i += 1
-        if i < len(run):
-            out.extend(self._bigram_run(run[i:], s + i))
-
     def _segments(self, text: str):
         lang = self.language
         if lang == "chinese":
@@ -706,27 +690,25 @@ class LinderaTokenizer(CjkBigramTokenizer):
                     out.append((run, s, m.end()))
             return out
         if lang == "japanese":
+            # bundled ipadic-style lexeme lattice (`text/ja_dict.py`):
+            # one run spans Han+kana so cross-script lexemes (新しい,
+            # 祭り, 食べ物) segment at their true boundaries; unknown
+            # katakana groups as a run, unknown kanji/hiragana emit
+            # singly — MeCab's unknown-word handling.  Token-level
+            # goldens for the lindera.rs fixture sentences are pinned in
+            # tests/test_ja_lattice.py.
+            from paradedb_ray.text import ja_dict
+
             out = []
-            prev_end = -1
-            for m in _CJK_RUN_RE.finditer(text):
+            for m in _JA_SEG_RE.finditer(text):
                 run, s = m.group(), m.start()
-                if _HAN_RE_ONE.match(run) or _HANGUL_RE_ONE.match(run):
+                if ja_dict.JA_RUN_RE.match(run):
+                    out.extend((w, s + ws, s + we)
+                               for w, ws, we in ja_dict.cut(run))
+                elif _HANGUL_RE_ONE.match(run):
                     out.extend(self._bigram_run(run, s))
-                elif self._CJK_ONE.match(run):
-                    # the kana run may mix hiragana and katakana:
-                    # katakana subruns bigram, hiragana subruns get the
-                    # okurigana/particle treatment
-                    pe = prev_end
-                    for hm in re.finditer(r"[぀-ゟ]+|[゠-ヿ]+", run):
-                        sub, ss = hm.group(), s + hm.start()
-                        if _HIRA_RE.match(sub):
-                            self._japanese_hira(sub, ss, out, pe)
-                        else:
-                            out.extend(self._bigram_run(sub, ss))
-                        pe = ss + len(sub)
                 else:
                     out.append((run, s, m.end()))
-                prev_end = m.end()
             return out
         return super()._segments(text)
 
