@@ -908,7 +908,19 @@ def percentiles_agg(
     out_row: dict = {}
     # rank math needs n first; collected below
     vals_ds = ds.select_columns([col])
-    n = _dist_count_valid(vals_ds, col)
+    # the selection algorithm makes SEVERAL corpus passes; at 10^3+
+    # blocks each pass pays a per-task scheduling floor, so coalesce the
+    # single-column projection to O(CPUs) blocks ONCE (spill-backed
+    # materialize — the projection is a tiny fraction of the corpus) and
+    # every subsequent pass runs over the coalesced copy
+    ncpus = int(ray.cluster_resources().get("CPU", 32))
+    vals_ds = vals_ds.materialize()
+    if vals_ds.num_blocks() > 8 * ncpus:
+        vals_ds = vals_ds.repartition(4 * ncpus).materialize()
+    # ONE fused bootstrap pass: valid count + min + max (block counts of
+    # 10^3+ put a per-task scheduling floor on every corpus pass, so
+    # pass count is the cost driver — r5 microbench in BASELINE.md)
+    n, blo, bhi = _dist_stats(vals_ds, col)
     for p in percents:
         key = f"{prefix}{int(p) if float(p).is_integer() else p}"
         if n == 0:
@@ -918,7 +930,8 @@ def percentiles_agg(
         ranks.add(math.floor(h))
         ranks.add(math.ceil(h))
     if ranks:
-        values = _dist_rank_values(vals_ds, col, sorted(ranks))
+        values = _dist_rank_values(vals_ds, col, sorted(ranks),
+                                   bounds=(blo, bhi))
         for p in percents:
             key = f"{prefix}{int(p) if float(p).is_integer() else p}"
             if n == 0:
@@ -1039,6 +1052,29 @@ def _dist_count_valid(ds: ray.data.Dataset, col: str) -> int:
     return int(total or 0)
 
 
+def _dist_stats(ds: ray.data.Dataset, col: str):
+    """(valid count, min, max) in ONE corpus pass — per-block partials
+    reduce through native distributive aggregates; min/max are None when
+    no valid values exist."""
+
+    def st(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+        x = x[~np.isnan(x)]
+        if not len(x):
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "lo": pa.array([float(x.min())]),
+                         "hi": pa.array([float(x.max())])})
+
+    agg = ds.map_batches(st, batch_format="pyarrow",
+                         batch_size=None).aggregate(
+        Sum(on="n", alias_name="n"), Min(on="lo", alias_name="lo"),
+        Max(on="hi", alias_name="hi")) or {}
+    return int(agg.get("n") or 0), agg.get("lo"), agg.get("hi")
+
+
 #: fetch at most this many raw values onto the driver per refinement
 _QUANTILE_FETCH_LIMIT = 2_000_000
 _QUANTILE_BUCKETS = 4096
@@ -1064,7 +1100,8 @@ def _merge_hist_parts(*tabs: pa.Table) -> pa.Table:
     return pa.table({"part": pa.array([payload], pa.binary())})
 
 
-def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
+def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list,
+                      bounds=None) -> dict:
     """Exact k-th-smallest for several ranks over a distributed column.
 
     Per round: one map_batches pass emits per-block bucket histograms
@@ -1119,15 +1156,29 @@ def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
                 bmax = np.maximum(bmax, mx)
         return counts, bmin, bmax
 
-    def fetch(lo: float, hi: float) -> np.ndarray:
+    def fetch_multi(ranges: list) -> dict:
+        """ONE corpus pass for every pending (lo, hi) range — each pass
+        costs O(blocks) task schedules, so ranges are fused."""
+        rs = list(ranges)
+
         def keep(t: pa.Table) -> pa.Table:
             x = t.column(col).to_numpy(zero_copy_only=False).astype(float)
             x = x[~np.isnan(x)]
-            return pa.table({"v": pa.array(x[(x >= lo) & (x <= hi)])})
+            vs, rids = [], []
+            for ri, (lo, hi) in enumerate(rs):
+                sel = x[(x >= lo) & (x <= hi)]
+                vs.append(sel)
+                rids.append(np.full(len(sel), ri, np.int8))
+            return pa.table({"v": pa.array(np.concatenate(vs)
+                                           if vs else []),
+                             "r": pa.array(np.concatenate(rids)
+                                           if rids else [], pa.int8())})
 
         rows = ds.map_batches(keep, batch_format="pyarrow",
                               batch_size=None).take_all()
-        return np.sort(np.array([r["v"] for r in rows], dtype=float))
+        v = np.array([r["v"] for r in rows], dtype=float)
+        rid = np.array([r["r"] for r in rows], dtype=np.int8)
+        return {rs[i]: np.sort(v[rid == i]) for i in range(len(rs))}
 
     def resolve(lo, hi, rank_map: dict, depth: int, out: dict):
         """rank_map: global rank -> rank LOCAL to the values in [lo, hi]."""
@@ -1148,26 +1199,19 @@ def _dist_rank_values(ds: ray.data.Dataset, col: str, ranks: list) -> dict:
                     granks)
             else:
                 resolve(bmin[b], bmax[b], granks, depth + 1, out)
-        for (flo, fhi), granks in pending_fetch.items():
-            vals = fetch(flo, fhi)
-            for g, local in granks.items():
-                out[g] = float(vals[local])
+        if pending_fetch:
+            fetched = fetch_multi(list(pending_fetch))
+            for (flo, fhi), granks in pending_fetch.items():
+                vals = fetched[(flo, fhi)]
+                for g, local in granks.items():
+                    out[g] = float(vals[local])
 
-    # bootstrap bounds
-    def mm(t: pa.Table) -> pa.Table:
-        x = t.column(col).to_numpy(zero_copy_only=False).astype(float)
-        x = x[~np.isnan(x)]
-        if not len(x):
-            return pa.table({"lo": pa.array([], pa.float64()),
-                             "hi": pa.array([], pa.float64())})
-        return pa.table({"lo": pa.array([float(x.min())]),
-                         "hi": pa.array([float(x.max())])})
-
-    # native distributive min/max over the per-block bounds — no driver loop
-    agg = ds.map_batches(mm, batch_format="pyarrow",
-                         batch_size=None).aggregate(
-        Min(on="lo", alias_name="lo"), Max(on="hi", alias_name="hi")) or {}
-    lo, hi = agg.get("lo"), agg.get("hi")
+    # bootstrap bounds: passed in by the caller's fused stats pass
+    # (`_dist_stats`) when available, else one native min/max aggregate
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        _, lo, hi = _dist_stats(ds, col)
     if lo is None or hi is None:
         return {}
     out: dict = {}

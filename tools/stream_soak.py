@@ -87,6 +87,14 @@ def main(n_turns: int, n_epochs: int):
         print(f"read_sessions: {sess.num_rows} closed sessions "
               f"in {s_dt:.2f}s from {len(shards) + len(epoch_files)} files")
         assert sess.num_rows > 0
+        # distributed twin: per-shard fold TASKS, no driver-side concat
+        # (VERDICT r4 #2) — must see the same row count
+        d0 = time.perf_counter()
+        n_ds = r.read_sessions_dataset().count()
+        d_dt = time.perf_counter() - d0
+        print(f"read_sessions_dataset: {n_ds} rows in {d_dt:.2f}s "
+              f"(distributed per-shard fold)")
+        assert n_ds == sess.num_rows
         print("stream soak OK: compacted read is bounded")
     finally:
         eng.shutdown()
