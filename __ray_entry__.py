@@ -586,10 +586,15 @@ def _q_filter_project(sf):
 
 
 def _q_topk_orders(sf):
+    """ORDER BY ... LIMIT 10: per-block prune + chunked merge
+    (`relational.topk_by`) — never an all-to-all sort shuffle for a
+    top-k (the old `ds.sort().limit()` moved every block)."""
+    from paradedb_ray.pipelines.relational import topk_by
+
     ds = _tbl(sf, "orders",
               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(10)
+    return topk_by(ds, [("o_totalprice", "descending"),
+                        ("o_orderkey", "ascending")], 10)
 
 
 def _q_join_inner(sf):
@@ -765,6 +770,73 @@ def _q_agg_join_having(sf):
                         {"n_orders": ("count_star", None)})
     return filter_batches(
         agg, lambda b: pc.greater(b.column("n_orders"), 20))
+
+
+def _q_agg_join_empty(sf):
+    """Scalar aggregates over an EMPTY join result
+    (`aggregate_join_coverage.sql` test 6 NULL-handling): COUNT(*)=0,
+    SUM/AVG/MIN/MAX = NULL — the empty-input schema/NULL contract."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 1.0e12))
+    c = _tbl(sf, "customer", columns=["c_custkey"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    return sql_aggregate(j, [],
+                         {"n_orders": ("count_star", None),
+                          "sum_price": ("sum", "o_totalprice"),
+                          "min_price": ("min", "o_totalprice"),
+                          "max_price": ("max", "o_totalprice")})
+
+
+def _q_join_orderby_isnull(sf):
+    """ORDER BY <col> IS NULL over a join (`join_order_by_is_null.sql`):
+    the null-flag expression sorts matched rows first, then key order."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches, topk_by
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = filter_batches(
+        li, lambda b: pc.greater(b.column("l_quantity"), 49))
+    counts = sql_aggregate(li, ["l_orderkey"],
+                           {"n_big": ("count_star", None)})
+    o = _tbl(sf, "orders", columns=["o_orderkey"])
+    j = broadcast_join(o, counts, on="o_orderkey",
+                       right_on="l_orderkey", how="left",
+                       right_columns=["n_big"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column("null_flag",
+                               pc.is_null(b.column("n_big")))
+
+    j = j.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return topk_by(j, [("null_flag", "ascending"),
+                       ("o_orderkey", "ascending")], 20,
+                   columns=["o_orderkey", "n_big"])
+
+
+def _q_agg_join_topk(sf):
+    """TopK over a join aggregate (`aggregate_join_topk.sql` section 7
+    shape: ORDER BY aggregate DESC LIMIT k): grouped aggregate over the
+    broadcast join, then a tiny total-order sort+limit on the (small)
+    grouped result."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import topk_by
+
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_orderpriority"])
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    j = broadcast_join(o, c, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+    agg = sql_aggregate(j, ["c_nationkey"],
+                        {"n_orders": ("count_star", None)})
+    return topk_by(agg, [("n_orders", "descending"),
+                         ("c_nationkey", "ascending")], 5)
 
 
 def _q_join_orderby_expr(sf):
@@ -1611,17 +1683,81 @@ def _q_knn_filtered_ip(sf):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDERING MATTERS: the driver checks the FIRST 50 entries against the
-    # oracle.  Round-4 rotation (VERDICT r3 #8): the window is every entry
-    # WITHOUT a driver row in CORRECTNESS_r03 (45 rotated past the window
-    # in r3 + the new multimodal_jpeg / collation_order) plus the three
-    # entries whose pipeline or oracle changed this round (dedup_embedding:
-    # Arrow-native attach join; is_null: oracle hardened; multimodal_png:
-    # decode stage gained px_sum) — after this round every entry has a
-    # driver row within the last two rounds.  Everything past 50 was
-    # driver-green in r3 and is re-verified locally each round.
+    # ORDERING MATTERS: the driver value-hash-checks the FIRST 50 entries.
+    # Round-5 rotation (VERDICT r4 #4 + CLAUDE.md window policy — all 50
+    # are oracle entries, verified locally at sf0.001 AND sf0.01 before
+    # this reorder):
+    #   1-11  NEW round-5 oracle entries (agg-over-join breadth incl.
+    #         topk/empty/IS NULL edges, partial_index,
+    #         knn_ivf_partitioned — the 100-TB ANN path finally gets its
+    #         driver row)
+    #   12-13 pipelines whose internals changed this round
+    #         (knn_ivf_exact: seeded reservoir sampling; percentiles:
+    #         fused-pass rewrite — both bit-identical by design)
+    #   14-50 entries whose last driver row was r3 (rotated back in; the
+    #         six left out — search_phrase/search_regex/histogram/
+    #         numeric_range/stats_agg/cardinality — have r4-green twins
+    #         covering the same code paths and keep their r3 rows)
+    # Everything past 50 was driver-green in r4 (or is rows-only, whose
+    # driver row is count-only) and is re-verified locally each round.
     return {
-        # --- NEW in round 4 session 2 (never driver-checked) ---
+        # --- driver window: new r5 entries ---
+        "agg_join_multi": _q_agg_join_multi,
+        "agg_join_multi4": _q_agg_join_multi4,
+        "agg_join_distinct": _q_agg_join_distinct,
+        "agg_join_having": _q_agg_join_having,
+        "agg_join_topk": _q_agg_join_topk,
+        "agg_join_empty": _q_agg_join_empty,
+        "join_orderby_expr": _q_join_orderby_expr,
+        "join_orderby_nulls": _q_join_orderby_nulls,
+        "join_orderby_isnull": _q_join_orderby_isnull,
+        "partial_index": _q_partial_index,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        # --- changed pipelines this round ---
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "percentiles": _q_percentiles,
+        # --- r3-tail rotation ---
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "dedup_embedding": _q_dedup_embedding,
+        "is_null": _q_is_null,
+        "multimodal_png": _q_multimodal_png,
+        "multimodal_decode": _q_multimodal_decode,
+        "knn_filtered_l2": _q_knn_filtered_l2,
+        "knn_filtered_ip": _q_knn_filtered_ip,
+        "nulls_ordering": _q_nulls_ordering,
+        "text_array_term": _q_text_array_term,
+        "search_match_array": _q_match_array,
+        "agg_join_semi": _q_agg_join_semi,
+        "join_left_outer": _q_join_left_outer,
+        "extended_stats": _q_extended_stats,
+        "top_hits": _q_top_hits,
+        "sliding_1h_30m": _q_sliding_1h_30m,
+        "date_histogram_month": _q_date_histogram_month,
+        "agg_bool_terms": _q_agg_bool_terms,
+        "agg_filter_groupby": _q_agg_filter_groupby,
+        "json_agg": _q_json_agg,
+        "search_term": _q_search_term,
+        "search_boolean": _q_search_boolean,
+        "search_parse": _q_search_parse,
+        "search_fuzzy": _q_search_fuzzy,
+        "search_proximity": _q_search_proximity,
+        "search_exists": _q_search_exists,
+        "keyset_paging": _q_keyset_paging,
+        "heap_filter": _q_heap_filter,
+        "json_term": _q_json_term,
+        "facet_lang": _q_facet_lang,
+        "agg_groupby": _q_agg_groupby,
+        "agg_filter": _q_agg_filter,
+        "date_histogram": _q_date_histogram,
+        "agg_siblings": _q_agg_siblings,
+        "terms_agg": _q_terms_agg,
+        "nested_agg": _q_nested_agg,
+        "dedup_exact": _q_dedup_exact,
+        "stats_agg": _q_stats_agg,
+        "cardinality": _q_cardinality,
+        # ---- past the driver window (r4-green / rows-only;
+        # re-verified locally at both SFs each round) ----
         "search_ngram_contains": _q_search_ngram_contains,
         "search_ngram_phrase": _q_search_ngram_phrase,
         "search_edge_prefix": _q_search_edge_prefix,
@@ -1629,7 +1765,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "decontaminate": _q_decontaminate,
         "pack_bins": _q_pack_bins,
-        # --- no driver row in r3 (45 rotated + new this round) ---
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -1671,24 +1806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_regex_phrase": _q_search_regex_phrase,
         "search_neq": _q_search_neq,
-        # --- pipeline/oracle changed/added in round 4 (oracle entries
-        # outrank the rows-only block for the 50-slot window: a rows-only
-        # driver row is just a count, these get value-hash rows) ---
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # new exact oracle
-        "knn_ivf_exact": _q_knn_ivf_exact,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
-        # --- NEW in round 5: aggregate-over-join breadth
-        # (`aggregate_join_multitable.sql`, `join_order_by.sql` family) ---
-        "agg_join_multi": _q_agg_join_multi,
-        "agg_join_multi4": _q_agg_join_multi4,
-        "agg_join_distinct": _q_agg_join_distinct,
-        "agg_join_having": _q_agg_join_having,
-        "join_orderby_expr": _q_join_orderby_expr,
-        "join_orderby_nulls": _q_join_orderby_nulls,
-        "partial_index": _q_partial_index,
-        # --- rows-only entries displaced past the window (driver rows
-        # from r1/r2; their count-only check gains nothing from changed
-        # values, and all are re-verified locally both SFs each round) ---
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "search_topk_bm25": _q_search_topk_bm25,
         "search_boost": _q_search_boost,
         "search_score_filter": _q_search_score_filter,
@@ -1697,64 +1815,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "more_like_this": _q_more_like_this,
         "score_agg": _q_score_agg,
-        # ---- entries past the driver window (driver-green in r3;
-        # re-verified locally at both SFs each round) ----
-        # agg_filter_search + search_not (never driver-checked) displaced
-        # langid and fingerprint (r3 driver rows; their new exact oracles
-        # verified locally both SFs) to slots 51-52 — langid, fingerprint,
-        # knn_ivf_exact (NEW in r4: IVF at nprobe==n_clusters is exactly
-        # brute force, making the IVF path oracle-checkable) and
-        # dedup_embedding (r4 attach-join rework, pinned bit-identical by
-        # tests over its r3 driver-green oracle) lead the r5 window
-        "langid": _q_langid,  # new exact oracle
-        "fingerprint": _q_fingerprint,  # md5 token hash + new exact oracle
-        "dedup_embedding": _q_dedup_embedding,
-        "is_null": _q_is_null,
-        "multimodal_png": _q_multimodal_png,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "knn_ivf": _q_knn_ivf,
-        "knn_filtered_l2": _q_knn_filtered_l2,
-        "knn_filtered_ip": _q_knn_filtered_ip,
-        "nulls_ordering": _q_nulls_ordering,
-        "text_array_term": _q_text_array_term,
-        "search_match_array": _q_match_array,
-        "agg_join_semi": _q_agg_join_semi,
-        "join_left_outer": _q_join_left_outer,
-        "extended_stats": _q_extended_stats,
-        "top_hits": _q_top_hits,
-        "sliding_1h_30m": _q_sliding_1h_30m,
-        "date_histogram_month": _q_date_histogram_month,
         "percentiles_tdigest": _q_percentiles_tdigest,
-        "agg_bool_terms": _q_agg_bool_terms,
-        "agg_filter_groupby": _q_agg_filter_groupby,
-        "json_agg": _q_json_agg,
-        "search_term": _q_search_term,
-        "search_boolean": _q_search_boolean,
-        "search_parse": _q_search_parse,
         "search_phrase": _q_search_phrase,
-        "search_fuzzy": _q_search_fuzzy,
         "search_regex": _q_search_regex,
-        "search_proximity": _q_search_proximity,
-        "search_exists": _q_search_exists,
-        "keyset_paging": _q_keyset_paging,
-        "heap_filter": _q_heap_filter,
-        "json_term": _q_json_term,
-        "facet_lang": _q_facet_lang,
         "numeric_range": _q_numeric_range,
-        "agg_groupby": _q_agg_groupby,
-        "agg_filter": _q_agg_filter,
         "histogram": _q_histogram,
-        "date_histogram": _q_date_histogram,
-        "agg_siblings": _q_agg_siblings,
-        "terms_agg": _q_terms_agg,
-        "nested_agg": _q_nested_agg,
-        "dedup_exact": _q_dedup_exact,
-        "stats_agg": _q_stats_agg,
-        "cardinality": _q_cardinality,
-        "percentiles": _q_percentiles,
     }
 
 
@@ -2020,6 +2089,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_nationkey, o_orderpriority, count(*) AS n_orders"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey, o_orderpriority HAVING count(*) > 20",
+        "agg_join_topk":
+            "SELECT c_nationkey, count(*) AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_nationkey"
+            " ORDER BY n_orders DESC, c_nationkey LIMIT 5",
+        "agg_join_empty":
+            "SELECT count(*) AS n_orders, sum(o_totalprice) AS sum_price,"
+            " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " WHERE o_totalprice > 1000000000000",
+        "join_orderby_isnull":
+            "SELECT o_orderkey, n_big FROM orders"
+            " LEFT JOIN (SELECT l_orderkey, count(*) AS n_big"
+            " FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey)"
+            " ON o_orderkey = l_orderkey"
+            " ORDER BY n_big IS NULL, o_orderkey LIMIT 20",
         "join_orderby_expr":
             "SELECT o_orderkey, c_name FROM orders JOIN customer"
             " ON o_custkey = c_custkey WHERE o_totalprice > 300000"

@@ -153,8 +153,29 @@ def sql_aggregate(
             # same empty result; _guard_buckets restores the schema
             return ds.groupby(group_by).aggregate(*ray_aggs)
     row = ds.aggregate(*ray_aggs)
+    row = row or {}
     for n in star_names:
-        row[n] = int(row[n] or 0)
+        row[n] = int(row.get(n) or 0)
+    if any(row.get(n) is None for n in aggs):
+        # empty / all-NULL input: from_items would infer object dtype
+        # for the NULL aggregates — type them from the input schema so
+        # the empty-result schema matches SQL (SUM/MIN/MAX keep the
+        # value column's type, AVG is float64, COUNT is int64 = 0)
+        s = ds.schema()
+        in_types = (dict(zip(s.names, s.types))
+                    if s is not None else {})  # schema-less empty input
+        arrays = {}
+        for name, (kind, col) in aggs.items():
+            v = row.get(name)
+            if kind in ("count_star", "count"):
+                arrays[name] = pa.array([int(v or 0)], pa.int64())
+            elif v is None:
+                typ = (pa.float64() if kind == "avg"
+                       else in_types.get(col) or pa.float64())
+                arrays[name] = pa.array([None], typ)
+            else:
+                arrays[name] = pa.array([v])
+        return ray.data.from_arrow(pa.table(arrays))
     return ray.data.from_items([row])
 
 
