@@ -833,7 +833,7 @@ def embedding_near_duplicates(
         from paradedb_ray.pipelines.joins import payload_safe_join
 
         cand_tbl = pa.concat_tables(
-            [ray.get(r) for r in cand.to_arrow_refs()]).combine_chunks()
+            ray.get(cand.to_arrow_refs())).combine_chunks()
         cand_ref = ray.put(cand_tbl)
 
         def attach(batch: pa.Table) -> pa.Table:

@@ -26,7 +26,7 @@ def _to_table(x) -> pa.Table:
         import ray
 
         return pa.concat_tables(
-            [ray.get(r) for r in x.to_arrow_refs()],
+            ray.get(x.to_arrow_refs()),
             promote_options="default") if hasattr(x, "to_arrow_refs") \
             else pa.Table.from_pandas(x.to_pandas())
     return pa.table(x)

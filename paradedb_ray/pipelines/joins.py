@@ -73,7 +73,8 @@ def broadcast_join(
         if right_columns:
             right = right.select_columns(sorted(set(right_columns) | set(rkeys)))
         # shuffle outputs may contain schema-less empty blocks — drop them
-        tables = [t for t in (ray.get(r) for r in right.to_arrow_refs())
+        # (ONE batched ray.get: a per-ref loop serializes on the driver)
+        tables = [t for t in ray.get(right.to_arrow_refs())
                   if t.num_rows > 0]
         if tables:
             small = pa.concat_tables(tables, promote_options="default")
@@ -100,8 +101,9 @@ def semi_join_pushdown(
     the probe side by membership (TermSet semantics)."""
     rkey = right_on or on
     # shuffle outputs may contain schema-less empty blocks — drop them
+    # (ONE batched ray.get: a per-ref loop serializes on the driver)
     tables = [t for t in
-              (ray.get(r) for r in right.select_columns([rkey]).to_arrow_refs())
+              ray.get(right.select_columns([rkey]).to_arrow_refs())
               if t.num_rows > 0]
     import pyarrow.compute as pc
 
