@@ -1465,6 +1465,20 @@ def _q_token_count(sf):
     return add_token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
 
 
+def _q_repetition(sf):
+    """Gopher-style repetition quality features (published LLM-data
+    filter family): most-frequent-bigram count + bigram-slot fraction
+    per document, exact DuckDB oracle.  (Oracle counts '' as one token
+    on EMPTY text where the op says 0 — empty rows are excluded from
+    the fixtures by tests/test_round5_fixes.py's discipline pin, the
+    same convention as chunk_docs/pack_bins.)"""
+    from paradedb_ray.functions import add_repetition
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_repetition(ds, "text").select_columns(
+        ["doc_id", "rep_n_tokens", "rep_top2", "rep2_frac"])
+
+
 def _q_quality(sf):
     from paradedb_ray.functions import add_quality_score
 
@@ -1691,13 +1705,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #         topk/empty/IS NULL edges, partial_index,
     #         knn_ivf_partitioned — the 100-TB ANN path finally gets its
     #         driver row)
-    #   12-13 pipelines whose internals changed this round
-    #         (knn_ivf_exact: seeded reservoir sampling; percentiles:
-    #         fused-pass rewrite — both bit-identical by design)
-    #   14-50 entries whose last driver row was r3 (rotated back in; the
-    #         six left out — search_phrase/search_regex/histogram/
-    #         numeric_range/stats_agg/cardinality — have r4-green twins
-    #         covering the same code paths and keep their r3 rows)
+    #   12-14 changed pipelines (knn_ivf_exact: seeded reservoir
+    #         sampling; percentiles: fused-pass rewrite — bit-identical
+    #         by design) + the new repetition training-data op
+    #   15-50 entries whose last driver row was r3 (rotated back in; the
+    #         seven left out — search_phrase/search_regex/histogram/
+    #         numeric_range/stats_agg/cardinality/dedup_exact — have
+    #         r4-green twins covering the same code paths and keep their
+    #         r3 rows)
     # Everything past 50 was driver-green in r4 (or is rows-only, whose
     # driver row is count-only) and is re-verified locally each round.
     return {
@@ -1716,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed pipelines this round ---
         "knn_ivf_exact": _q_knn_ivf_exact,
         "percentiles": _q_percentiles,
+        "repetition": _q_repetition,  # NEW r5 training-data op
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2320,6 +2336,23 @@ def oracle_sql() -> dict[str, str]:
             " SELECT i.d2 AS doc_id, i.d1 AS dup_of FROM i"
             " JOIN sz s1 ON s1.doc_id = i.d1 JOIN sz s2 ON s2.doc_id = i.d2"
             " WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.5",
+        "repetition":
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+            " FROM documents),"
+            " grams AS (SELECT doc_id,"
+            "  list_transform(range(1, len(t)),"
+            "   i -> t[i] || chr(10) || t[i+1]) AS gs FROM toks),"
+            " cnt AS (SELECT doc_id, g, count(*) AS c FROM"
+            "  (SELECT doc_id, unnest(gs) AS g FROM grams)"
+            "  GROUP BY doc_id, g),"
+            " m AS (SELECT doc_id, max(c) AS top2 FROM cnt"
+            "  GROUP BY doc_id)"
+            " SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS rep_n_tokens,"
+            " COALESCE(m.top2, 0) AS rep_top2,"
+            " CASE WHEN len(t.t) >= 2 THEN"
+            "  CAST(COALESCE(m.top2, 0) AS DOUBLE) / (len(t.t) - 1)"
+            " ELSE 0.0 END AS rep2_frac"
+            " FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id",
         "langid": _langid_sql(),
         # rolling_fingerprint reproduced in SQL: token hash = low 60 bits
         # of md5 (functions/text_analysis.py::hash_token), window hash =

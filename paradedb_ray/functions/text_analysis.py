@@ -149,6 +149,58 @@ _LANG_MARKERS = {
 }
 
 
+def add_repetition(ds: ray.data.Dataset, text_col: str,
+                   prefix: str = "rep") -> ray.data.Dataset:
+    """Append Gopher-style repetition features (the published
+    quality-filter family: a document dominated by one repeated n-gram
+    is boilerplate): ``{prefix}_top2`` = occurrence count of the most
+    frequent token bigram, ``{prefix}2_frac`` = that count over the
+    number of bigram slots (``n_tokens - 1``), 0.0 for docs with < 2
+    tokens.
+
+    Fully vectorized per batch: tokens factorize to int codes once, doc-
+    crossing bigrams mask out, one lexsort + run-length pass finds each
+    doc's top bigram — no Python loop over rows.  Exact DuckDB oracle
+    (list_transform bigrams + per-doc max) in ``__ray_entry__``."""
+    import pandas as pd
+
+    def rep(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        ndocs = len(col)
+        parts = pc.split_pattern_regex(col.fill_null(""), r"\s+")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(ndocs), lens)
+        toks = np.asarray(pc.list_flatten(parts).to_pandas(), dtype=object)
+        valid = toks != ""
+        toks, doc_of = toks[valid], doc_of[valid]
+        n_tok = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        top = np.zeros(ndocs, np.int64)
+        if len(toks) > 1:
+            codes, uniq = pd.factorize(pd.Series(toks))
+            codes = codes.astype(np.int64)
+            same = doc_of[1:] == doc_of[:-1]
+            if same.any():
+                key = codes[:-1][same] * np.int64(len(uniq)) \
+                    + codes[1:][same]
+                bdoc = doc_of[:-1][same]
+                order = np.lexsort((key, bdoc))
+                k_s, d_s = key[order], bdoc[order]
+                newrun = np.r_[True, (k_s[1:] != k_s[:-1])
+                               | (d_s[1:] != d_s[:-1])]
+                starts = np.flatnonzero(newrun)
+                counts = np.diff(np.r_[starts, len(k_s)])
+                np.maximum.at(top, d_s[starts], counts)
+        frac = np.where(n_tok >= 2,
+                        top / np.maximum(n_tok - 1, 1), 0.0)
+        return (batch
+                .append_column(f"{prefix}_n_tokens", pa.array(n_tok))
+                .append_column(f"{prefix}_top2", pa.array(top))
+                .append_column(f"{prefix}2_frac",
+                               pa.array(frac, pa.float64())))
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
 def classify_language(text: str) -> str:
     words = set((text or "").lower().split())
     best, best_n = "unknown", 0
