@@ -772,6 +772,68 @@ def _q_agg_join_having(sf):
         agg, lambda b: pc.greater(b.column("n_orders"), 20))
 
 
+def _q_join_many_to_many(sf):
+    """Non-unique-key (many-to-many) join fan-out
+    (`aggregate_join_edge_cases.sql` test 1/2): supplier x customer on
+    nation key — both sides repeat the key, the join must produce the
+    full cross-product per key; aggregated per nation to keep the
+    result comparable."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    s = _tbl(sf, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_join(c, s, on="c_nationkey", right_on="s_nationkey",
+                       right_columns=["s_suppkey"])
+    return sql_aggregate(j, ["c_nationkey"],
+                         {"n_pairs": ("count_star", None),
+                          "min_supp": ("min", "s_suppkey"),
+                          "max_cust": ("max", "c_custkey")})
+
+
+def _q_join_full_outer(sf):
+    """FULL OUTER equi-join with unmatched rows on BOTH sides
+    (`aggregate_join_edge_cases.sql` test 4): big-big hash-shuffle join
+    (Ray native full_outer), aggregated to the per-side unmatched/match
+    counts."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import hash_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_custkey",
+                                    "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 400000.0))
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the right key column away, so carry
+        # an explicit match indicator (never-NULL) on the small side.
+        b = b.filter(pc.less(b.column("c_custkey"), 500))
+        return b.append_column(
+            "c_ind", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    c = c.map_batches(keep_small, batch_format="pyarrow", batch_size=None)
+    j = hash_join(o, c, on="o_custkey", right_on="c_custkey",
+                  how="outer")
+
+    def flags(b: pa.Table) -> pa.Table:
+        return (b.append_column(
+                    "left_only",
+                    pc.is_null(b.column("c_ind")).cast(pa.int64()))
+                 .append_column(
+                    "right_only",
+                    pc.is_null(b.column("o_orderkey")).cast(pa.int64())))
+
+    j = j.map_batches(flags, batch_format="pyarrow", batch_size=None)
+    return sql_aggregate(j, [],
+                         {"n_rows": ("count_star", None),
+                          "n_left_only": ("sum", "left_only"),
+                          "n_right_only": ("sum", "right_only")})
+
+
 def _q_agg_join_empty(sf):
     """Scalar aggregates over an EMPTY join result
     (`aggregate_join_coverage.sql` test 6 NULL-handling): COUNT(*)=0,
@@ -1732,6 +1794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": _q_knn_ivf_exact,
         "percentiles": _q_percentiles,
         "repetition": _q_repetition,  # NEW r5 training-data op
+        "join_many_to_many": _q_join_many_to_many,  # NEW r5
+        "join_full_outer": _q_join_full_outer,  # NEW r5
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2110,6 +2174,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey"
             " ORDER BY n_orders DESC, c_nationkey LIMIT 5",
+        "join_many_to_many":
+            "SELECT c_nationkey, count(*) AS n_pairs,"
+            " min(s_suppkey) AS min_supp, max(c_custkey) AS max_cust"
+            " FROM customer JOIN supplier ON c_nationkey = s_nationkey"
+            " GROUP BY c_nationkey",
+        "join_full_outer":
+            "SELECT count(*) AS n_rows,"
+            " CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_left_only,"
+            " CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_right_only"
+            " FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o"
+            " FULL OUTER JOIN"
+            " (SELECT * FROM customer WHERE c_custkey < 500) c"
+            " ON o.o_custkey = c.c_custkey",
         "agg_join_empty":
             "SELECT count(*) AS n_orders, sum(o_totalprice) AS sum_price,"
             " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
