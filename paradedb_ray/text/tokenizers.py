@@ -590,17 +590,9 @@ class IcuTokenizer(Tokenizer):
                 if not m.group().isspace() and m.group() != "_"]
 
 
-# Korean case particles (josa) — a CLOSED grammatical class, so the
-# split below is dictionary-free public grammar, not a fitted list.
-# lindera's ko-dic analysis separates noun + particle the same way
-# (ref `tokenizers/src/lindera.rs:156` ko-dic morphological lattice).
-_KO_JOSA_2 = frozenset((
-    "에서", "부터", "까지", "으로", "에게", "한테", "께서", "이나",
-    "이랑", "처럼", "보다", "하고", "라고", "마저", "조차", "밖에",
-))
-_KO_JOSA_1 = frozenset("가이은는을를에의와과도만로나랑")
-# (Japanese particles/auxiliaries now live in `text/ja_dict.py`'s
-# closed-class FUNCTION table, consumed by the lexeme lattice.)
+# (Korean josa/endings live in `text/ko_dict.py`'s closed-class
+# FUNCTION table, Japanese particles/auxiliaries in `text/ja_dict.py`'s
+# — both consumed by the per-language lexeme lattices.)
 
 _HAN_RE_ONE = re.compile(r"[一-鿿㐀-䶿]")
 _HANGUL_RE_ONE = re.compile(r"[가-힯]")
@@ -632,9 +624,13 @@ class LinderaTokenizer(CjkBigramTokenizer):
       with MeCab-style unknown handling (katakana groups as runs,
       kanji/hiragana OOV emit singly).  Token-level goldens for the
       lindera.rs fixture sentences: `tests/test_ja_lattice.py`.
-    * **korean**: hangul runs (space-delimited eojeol) split a trailing
-      case particle (josa, closed class) off the stem (축제가 → 축제 +
-      가), matching ko-dic's noun+particle analysis.
+    * **korean**: ko-dic-style LEXEME LATTICE over the bundled minimal
+      word table (`text/ko_dict.py`): content lexemes + the closed
+      classes of josa and verbal/copula endings, with suffixes admitted
+      only eojeol-finally (특징|입니다, 경기|에서|는, 열|었|습니다);
+      unknown hangul (names) groups as a whole run, MeCab-style.
+      Token-level goldens for the lindera.rs fixture sentences:
+      `tests/test_ko_lattice.py`.
 
     Both the index and query sides run the same rules, so matching is
     self-consistent; behavioral parity with the reference's
@@ -647,14 +643,6 @@ class LinderaTokenizer(CjkBigramTokenizer):
                  filters: Optional[dict] = None):
         super().__init__(filters)
         self.language = language
-
-    def _korean_run(self, run: str, s: int):
-        n = len(run)
-        if n >= 3 and run[-2:] in _KO_JOSA_2:
-            return [(run[:-2], s, s + n - 2), (run[-2:], s + n - 2, s + n)]
-        if n >= 2 and run[-1] in _KO_JOSA_1:
-            return [(run[:-1], s, s + n - 1), (run[-1], s + n - 1, s + n)]
-        return [(run, s, s + n)]
 
     def _bigram_run(self, run: str, s: int):
         if len(run) == 1:
@@ -679,11 +667,20 @@ class LinderaTokenizer(CjkBigramTokenizer):
                     out.append((run, s, m.end()))
             return out
         if lang == "korean":
+            # bundled ko-dic-style lexeme lattice (`text/ko_dict.py`):
+            # closed-class josa/ending suffix chains peel off stems
+            # (특징|입니다, 경기|에서), unknown hangul (names) groups as
+            # a whole run — MeCab-style unknown handling.  Token-level
+            # goldens for the lindera.rs fixture sentences are pinned in
+            # tests/test_ko_lattice.py.
+            from paradedb_ray.text import ko_dict
+
             out = []
             for m in _CJK_RUN_RE.finditer(text):
                 run, s = m.group(), m.start()
                 if _HANGUL_RE_ONE.match(run):
-                    out.extend(self._korean_run(run, s))
+                    out.extend((w, s + ws, s + we)
+                               for w, ws, we in ko_dict.cut(run))
                 elif self._CJK_ONE.match(run):
                     out.extend(self._bigram_run(run, s))
                 else:
