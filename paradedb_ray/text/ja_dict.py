@@ -30,7 +30,7 @@ import re
 CONTENT = frozenset((
     # fixture proper nouns (ipadic name entries)
     "佐藤", "鈴木", "高橋", "健", "一郎", "花子",
-    "東京", "大阪", "京都", "日本",
+    "東京", "大阪", "京都", "日本", "日本語",
     # fixture content lexemes
     "中心", "部", "新しい", "試合", "昨日", "素晴らしい", "見",
     "終了", "間際", "展開", "今週", "週末", "今", "末", "地元",
@@ -79,6 +79,19 @@ FUNCTION = frozenset((
 
 _WORDS = CONTENT | FUNCTION
 _MAX_LEN = max(len(w) for w in _WORDS)
+
+# -- ipadic readings (katakana) ---------------------------------------------
+# Surface form -> documented ipadic reading, for the JapaneseReadingForm
+# token filter analogue (ref `tokenizers/src/lindera.rs:106-110`): known
+# tokens substitute their reading, unknown tokens keep their surface
+# (ipadic's unk.def carries `*` placeholders the reference must not emit
+# — `lindera.rs:489-516`).  Readings are standard dictionary kana.
+READINGS = {
+    "日本語": "ニホンゴ", "東京": "トウキョウ", "検索": "ケンサク",
+    "用": "ヨウ", "は": "ハ", "の": "ノ", "が": "ガ", "を": "ヲ",
+    "に": "ニ", "で": "デ", "と": "ト", "です": "デス", "ます": "マス",
+    "エンジン": "エンジン",
+}
 
 _KATA = re.compile(r"[゠-ヿ]")
 #: one contiguous Japanese run: Han + kana + iteration marks — the

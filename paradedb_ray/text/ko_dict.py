@@ -79,6 +79,16 @@ FUNCTION = frozenset((
 _WORDS = CONTENT | FUNCTION
 _MAX_LEN = max(len(w) for w in _WORDS)
 
+# -- hanja readings (hangul) ------------------------------------------------
+# Hanja surface -> hangul reading, for the KoreanReadingForm token filter
+# analogue (ref `tokenizers/src/lindera.rs:113-116`): ko-dic replaces a
+# Hanja token with its hangul reading; tokens without a reading keep
+# their surface.  Sino-Korean readings are standard dictionary data.
+HANJA_READINGS = {
+    "韓國": "한국", "韓国": "한국", "韓": "한", "國": "국", "国": "국",
+    "中國": "중국", "中国": "중국", "日本": "일본", "美國": "미국",
+}
+
 #: one contiguous hangul run (an eojeol or eojeol fragment)
 KO_RUN_RE = re.compile(r"[가-힯]+")
 

@@ -598,11 +598,37 @@ _HAN_RE_ONE = re.compile(r"[一-鿿㐀-䶿]")
 _HANGUL_RE_ONE = re.compile(r"[가-힯]")
 #: japanese_lindera run split: ONE run per contiguous Japanese
 #: (Han+kana) stretch — the ja_dict lattice needs cross-script spans —
-#: plus hangul and Latin/digit runs as before
+#: plus hangul runs; Latin and digit runs SEPARATE (ipadic segments
+#: alphabetic and numeric stretches as distinct tokens), and full-width
+#: alnum forms as their own runs (they normalize to ASCII under nfkc)
 _JA_SEG_RE = re.compile(
     r"[一-鿿㐀-䶿぀-ゟ゠-ヿ々〆ヶ]+"
     r"|[가-힯]+"
-    r"|[A-Za-z0-9_]+")
+    r"|[A-Za-z_]+|[0-9]+"
+    r"|[Ａ-Ｚａ-ｚ]+|[０-９]+")
+
+#: whitespace runs, emitted as tokens under lindera keep_whitespace
+_WS_RUN_RE = re.compile(r"\s+")
+
+
+def _nfkc_map(text: str):
+    """Per-character NFKC normalization with an offset map back to the
+    ORIGINAL text (the lindera UnicodeNormalizeCharacterFilter corrects
+    offsets the same way, ref `tokenizers/src/lindera.rs:99-103`).
+    Returns ``(normalized_text, starts)`` where ``starts[i]`` is the
+    original index of normalized char ``i``.  Per-char normalization
+    covers the compatibility forms the option targets (full-width ->
+    ASCII, ligatures); multi-char composition sequences are left to the
+    segmenter as-is."""
+    import unicodedata
+
+    parts: list[str] = []
+    starts: list[int] = []
+    for i, ch in enumerate(text):
+        n = unicodedata.normalize("NFKC", ch)
+        parts.append(n)
+        starts.extend([i] * len(n))
+    return "".join(parts), starts
 
 
 class LinderaTokenizer(CjkBigramTokenizer):
@@ -640,9 +666,47 @@ class LinderaTokenizer(CjkBigramTokenizer):
     name = "lindera"
 
     def __init__(self, language: str = "unspecified",
-                 filters: Optional[dict] = None):
+                 filters: Optional[dict] = None,
+                 keep_whitespace: bool = False, nfkc: bool = False,
+                 reading_form: bool = False):
         super().__init__(filters)
         self.language = language
+        self.keep_whitespace = keep_whitespace
+        self.nfkc = nfkc
+        self.reading_form = reading_form
+
+    def _segments(self, text: str):
+        """Apply the LinderaOptions pipeline around the per-language
+        segmenter (ref `tokenizers/src/lindera.rs:85-120`): NFKC char
+        filter BEFORE segmentation (offsets corrected back to the
+        original text), whitespace tokens kept when requested, and the
+        reading-form token filter AFTER segmentation (ja: ipadic
+        katakana readings; ko: hanja -> hangul; zh: unsupported, a
+        no-op here as the reference rejects it at CREATE INDEX)."""
+        opts = self.keep_whitespace or self.nfkc or self.reading_form
+        if not opts:
+            return self._lang_segments(text)
+        smap = None
+        if self.nfkc:
+            text, smap = _nfkc_map(text)
+        segs = list(self._lang_segments(text))
+        if self.keep_whitespace:
+            segs = sorted(
+                segs + [(m.group(), m.start(), m.end())
+                        for m in _WS_RUN_RE.finditer(text)],
+                key=lambda t: t[1])
+        if self.reading_form:
+            table = {}
+            if self.language == "japanese":
+                from paradedb_ray.text import ja_dict
+                table = ja_dict.READINGS
+            elif self.language == "korean":
+                from paradedb_ray.text import ko_dict
+                table = ko_dict.HANJA_READINGS
+            segs = [(table.get(w, w), a, b) for w, a, b in segs]
+        if smap is not None:
+            segs = [(w, smap[a], smap[b - 1] + 1) for w, a, b in segs]
+        return segs
 
     def _bigram_run(self, run: str, s: int):
         if len(run) == 1:
@@ -650,7 +714,7 @@ class LinderaTokenizer(CjkBigramTokenizer):
         return [(run[i:i + 2], s + i, s + i + 2)
                 for i in range(len(run) - 1)]
 
-    def _segments(self, text: str):
+    def _lang_segments(self, text: str):
         lang = self.language
         if lang == "chinese":
             from paradedb_ray.text import cjk_dict
@@ -925,8 +989,13 @@ def tokenizer_from_config(config: Optional[dict]) -> Tokenizer:
     if cls is JiebaTokenizer:
         return cls(extra.get("chinese_convert"), filters)
     if cls is LinderaTokenizer:
+        # `lindera{language, keep_whitespace, nfkc, reading_form}` and
+        # the per-language forms' `keep_whitespace` (`manager.rs:389-416`)
         return cls(extra.get("language", typ.replace("_lindera", "")),
-                   filters)
+                   filters,
+                   keep_whitespace=extra.get("keep_whitespace", False),
+                   nfkc=extra.get("nfkc", False),
+                   reading_form=extra.get("reading_form", False))
     return cls(filters=filters)
 
 
