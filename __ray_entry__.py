@@ -1042,6 +1042,59 @@ def _q_json_agg(sf):
     }}, schema=schema)
 
 
+def _q_agg_groupby_highcard(sf):
+    """High-cardinality GROUP BY + top-k over the aggregate
+    (`groupby_aggregate_highcard.sql` pushdown shape): one group per
+    order key — per-block Arrow group_by partials, hash-partition
+    shuffle, then a top-k merge over the (still large) aggregate
+    instead of a full sort."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.relational import topk_by
+
+    li = _tbl(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+    agg = sql_aggregate(li, ["l_orderkey"],
+                        {"sum_qty": ("sum", "l_quantity"),
+                         "n_lines": ("count_star", None)})
+    return topk_by(agg, [("sum_qty", "descending"),
+                         ("l_orderkey", "ascending")], 10)
+
+
+def _q_json_groupby(sf):
+    """GROUP BY a JSON dot-path VALUE with ORDER BY count + LIMIT
+    (`json_groupby_orderby_limit.sql` test 1 shape): terms buckets over
+    `props.k` — the dot-path derives once per batch, then the normal
+    terms pipeline (count desc, key asc, size) runs over it."""
+    from paradedb_ray.pipelines.aggregate import pdb_agg
+    from paradedb_ray.schema import IndexSchema
+
+    ev = _tbl(sf, "events", columns=["props", "value"])
+    schema = IndexSchema.build("event_id", props={"type": "json"})
+    return pdb_agg(ev, {"ks": {
+        "terms": {"field": "props.k", "size": 10},
+        "aggs": {"vmin": {"min": {"field": "value"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }}, schema=schema)
+
+
+def _q_datetime_groupby(sf):
+    """GROUP BY a DateTime field (`datetime_groupby_agg.sql`): truncate
+    to day inside map_batches (vectorized `floor_temporal`), then the
+    grouped aggregate — the shuffle key is the derived day."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+
+    ev = _tbl(sf, "events", columns=["ts", "user_id"])
+
+    def day_col(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "day_key", pc.floor_temporal(b.column("ts"), unit="day"))
+
+    ev = ev.map_batches(day_col, batch_format="pyarrow", batch_size=None)
+    return sql_aggregate(ev, ["day_key"],
+                         {"n_events": ("count_star", None),
+                          "uid_sum": ("sum", "user_id"),
+                          "uid_max": ("max", "user_id")})
+
+
 def _q_window_rank(sf):
     from paradedb_ray.pipelines.aggregate import partitioned_window
     from paradedb_ray.pipelines.relational import filter_batches
@@ -1796,6 +1849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,  # NEW r5 training-data op
         "join_many_to_many": _q_join_many_to_many,  # NEW r5
         "join_full_outer": _q_join_full_outer,  # NEW r5
+        "agg_groupby_highcard": _q_agg_groupby_highcard,  # NEW r5
+        "json_groupby": _q_json_groupby,  # NEW r5
+        "datetime_groupby": _q_datetime_groupby,  # NEW r5
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2189,6 +2245,22 @@ def oracle_sql() -> dict[str, str]:
             " FULL OUTER JOIN"
             " (SELECT * FROM customer WHERE c_custkey < 500) c"
             " ON o.o_custkey = c.c_custkey",
+        "agg_groupby_highcard":
+            "SELECT l_orderkey, sum(l_quantity) AS sum_qty,"
+            " count(*) AS n_lines FROM lineitem GROUP BY l_orderkey"
+            " ORDER BY sum_qty DESC, l_orderkey LIMIT 10",
+        "json_groupby":
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            "  AS \"props.k\", count(*) AS doc_count,"
+            " min(value) AS vmin, max(value) AS vmax"
+            " FROM events GROUP BY 1"
+            " ORDER BY doc_count DESC, \"props.k\" LIMIT 10",
+        "datetime_groupby":
+            "SELECT date_trunc('day', ts) AS day_key,"
+            " count(*) AS n_events,"
+            " CAST(sum(user_id) AS BIGINT) AS uid_sum,"
+            " max(user_id) AS uid_max"
+            " FROM events GROUP BY day_key",
         "agg_join_empty":
             "SELECT count(*) AS n_orders, sum(o_totalprice) AS sum_price,"
             " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
