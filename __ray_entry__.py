@@ -1095,6 +1095,45 @@ def _q_datetime_groupby(sf):
                           "uid_max": ("max", "user_id")})
 
 
+def _q_topn_per_group(sf):
+    """Top-N per group (`lateral-join.sql` / row_number-filter shape):
+    top 3 orders per customer across ALL customers — block-local per-key
+    prune (combiner), hash shuffle, exact per-key head; never a global
+    sort."""
+    from paradedb_ray.pipelines.relational import topn_per_group
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_custkey",
+                                    "o_totalprice"])
+    return topn_per_group(o, ["o_custkey"],
+                          [("o_totalprice", "descending"),
+                           ("o_orderkey", "ascending")], 3, rn_col="rn")
+
+
+def _q_agg_correlated(sf):
+    """Correlated scalar subquery, decorrelated
+    (`aggregate_correlated_subquery.sql` shape): per-customer order count
+    as a pre-aggregated broadcast join — COUNT(*)=0 for customers with
+    no orders (the correlated subquery's empty-result contract)."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import broadcast_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_acctbal"])
+    c = filter_batches(c, lambda b: pc.less(b.column("c_custkey"), 200))
+    o = _tbl(sf, "orders", columns=["o_custkey"])
+    cnt = sql_aggregate(o, ["o_custkey"],
+                        {"n_orders": ("count_star", None)})
+    j = broadcast_join(c, cnt, on="c_custkey", right_on="o_custkey",
+                       how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(b.column("n_orders"), 0)
+        return b.set_column(b.schema.get_field_index("n_orders"),
+                            "n_orders", n)
+
+    return j.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
 def _q_window_rank(sf):
     from paradedb_ray.pipelines.aggregate import partitioned_window
     from paradedb_ray.pipelines.relational import filter_batches
@@ -1852,6 +1891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_groupby_highcard": _q_agg_groupby_highcard,  # NEW r5
         "json_groupby": _q_json_groupby,  # NEW r5
         "datetime_groupby": _q_datetime_groupby,  # NEW r5
+        "topn_per_group": _q_topn_per_group,  # NEW r5
+        "agg_correlated": _q_agg_correlated,  # NEW r5
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2261,6 +2302,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(user_id) AS BIGINT) AS uid_sum,"
             " max(user_id) AS uid_max"
             " FROM events GROUP BY day_key",
+        "topn_per_group":
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM"
+            " (SELECT o_custkey, o_orderkey, o_totalprice,"
+            "  CAST(row_number() OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn"
+            "  FROM orders) WHERE rn <= 3",
+        "agg_correlated":
+            "SELECT c_custkey, c_acctbal,"
+            " (SELECT count(*) FROM orders o"
+            "  WHERE o.o_custkey = c.c_custkey) AS n_orders"
+            " FROM customer c WHERE c_custkey < 200",
         "agg_join_empty":
             "SELECT count(*) AS n_orders, sum(o_totalprice) AS sum_price,"
             " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"

@@ -73,3 +73,45 @@ def topk_by(ds: ray.data.Dataset, sort_keys: list, limit: int,
     # derived expressions) stay available to every re-sort along the tree
     fin = (lambda t: head(t).select(columns)) if columns else head
     return ray.data.from_arrow_refs([_merge_blocks.remote(fin, *refs)])
+
+
+def topn_per_group(ds: ray.data.Dataset, keys: list, order_by: list,
+                   n: int, rn_col: Optional[str] = None) -> ray.data.Dataset:
+    """Top-N rows PER GROUP (the `lateral-join.sql` / row_number()-filter
+    shape: ``rn <= n`` over ``PARTITION BY keys ORDER BY order_by``).
+
+    Scale shape: each block first prunes to at most ``n`` rows per key it
+    contains (a superset of that block's contribution to the answer — the
+    combiner), so the hash-partition shuffle moves O(n x keys) rows, not
+    the full input; each reducer then runs the same prune exactly once
+    per key.  ``order_by`` must be a TOTAL order (include a unique
+    tie-break column) for a deterministic result.  ``rn_col`` optionally
+    adds the 1-based in-group position to the output."""
+    import numpy as np
+    import pandas as pd
+
+    ob_cols = [c for c, _ in order_by]
+    asc = [d != "descending" for _, d in order_by]
+
+    def prune(t: pa.Table, with_rn: bool = False) -> pa.Table:
+        if t.num_rows == 0:
+            # empty partitions must carry the rn column too, or the
+            # final union loses the schema at tiny scale
+            if with_rn and rn_col is not None:
+                return t.append_column(rn_col, pa.array([], pa.int64()))
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(ob_cols, ascending=asc, kind="mergesort")
+        g = df.groupby(keys, sort=False, dropna=False)
+        if with_rn and rn_col is not None:
+            df[rn_col] = (g.cumcount() + 1).astype(np.int64)
+            df = df[df[rn_col] <= n]
+            return pa.Table.from_pandas(df, preserve_index=False)
+        df = g.head(n)
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=t.schema)
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    return hash_partition_apply(
+        ds, keys, lambda t: prune(t, with_rn=True), pre_fn=prune)

@@ -426,3 +426,54 @@ def test_partial_index_gated_streaming(ray_session):
         assert got3_ids == want_ids
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# topn_per_group: block invariance, null keys, pandas oracle
+# ---------------------------------------------------------------------------
+
+
+def test_topn_per_group_block_invariance(ray_session):
+    import pandas as pd
+
+    from paradedb_ray.pipelines.relational import topn_per_group
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 25, 500).astype(float)
+    keys[rng.choice(500, 20, replace=False)] = np.nan  # NULL group
+    vals = rng.rand(500)
+    t = pa.table({"k": pa.array(keys),
+                  "v": pa.array(vals),
+                  "id": pa.array(range(500), pa.int64())})
+
+    # pandas oracle: row_number <= 3 per partition
+    df = t.to_pandas().sort_values(["v", "id"], ascending=[False, True])
+    df["rn"] = df.groupby("k", dropna=False).cumcount() + 1
+    want = (df[df.rn <= 3].sort_values(["k", "rn"], na_position="last")
+            .reset_index(drop=True))
+
+    for n in (1, 16):
+        ds = ray.data.from_arrow(t).repartition(n)
+        out = topn_per_group(
+            ds, ["k"], [("v", "descending"), ("id", "ascending")], 3,
+            rn_col="rn").to_pandas()
+        out = (out.sort_values(["k", "rn"], na_position="last")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out[["k", "v", "id", "rn"]], want[["k", "v", "id", "rn"]])
+
+
+def test_topn_per_group_empty_keeps_schema(ray_session):
+    from paradedb_ray.pipelines.relational import topn_per_group
+
+    t = pa.table({"k": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.float64())})
+    out = topn_per_group(ray.data.from_arrow(t), ["k"],
+                         [("v", "descending")], 2, rn_col="rn")
+    # NOTE: Dataset.to_pandas() on an all-empty dataset drops columns
+    # (Ray quirk) — assert on the block schema, which downstream unions
+    # and write_parquet actually consume
+    assert out.schema().names == ["k", "v", "rn"]
+    assert out.count() == 0
+    blocks = ray.get(out.to_arrow_refs())
+    assert all(b.schema.names == ["k", "v", "rn"] for b in blocks)
