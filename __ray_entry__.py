@@ -1134,6 +1134,63 @@ def _q_agg_correlated(sf):
     return j.map_batches(fill, batch_format="pyarrow", batch_size=None)
 
 
+def _q_join_semi_disjunctive(sf):
+    """Semi-join with OR'd equalities (`join_semi_anti_disjunctive.sql`,
+    issue 4776): customers where an expensive order matches EITHER their
+    key or their nation key — one IN-list broadcast, union-of-memberships
+    probe mask."""
+    from paradedb_ray.pipelines.joins import semi_join_pushdown_disjunctive
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 450000.0))
+    return semi_join_pushdown_disjunctive(
+        c, o, ["c_custkey", "c_nationkey"], "o_custkey")
+
+
+def _q_join_anti_disjunctive(sf):
+    """NOT EXISTS over OR'd equalities (the anti half of
+    `join_semi_anti_disjunctive.sql`): complement of the disjunctive
+    membership, aggregated to a count + key extrema so the large result
+    stays comparable."""
+    from paradedb_ray.pipelines.aggregate import sql_aggregate
+    from paradedb_ray.pipelines.joins import semi_join_pushdown_disjunctive
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    c = _tbl(sf, "customer", columns=["c_custkey", "c_nationkey"])
+    o = _tbl(sf, "orders", columns=["o_custkey", "o_totalprice"])
+    o = filter_batches(
+        o, lambda b: pc.greater(b.column("o_totalprice"), 450000.0))
+    a = semi_join_pushdown_disjunctive(
+        c, o, ["c_custkey", "c_nationkey"], "o_custkey", anti=True)
+    return sql_aggregate(a, [], {"n_cust": ("count_star", None),
+                                 "min_key": ("min", "c_custkey"),
+                                 "max_key": ("max", "c_custkey")})
+
+
+def _q_union_window(sf):
+    """UNION ALL of two filtered scans + window over the combined set
+    (`columnar_advanced_05_union_window_functions.sql` shape): top 5 per
+    order status via the block-pruned topn_per_group, composed over the
+    union."""
+    from paradedb_ray.pipelines.relational import filter_batches, topn_per_group
+
+    o = _tbl(sf, "orders", columns=["o_orderkey", "o_orderstatus",
+                                    "o_totalprice"])
+    a = filter_batches(
+        o, lambda b: pc.and_(pc.equal(b.column("o_orderstatus"), "F"),
+                             pc.greater(b.column("o_totalprice"), 450000.0)))
+    b = filter_batches(
+        o, lambda t: pc.and_(pc.equal(t.column("o_orderstatus"), "O"),
+                             pc.greater(t.column("o_totalprice"), 450000.0)))
+    u = a.union(b)
+    return topn_per_group(u, ["o_orderstatus"],
+                          [("o_totalprice", "descending"),
+                           ("o_orderkey", "ascending")], 5, rn_col="rn")
+
+
 def _q_window_rank(sf):
     from paradedb_ray.pipelines.aggregate import partitioned_window
     from paradedb_ray.pipelines.relational import filter_batches
@@ -1893,6 +1950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datetime_groupby": _q_datetime_groupby,  # NEW r5
         "topn_per_group": _q_topn_per_group,  # NEW r5
         "agg_correlated": _q_agg_correlated,  # NEW r5
+        "join_semi_disjunctive": _q_join_semi_disjunctive,  # NEW r5
+        "join_anti_disjunctive": _q_join_anti_disjunctive,  # NEW r5
+        "union_window": _q_union_window,  # NEW r5
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2313,6 +2373,28 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(*) FROM orders o"
             "  WHERE o.o_custkey = c.c_custkey) AS n_orders"
             " FROM customer c WHERE c_custkey < 200",
+        "join_semi_disjunctive":
+            "SELECT c_custkey, c_nationkey FROM customer c"
+            " WHERE EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_totalprice > 450000 AND"
+            "  (o.o_custkey = c.c_custkey OR o.o_custkey = c.c_nationkey))",
+        "join_anti_disjunctive":
+            "SELECT count(*) AS n_cust, min(c_custkey) AS min_key,"
+            " max(c_custkey) AS max_key FROM customer c"
+            " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_totalprice > 450000 AND"
+            "  (o.o_custkey = c.c_custkey OR o.o_custkey = c.c_nationkey))",
+        "union_window":
+            "WITH u AS ("
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+            " WHERE o_orderstatus = 'F' AND o_totalprice > 450000"
+            " UNION ALL "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+            " WHERE o_orderstatus = 'O' AND o_totalprice > 450000)"
+            " SELECT o_orderkey, o_orderstatus, o_totalprice, rn FROM"
+            " (SELECT *, CAST(row_number() OVER"
+            "   (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,"
+            "    o_orderkey) AS BIGINT) AS rn FROM u) WHERE rn <= 5",
         "agg_join_empty":
             "SELECT count(*) AS n_orders, sum(o_totalprice) AS sum_price,"
             " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"

@@ -125,6 +125,46 @@ def semi_join_pushdown(
     return left.map_batches(member, batch_format="pyarrow", batch_size=None)
 
 
+def semi_join_pushdown_disjunctive(
+    left: ray.data.Dataset, right: ray.data.Dataset, ons: list,
+    right_on: str, anti: bool = False,
+) -> ray.data.Dataset:
+    """EXISTS / NOT EXISTS with OR across multiple probe columns
+    (`join_semi_anti_disjunctive.sql`, issue 4776: the reference absorbs
+    the OR-join as a nested-loop cross-join + filter; here ONE distinct
+    build-side IN-list broadcasts and the probe mask is the union of
+    per-column memberships — no cross-join materializes).  NULL probe
+    values fail their equality (never unknown-exclude the row), and NULL
+    build keys are dropped (x = NULL is never true), matching SQL
+    EXISTS semantics on both sides."""
+    import pyarrow.compute as pc
+
+    tables = [t for t in
+              ray.get(right.select_columns([right_on]).to_arrow_refs())
+              if t.num_rows > 0]
+    if tables:
+        keys_tbl = pa.concat_tables(tables, promote_options="default")
+        keyset = pc.unique(
+            keys_tbl.column(right_on).combine_chunks().drop_null())
+    else:
+        s = right.schema()
+        keyset = pa.array([], dict(zip(s.names, s.types))[right_on])
+    ref = ray.put(keyset)
+
+    def member(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = None
+        for c in ons:
+            m = pc.is_in(batch.column(c), value_set=ks).fill_null(False)
+            mask = m if mask is None else pc.or_(mask, m)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return left.map_batches(member, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
