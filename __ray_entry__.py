@@ -1658,6 +1658,25 @@ def _q_multimodal_jpeg(sf):
         ["doc_id", "width", "height", "channels", "px_sum"])
 
 
+def _q_multimodal_wav(sf):
+    """REAL WAV decode end to end: payloads are genuine RIFF PCM clips
+    whose every sample derives from an integer formula of (doc_id, i),
+    so the SQL oracle re-derives the decoded stream (LATERAL
+    generate_series) and predicts the exact frame count, energy
+    (sum of squares) and peak the Ray side must recover by parsing."""
+    from paradedb_ray.pipelines.multimodal import (
+        audio_features,
+        synthesize_wav_payloads,
+    )
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    d = _docs(sf, columns=["doc_id"])
+    d = filter_batches(d, lambda b: pc.less(b.column("doc_id"), 500))
+    ds = synthesize_wav_payloads(d, "doc_id")
+    return audio_features(ds).select_columns(
+        ["doc_id", "n_frames", "sum_sq", "peak"])
+
+
 def _q_multimodal_features(sf):
     from paradedb_ray.pipelines.multimodal import (
         extract_features,
@@ -2005,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_filter_search": _q_agg_filter_search,
         "search_not": _q_search_not,
         "multimodal_jpeg": _q_multimodal_jpeg,
+        "multimodal_wav": _q_multimodal_wav,  # NEW r5
         "collation_order": _q_collation_order,
         "range_agg": _q_range_agg,
         "window_count_over": _q_window_count_over,
@@ -2567,6 +2587,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents)"
             " SELECT doc_id, width, height, CAST(3 AS TINYINT) AS channels,"
             " CAST(rgb AS BIGINT) * width * height AS px_sum FROM m",
+        # the WAV payload's PCM stream is an integer formula of
+        # (doc_id, i), so the oracle re-derives the DECODED samples with
+        # a LATERAL generate_series and aggregates the same exact
+        # integer features the RIFF parse must recover
+        "multimodal_wav":
+            "SELECT d.doc_id,"
+            " CAST(64 + d.doc_id % 64 AS BIGINT) AS n_frames,"
+            " CAST(sum(x.s * x.s) AS BIGINT) AS sum_sq,"
+            " CAST(max(abs(x.s)) AS BIGINT) AS peak"
+            " FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d"
+            " JOIN (SELECT i, NULL AS _ FROM generate_series(0, 127) t(i))"
+            "  t ON t.i <= 63 + d.doc_id % 64,"
+            " LATERAL (SELECT ((d.doc_id * 31 + t.i * 7) % 65536) - 32768"
+            "  AS s) x"
+            " GROUP BY d.doc_id",
         "tumbling_1h":
             "SELECT date_trunc('hour', ts) AS window_start, event_type,"
             " count(*) AS n, min(value) AS vmin, max(value) AS vmax"

@@ -108,6 +108,62 @@ def synthesize_png_payloads(ds: ray.data.Dataset, text_col: str,
     return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
 
 
+def synthesize_wav_payloads(ds: ray.data.Dataset,
+                            key_col: str) -> ray.data.Dataset:
+    """Derive a deterministic REAL WAV (RIFF PCM, mono 16-bit) per row:
+    clip length and every sample value follow an integer formula of
+    (key, i) — n = 64 + key % 64, s_i = ((key*31 + i*7) % 65536) - 32768
+    — so a SQL oracle can re-derive the DECODED stream exactly (the
+    `fingerprint` rolling-hash trick applied to audio).  The decode
+    stage must recover the samples by actually parsing the RIFF/data
+    chunks."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_pylist()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            n = 64 + d % 64
+            i = np.arange(n, dtype=np.int64)
+            s = ((d * 31 + i * 7) % 65536) - 32768
+            payloads.append(codecs.encode_wav(s.astype(np.int16),
+                                              rate=8000))
+        return pa.table({
+            key_col: batch.column(key_col),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/wav"] * len(payloads),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(make, batch_format="pyarrow", batch_size=1024)
+
+
+def audio_features(ds: ray.data.Dataset,
+                   media_col: str = "media") -> ray.data.Dataset:
+    """Audio feature extraction over decoded PCM: exact integer features
+    (frame count, int64 sum of squares — the un-normalized energy — and
+    peak |sample|) per clip.  Undecodable payloads yield NULL features
+    rather than dropping the row (the multimodal metadata contract)."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ns, ss, pk = [], [], []
+        for p in batch.column(media_col).to_pylist():
+            d = codecs.decode_wav(p) if p is not None else None
+            if d is None:
+                ns.append(None); ss.append(None); pk.append(None)
+                continue
+            s = d["samples"].astype(np.int64)
+            ns.append(int(d["n_frames"]))
+            ss.append(int(np.dot(s, s)))
+            pk.append(int(np.abs(s).max()) if s.size else 0)
+        return (batch.drop_columns([media_col])
+                .append_column("n_frames", pa.array(ns, pa.int64()))
+                .append_column("sum_sq", pa.array(ss, pa.int64()))
+                .append_column("peak", pa.array(pk, pa.int64())))
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=None)
+
+
 def synthesize_jpeg_payloads(ds: ray.data.Dataset, text_col: str,
                              key_col: str) -> ray.data.Dataset:
     """Derive a deterministic REAL baseline JPEG per row: dimensions and a

@@ -477,3 +477,41 @@ def test_topn_per_group_empty_keeps_schema(ray_session):
     assert out.count() == 0
     blocks = ray.get(out.to_arrow_refs())
     assert all(b.schema.names == ["k", "v", "rn"] for b in blocks)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav: RIFF roundtrip + exact integer features + NULL contract
+# ---------------------------------------------------------------------------
+
+
+def test_wav_synth_roundtrip_and_features(ray_session):
+    from paradedb_ray.pipelines import codecs
+    from paradedb_ray.pipelines.multimodal import (audio_features,
+                                                   synthesize_wav_payloads)
+
+    t = pa.table({"doc_id": pa.array([0, 7, 63, 64, 129], pa.int64())})
+    ds = synthesize_wav_payloads(ray.data.from_arrow(t), "doc_id")
+    # the payloads are genuine RIFF/WAVE PCM
+    media = [r["media"] for r in ds.take_all()]
+    for p in media:
+        assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+        assert codecs.decode_wav(p) is not None
+    out = audio_features(
+        synthesize_wav_payloads(ray.data.from_arrow(t), "doc_id")
+    ).to_pandas().set_index("doc_id")
+    for d in (0, 7, 63, 64, 129):
+        n = 64 + d % 64
+        i = np.arange(n, dtype=np.int64)
+        s = ((d * 31 + i * 7) % 65536) - 32768
+        assert out.loc[d, "n_frames"] == n
+        assert out.loc[d, "sum_sq"] == int(np.dot(s, s))
+        assert out.loc[d, "peak"] == int(np.abs(s).max())
+
+
+def test_wav_undecodable_yields_null_features(ray_session):
+    from paradedb_ray.pipelines.multimodal import audio_features
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "media": pa.array([b"not a wav", None], pa.binary())})
+    out = audio_features(ray.data.from_arrow(t)).to_pandas()
+    assert out["n_frames"].isna().all()
