@@ -88,7 +88,6 @@ def topn_per_group(ds: ray.data.Dataset, keys: list, order_by: list,
     tie-break column) for a deterministic result.  ``rn_col`` optionally
     adds the 1-based in-group position to the output."""
     import numpy as np
-    import pandas as pd
 
     ob_cols = [c for c, _ in order_by]
     asc = [d != "descending" for _, d in order_by]
