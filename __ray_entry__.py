@@ -1923,6 +1923,28 @@ def _q_knn_filtered_ip(sf):
     return _q_knn_filtered(sf, op="<#>", metric="ip")
 
 
+def _q_sample_hash(sf):
+    """Deterministic 25% corpus sample by md5 key hash
+    (`functions/sampling.py`): the survivor set is a pure function of
+    (doc_id, salt) — reproducible across reruns, block layouts and
+    cluster sizes, and exactly reproducible in SQL."""
+    from paradedb_ray.functions.sampling import hash_sample
+
+    ds = _docs(sf, columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, "doc_id", rate_bp=2500, salt="s5")
+
+
+def _q_sample_stratified(sf):
+    """Exact per-language md5-rank reservoir: the 7 docs with the
+    smallest (h(doc_id), doc_id) per lang — balanced subsets without a
+    global shuffle (block-local per-group prune, then O(n x groups)
+    rows move)."""
+    from paradedb_ray.functions.sampling import stratified_sample
+
+    ds = _docs(sf, columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, "lang", "doc_id", n=7, salt="s5")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2081,6 +2103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_regex": _q_search_regex,
         "numeric_range": _q_numeric_range,
         "histogram": _q_histogram,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
     }
 
 
@@ -2461,6 +2485,21 @@ def oracle_sql() -> dict[str, str]:
         "histogram":
             "SELECT floor(o_totalprice / 100000) * 100000 AS price_key,"
             " count(*) AS doc_count FROM orders GROUP BY price_key",
+        "sample_hash":
+            # md5-low-60 survivor set — exactly _hash60(str(doc_id)+'s5')
+            # (`functions/sampling.py`); hex-prefix CAST verified vs Python.
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE CAST(concat('0x', substr(md5("
+            "CAST(doc_id AS VARCHAR) || 's5'), 1, 15)) AS BIGINT)"
+            " % 10000 < 2500",
+        "sample_stratified":
+            "WITH h AS (SELECT doc_id, lang, n_chars,"
+            " CAST(concat('0x', substr(md5("
+            "CAST(doc_id AS VARCHAR) || 's5'), 1, 15)) AS BIGINT) AS hh"
+            " FROM documents),"
+            " r AS (SELECT doc_id, lang, n_chars, row_number() OVER"
+            " (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)"
+            " SELECT doc_id, lang, n_chars FROM r WHERE rn <= 7",
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",

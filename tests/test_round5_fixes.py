@@ -515,3 +515,82 @@ def test_wav_undecodable_yields_null_features(ray_session):
                   "media": pa.array([b"not a wav", None], pa.binary())})
     out = audio_features(ray.data.from_arrow(t)).to_pandas()
     assert out["n_frames"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# session 4: deterministic sampling ops (`functions/sampling.py`)
+# ---------------------------------------------------------------------------
+
+
+def _sample_fixture():
+    import itertools
+
+    langs = list(itertools.islice(itertools.cycle(
+        ["en", "de", "fr", "ja", None]), 400))
+    return pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array([i * 3 % 97 for i in range(400)], pa.int64()),
+    })
+
+
+def test_hash_sample_block_invariant_and_deterministic(ray_session):
+    from paradedb_ray.functions.sampling import _hash60, hash_sample
+
+    t = _sample_fixture()
+    expect = sorted(
+        int(d) for d in t.column("doc_id").to_pylist()
+        if _hash60(str(d) + "salty") % 10_000 < 3000)
+    for nblocks in (1, 17):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = hash_sample(ds, "doc_id", rate_bp=3000, salt="salty")
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == expect
+    # the rate lands near 30% on a uniform hash
+    assert 0.2 < len(expect) / 400 < 0.4
+
+
+def test_hash_sample_zero_rate_keeps_schema(ray_session):
+    from paradedb_ray.functions.sampling import hash_sample
+
+    ds = ray.data.from_arrow(_sample_fixture())
+    out = hash_sample(ds, "doc_id", rate_bp=0)
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert tbl.num_rows == 0
+    assert tbl.schema.names == ["doc_id", "lang", "n_chars"]
+
+
+def test_stratified_sample_exact_per_group(ray_session):
+    from paradedb_ray.functions.sampling import _hash60, stratified_sample
+
+    t = _sample_fixture()
+    # oracle: n smallest (h, doc_id) per lang, NULL lang is its own group
+    by_group = {}
+    for d, lang in zip(t.column("doc_id").to_pylist(),
+                       t.column("lang").to_pylist()):
+        by_group.setdefault(lang, []).append((_hash60(str(d) + "z"), d))
+    expect = sorted(d for rows in by_group.values()
+                    for _, d in sorted(rows)[:5])
+    for nblocks in (1, 13):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = stratified_sample(ds, "lang", "doc_id", n=5, salt="z")
+        rows = out.take_all()
+        assert sorted(r["doc_id"] for r in rows) == expect
+        assert set(out.schema().names) == {"doc_id", "lang", "n_chars"}
+        # exactly n per group incl. the NULL group
+        from collections import Counter
+        c = Counter(r["lang"] for r in rows)
+        assert all(v == 5 for v in c.values()) and None in c
+
+
+def test_hash_sample_disjoint_salts_are_independent(ray_session):
+    from paradedb_ray.functions.sampling import hash_sample
+
+    ds = ray.data.from_arrow(_sample_fixture())
+    a = {r["doc_id"] for r in
+         hash_sample(ds, "doc_id", 5000, salt="a").take_all()}
+    b = {r["doc_id"] for r in
+         hash_sample(ds, "doc_id", 5000, salt="b").take_all()}
+    # different salts decorrelate: overlap is near rate^2, not rate
+    assert 0.1 < len(a & b) / 400 < 0.45
+    assert a != b
