@@ -37,6 +37,33 @@ def _doc_schema():
     return documents_schema()
 
 
+def _q_mix_sources(sf):
+    """Weighted source mixing (`functions/sampling.py::mix_sources`):
+    per-language deterministic keep-rates in one stateless pass — the
+    LLM-training source-reweighting recipe; survivor set is a pure
+    function of (doc_id, salt) per language, CASE-reproducible in SQL."""
+    from paradedb_ray.functions.sampling import mix_sources
+
+    ds = _docs(sf, columns=["doc_id", "lang", "n_chars"])
+    return mix_sources(ds, "lang", "doc_id",
+                       {"en": 8000, "de": 4000, "fr": 2000},
+                       default_bp=1000, salt="mx")
+
+
+def _q_freq_quality(sf):
+    """Corpus-frequency quality scoring (`functions/vocab.py`): global
+    top-64 token vocabulary via the two-stage hash aggregate (per-reducer
+    heads, driver merges P x 64 rows), broadcast once via ray.put, then a
+    stateless integer scoring pass — sum of corpus counts over each doc's
+    in-vocab tokens.  All-int64 outputs keep the oracle bit-exact."""
+    from paradedb_ray.functions.vocab import add_freq_quality, build_token_vocab
+
+    vocab = build_token_vocab(_docs(sf, columns=["text"]), "text", top_v=64)
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return add_freq_quality(ds, "text", "doc_id", vocab).select_columns(
+        ["doc_id", "tf_sum_freq", "tf_in_vocab", "tf_n_tokens"])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2105,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": _q_histogram,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
+        "mix_sources": _q_mix_sources,
+        "freq_quality": _q_freq_quality,
     }
 
 
@@ -2500,6 +2529,33 @@ def oracle_sql() -> dict[str, str]:
             " r AS (SELECT doc_id, lang, n_chars, row_number() OVER"
             " (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)"
             " SELECT doc_id, lang, n_chars FROM r WHERE rn <= 7",
+        "mix_sources":
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE CAST(concat('0x', substr(md5("
+            "CAST(doc_id AS VARCHAR) || 'mx'), 1, 15)) AS BIGINT)"
+            " % 10000 < CASE WHEN lang = 'en' THEN 8000"
+            " WHEN lang = 'de' THEN 4000 WHEN lang = 'fr' THEN 2000"
+            " ELSE 1000 END",
+        "freq_quality":
+            # vocab = global top-64 tokens by (count DESC, token ASC) —
+            # a TOTAL order, so the LIMIT boundary is deterministic on
+            # both sides; all outputs integer => bit-exact hash
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '\\S+')) AS tok"
+            " FROM documents),"
+            " cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),"
+            " vocab AS (SELECT tok, c FROM cnt"
+            " ORDER BY c DESC, tok LIMIT 64),"
+            " scored AS (SELECT t.doc_id,"
+            " CAST(coalesce(sum(v.c), 0) AS BIGINT) AS tf_sum_freq,"
+            " CAST(count(v.tok) AS BIGINT) AS tf_in_vocab,"
+            " CAST(count(*) AS BIGINT) AS tf_n_tokens"
+            " FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)"
+            " SELECT d.doc_id,"
+            " coalesce(s.tf_sum_freq, 0) AS tf_sum_freq,"
+            " coalesce(s.tf_in_vocab, 0) AS tf_in_vocab,"
+            " coalesce(s.tf_n_tokens, 0) AS tf_n_tokens"
+            " FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id",
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",

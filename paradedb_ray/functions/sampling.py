@@ -85,6 +85,48 @@ def add_hash_column(ds: ray.data.Dataset, key_col: str, out_col: str,
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
 
 
+class _MixSampler:
+    """Per-batch deterministic filter with a PER-GROUP rate: keep rows
+    whose ``h(key||salt) % 10k < rates[group]`` (``default_bp`` for
+    groups absent from the map, NULL group included)."""
+
+    def __init__(self, group_col: str, key_col: str, rates: dict,
+                 default_bp: int, salt: str):
+        self.group_col = group_col
+        self.key_col = key_col
+        self.rates = dict(rates)
+        self.default_bp = int(default_bp)
+        self.salt = salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = batch.column(self.key_col).to_pylist()
+        groups = batch.column(self.group_col).to_pylist()
+        rates, dflt, salt = self.rates, self.default_bp, self.salt
+        mask = np.fromiter(
+            (_hash60(str(k) + salt) % 10_000 < rates.get(g, dflt)
+             for k, g in zip(keys, groups)),
+            dtype=bool, count=len(keys))
+        return batch.filter(pa.array(mask))
+
+
+def mix_sources(ds: ray.data.Dataset, group_col: str, key_col: str,
+                rates: dict, default_bp: int = 0,
+                salt: str = "") -> ray.data.Dataset:
+    """Weighted corpus mixing: resample each source/domain/language at
+    its own deterministic rate in ONE stateless pass (the standard
+    LLM-training recipe of up-/down-weighting sources without
+    duplicating or shuffling data).  ``rates`` maps group value ->
+    basis points kept; unknown (and NULL) groups fall back to
+    ``default_bp``.  The survivor set is a pure function of
+    ``(key, salt)`` per group, so it is layout- and retry-stable and
+    exactly reproducible in SQL (a CASE over the same md5 predicate)."""
+    return ds.map_batches(
+        _MixSampler(group_col, key_col, rates, default_bp, salt),
+        batch_format="pyarrow", batch_size=None)
+
+
 def stratified_sample(ds: ray.data.Dataset, group_col: str, key_col: str,
                       n: int, salt: str = "") -> ray.data.Dataset:
     """Exact deterministic per-group sample: the ``n`` rows with the

@@ -1,0 +1,125 @@
+"""Corpus-frequency vocabulary build + token-frequency quality scoring.
+
+The published LLM-data quality family (C4 / Gopher / RefinedWeb filters)
+scores documents against CORPUS statistics — here the corpus-wide token
+frequency table: documents dominated by tokens the corpus has never seen
+(OCR noise, hashes, boilerplate IDs) score low, documents made of common
+words score high.  Two stages, both scale-shaped:
+
+* :func:`build_token_vocab` — the wide step.  Per-block token explode ->
+  the house two-stage hash aggregate (`stages/hash_agg.py`, partial
+  counts per block, ``num_returns=P`` hash split, P reducers) -> each
+  reducer prunes to ITS top-V (token hash-partitioning makes every
+  token's total live in exactly one reducer, so the per-reducer head is
+  a superset of that reducer's contribution to the global head) -> the
+  driver merges P x V rows.  The corpus never concentrates anywhere;
+  only P small heads do.
+* :func:`add_freq_quality` — the narrow step.  The vocab (<= V rows) is
+  ``ray.put`` ONCE and each scoring task reads it from the object store
+  (never re-pickled per batch); scoring is a stateless per-batch pass.
+
+All outputs are INTEGER (sum of corpus frequencies, in-vocab count,
+token count), so the result is bit-exact and reproducible in plain SQL
+(the oracle contract): no float log-prob drift across engines or
+reduction orders.  Vocab boundary ties break by (freq DESC, token ASC)
+— a total order, identical in SQL's ORDER BY ... LIMIT.
+
+Reference analogue: pg_search keeps per-segment term dictionaries with
+document frequencies (tantivy ``TermDictionary``); this op lifts the
+same statistic corpus-wide as a training-data quality signal.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WS = re.compile(r"\S+")
+
+
+def _explode(batch: pa.Table, text_col: str) -> pa.Table:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        if t:
+            c.update(_WS.findall(t))
+    return pa.table({
+        "token": pa.array(list(c.keys()), pa.string()),
+        "freq": pa.array(list(c.values()), pa.int64()),
+    })
+
+
+def _head(tbl: pa.Table, v: int) -> pa.Table:
+    idx = pa.compute.sort_indices(
+        tbl, sort_keys=[("freq", "descending"), ("token", "ascending")])
+    return tbl.take(idx[:v])
+
+
+def build_token_vocab(ds: ray.data.Dataset, text_col: str,
+                      top_v: int = 4096) -> pa.Table:
+    """Global top-``top_v`` whitespace tokens by corpus count, as an
+    Arrow table ``(token, freq)`` sorted by (freq DESC, token ASC)."""
+    from paradedb_ray.stages.hash_agg import hash_group_aggregate
+
+    tok = ds.map_batches(lambda b: _explode(b, text_col),
+                         batch_format="pyarrow", batch_size=None)
+    counts = hash_group_aggregate(tok, ["token"],
+                                  {"freq": ("sum", "freq")})
+    heads = counts.map_batches(lambda b: _head(b, top_v),
+                               batch_format="pyarrow", batch_size=None)
+    merged = pa.concat_tables(ray.get(heads.to_arrow_refs()))
+    return _head(merged, top_v)
+
+
+class _FreqScorer:
+    """Score each doc against a broadcast vocab: integer sum of corpus
+    frequencies over the doc's in-vocab tokens + coverage counts."""
+
+    def __init__(self, text_col: str, key_col: str, vocab_ref):
+        self.text_col = text_col
+        self.key_col = key_col
+        v = ray.get(vocab_ref) if isinstance(
+            vocab_ref, ray.ObjectRef) else vocab_ref
+        self.vocab = dict(zip(v.column("token").to_pylist(),
+                              v.column("freq").to_pylist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vocab = self.vocab
+        sums, inv, ntok = [], [], []
+        for t in batch.column(self.text_col).to_pylist():
+            toks = _WS.findall(t) if t else []
+            s = n_in = 0
+            for tk in toks:
+                f = vocab.get(tk)
+                if f is not None:
+                    s += f
+                    n_in += 1
+            sums.append(s)
+            inv.append(n_in)
+            ntok.append(len(toks))
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "tf_sum_freq": pa.array(sums, pa.int64()),
+            "tf_in_vocab": pa.array(inv, pa.int64()),
+            "tf_n_tokens": pa.array(ntok, pa.int64()),
+        })
+
+
+def add_freq_quality(ds: ray.data.Dataset, text_col: str, key_col: str,
+                     vocab: pa.Table,
+                     concurrency=None) -> ray.data.Dataset:
+    """Per-doc corpus-frequency quality features against ``vocab``
+    (from :func:`build_token_vocab`): ``tf_sum_freq`` (sum of corpus
+    counts of the doc's in-vocab tokens), ``tf_in_vocab``,
+    ``tf_n_tokens`` — all int64, bit-exact."""
+    ref = ray.put(vocab)
+    return ds.map_batches(
+        _FreqScorer,
+        fn_constructor_args=(text_col, key_col, ref),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency if concurrency is not None else (1, 8))

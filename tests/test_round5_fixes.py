@@ -583,6 +583,87 @@ def test_stratified_sample_exact_per_group(ray_session):
         assert all(v == 5 for v in c.values()) and None in c
 
 
+def test_mix_sources_per_group_rates(ray_session):
+    from paradedb_ray.functions.sampling import _hash60, mix_sources
+
+    t = _sample_fixture()
+    rates = {"en": 9000, "de": 2000}
+    expect = sorted(
+        d for d, g in zip(t.column("doc_id").to_pylist(),
+                          t.column("lang").to_pylist())
+        if _hash60(str(d) + "m") % 10_000 < rates.get(g, 500))
+    for nblocks in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = mix_sources(ds, "lang", "doc_id", rates,
+                          default_bp=500, salt="m")
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == expect
+    # en kept near 90%, de near 20%: the per-group rates actually apply
+    rows = mix_sources(ray.data.from_arrow(t), "lang", "doc_id", rates,
+                       default_bp=500, salt="m").take_all()
+    from collections import Counter
+    c = Counter(r["lang"] for r in rows)
+    assert c["en"] > 55 and c["de"] < 30  # 80 per group in the fixture
+
+
+def _vocab_fixture():
+    texts = []
+    for i in range(300):
+        words = ["the"] * (i % 4) + [f"w{i % 23}", f"rare{i}"]
+        texts.append(" ".join(words))
+    texts += ["", None]
+    return pa.table({
+        "doc_id": pa.array(range(302), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def _py_vocab(t, v):
+    from collections import Counter
+
+    c = Counter()
+    for s in t.column("text").to_pylist():
+        if s:
+            c.update(s.split())
+    return dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:v])
+
+
+def test_build_token_vocab_matches_python_oracle(ray_session):
+    from paradedb_ray.functions.vocab import build_token_vocab
+
+    t = _vocab_fixture()
+    expect = _py_vocab(t, 10)
+    for nblocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        vt = build_token_vocab(ds, "text", top_v=10)
+        got = dict(zip(vt.column("token").to_pylist(),
+                       vt.column("freq").to_pylist()))
+        assert got == expect
+        # sorted by (freq desc, token asc) — the boundary total order
+        pairs = list(zip(vt.column("freq").to_pylist(),
+                         vt.column("token").to_pylist()))
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_add_freq_quality_integer_exact(ray_session):
+    from paradedb_ray.functions.vocab import add_freq_quality, build_token_vocab
+
+    t = _vocab_fixture()
+    ds = ray.data.from_arrow(t).repartition(7)
+    vocab = build_token_vocab(ds, "text", top_v=10)
+    vd = _py_vocab(t, 10)
+    out = {r["doc_id"]: r for r in
+           add_freq_quality(ds, "text", "doc_id", vocab).take_all()}
+    for d, s in zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()):
+        toks = s.split() if s else []
+        assert out[d]["tf_n_tokens"] == len(toks)
+        assert out[d]["tf_in_vocab"] == sum(1 for x in toks if x in vd)
+        assert out[d]["tf_sum_freq"] == sum(vd.get(x, 0) for x in toks)
+    # empty + NULL text rows still emit all-zero rows (schema kept)
+    assert out[300]["tf_sum_freq"] == 0 and out[301]["tf_n_tokens"] == 0
+
+
 def test_hash_sample_disjoint_salts_are_independent(ray_session):
     from paradedb_ray.functions.sampling import hash_sample
 
