@@ -89,24 +89,37 @@ class _FreqScorer:
                               v.column("freq").to_pylist()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vocab = self.vocab
-        sums, inv, ntok = [], [], []
-        for t in batch.column(self.text_col).to_pylist():
-            toks = _WS.findall(t) if t else []
-            s = n_in = 0
-            for tk in toks:
-                f = vocab.get(tk)
-                if f is not None:
-                    s += f
-                    n_in += 1
-            sums.append(s)
-            inv.append(n_in)
-            ntok.append(len(toks))
+        import itertools
+
+        import numpy as np
+        import pandas as pd
+
+        tok_lists = [_WS.findall(t) if t else []
+                     for t in batch.column(self.text_col).to_pylist()]
+        n = len(tok_lists)
+        lens = np.fromiter((len(x) for x in tok_lists),
+                           dtype=np.int64, count=n)
+        flat = list(itertools.chain.from_iterable(tok_lists))
+        if flat:
+            # one vectorized hash-map probe over the flattened tokens,
+            # then segment sums via cumsum differences (handles
+            # zero-token docs, stays integer-exact)
+            mapped = pd.Series(flat, dtype=object).map(self.vocab)
+            hit = mapped.notna().to_numpy()
+            freq = mapped.fillna(0).to_numpy(dtype=np.int64)
+            bounds = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            csum_f = np.concatenate(([0], np.cumsum(freq)))
+            csum_h = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
+            sums = csum_f[bounds[1:]] - csum_f[bounds[:-1]]
+            inv = csum_h[bounds[1:]] - csum_h[bounds[:-1]]
+        else:
+            sums = inv = np.zeros(n, np.int64)
         return pa.table({
             self.key_col: batch.column(self.key_col),
             "tf_sum_freq": pa.array(sums, pa.int64()),
             "tf_in_vocab": pa.array(inv, pa.int64()),
-            "tf_n_tokens": pa.array(ntok, pa.int64()),
+            "tf_n_tokens": pa.array(lens, pa.int64()),
         })
 
 
