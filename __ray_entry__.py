@@ -37,6 +37,28 @@ def _doc_schema():
     return documents_schema()
 
 
+def _q_dedup_clusters(sf):
+    """Transitive near-dup CLUSTERS: the verified n-gram-Jaccard pairs
+    (same parameters as `dedup_ngram_jaccard`, whose full recall is
+    exhaustively verified at every test sf) fed through distributed
+    min-label connected components (`pipelines/graph.py`) — every doc
+    touching an edge labeled with its component's min doc_id.  Oracle:
+    recursive-CTE reachability over the identical SQL pair set."""
+    from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
+    from paradedb_ray.pipelines.graph import connected_components
+
+    pairs = ngram_jaccard_duplicates(
+        _docs(sf, columns=["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5, num_perm=64, bands=32)
+    out = connected_components(pairs.select_columns(["doc_id", "dup_of"]),
+                               "doc_id", "dup_of", num_partitions=8)
+
+    def rn(b):
+        return b.rename_columns(["doc_id", "cluster_id"])
+
+    return out.map_batches(rn, batch_format="pyarrow", batch_size=None)
+
+
 def _q_mix_sources(sf):
     """Weighted source mixing (`functions/sampling.py::mix_sources`):
     per-language deterministic keep-rates in one stateless pass — the
@@ -2134,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         "mix_sources": _q_mix_sources,
         "freq_quality": _q_freq_quality,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -2556,6 +2579,31 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(s.tf_in_vocab, 0) AS tf_in_vocab,"
             " coalesce(s.tf_n_tokens, 0) AS tf_n_tokens"
             " FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id",
+        "dedup_clusters":
+            # same pair set as dedup_ngram_jaccard (full recall verified),
+            # then connected components as recursive reachability:
+            # cluster_id = min over {self} U reachable set
+            "WITH RECURSIVE w AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS ws FROM documents),"
+            " g AS (SELECT doc_id,"
+            "  unnest(list_transform(generate_series(1, len(ws) - 2),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh"
+            "  FROM w WHERE len(ws) >= 3),"
+            " gd AS (SELECT DISTINCT doc_id, sh FROM g),"
+            " sz AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),"
+            " i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c"
+            "  FROM gd a JOIN gd b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2),"
+            " e AS (SELECT i.d1, i.d2 FROM i"
+            "  JOIN sz s1 ON s1.doc_id = i.d1 JOIN sz s2 ON s2.doc_id = i.d2"
+            "  WHERE CAST(i.c AS DOUBLE) / (s1.n + s2.n - i.c) >= 0.5),"
+            " sym AS (SELECT d1 AS a, d2 AS b FROM e"
+            "  UNION ALL SELECT d2, d1 FROM e),"
+            " reach AS (SELECT a AS node, b AS r FROM sym"
+            "  UNION SELECT reach.node, sym.b FROM reach"
+            "  JOIN sym ON reach.r = sym.a)"
+            " SELECT node AS doc_id, least(node, min(r)) AS cluster_id"
+            " FROM reach GROUP BY node",
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",

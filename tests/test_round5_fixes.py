@@ -664,6 +664,51 @@ def test_add_freq_quality_integer_exact(ray_session):
     assert out[300]["tf_sum_freq"] == 0 and out[301]["tf_n_tokens"] == 0
 
 
+def _cc_fixture():
+    # chain 0-..-9 (diameter 9: true multi-hop), triangle, pair
+    edges = ([(i, i + 1) for i in range(9)]
+             + [(20, 21), (21, 22), (20, 22), (30, 31)])
+    return pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    })
+
+
+def test_connected_components_chain_and_invariance(ray_session):
+    from paradedb_ray.pipelines.graph import connected_components
+
+    t = _cc_fixture()
+    expect = sorted([(i, 0) for i in range(10)]
+                    + [(i, 20) for i in (20, 21, 22)]
+                    + [(30, 30), (31, 30)])
+    for P in (1, 8):
+        for nb in (1, 5):
+            ds = ray.data.from_arrow(t).repartition(nb)
+            out = connected_components(ds, "a", "b", num_partitions=P)
+            got = sorted((r["node"], r["cluster_id"])
+                         for r in out.take_all())
+            assert got == expect, (P, nb)
+
+
+def test_connected_components_empty_keeps_schema(ray_session):
+    from paradedb_ray.pipelines.graph import connected_components
+
+    e0 = ray.data.from_arrow(_cc_fixture().slice(0, 0))
+    out = connected_components(e0, "a", "b", num_partitions=4)
+    tb = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert tb.num_rows == 0
+    assert tb.schema.names == ["node", "cluster_id"]
+    assert tb.schema.types == [pa.int64(), pa.int64()]
+
+
+def test_connected_components_max_iters_guard(ray_session):
+    from paradedb_ray.pipelines.graph import connected_components
+
+    ds = ray.data.from_arrow(_cc_fixture())
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(ds, "a", "b", num_partitions=2, max_iters=2)
+
+
 def test_hash_sample_disjoint_salts_are_independent(ray_session):
     from paradedb_ray.functions.sampling import hash_sample
 
