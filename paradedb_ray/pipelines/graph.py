@@ -15,12 +15,15 @@ Shape (min-label propagation, hash-partitioned):
 * The label table (one row per node that touches an edge — bounded by
   2x the edge count, FAR smaller than the corpus) is co-partitioned by
   the same hash.  Each iteration is two object-store-native rounds:
-  per-partition pyarrow hash join emits ``(dst, lbl_src)`` messages
-  split ``num_returns=P`` by destination hash, then each partition
-  min-reduces its old labels with its inbound messages.
-* Convergence is exact and cheap: labels only ever DECREASE, so the
-  per-partition int sum of labels is strictly monotone — fixpoint iff
-  the total sum is unchanged (python ints, no overflow).
+  per-partition pyarrow hash join of edges against the FRONTIER (only
+  nodes whose label improved last round — delta propagation; round 1
+  every node announces itself) emits ``(dst, lbl_src)`` messages split
+  ``num_returns=P`` by destination hash, then each partition
+  min-reduces its labels with its inbound messages.
+* Convergence is exact and cheap: a node re-sends only when its label
+  strictly improves, so the frontier shrinks to empty exactly at the
+  fixpoint; the driver fetches one int (changed count) per partition
+  per round.
 
 Iterations = component diameter.  Near-dup graphs are star/clique
 shaped (copies of a common ancestor), so diameter is small; the
@@ -76,7 +79,7 @@ def _init_labels(*edge_parts):
 
 @ray.remote
 def _gen_msgs(edges: pa.Table, labels: pa.Table, P: int):
-    """Per-partition join edges(src) x labels(node) -> (dst, lbl)
+    """Per-partition join edges(src) x frontier(node) -> (dst, lbl)
     messages, split by destination hash."""
     j = edges.join(labels, keys=["src"], right_keys=["node"],
                    join_type="inner")
@@ -85,17 +88,25 @@ def _gen_msgs(edges: pa.Table, labels: pa.Table, P: int):
     return parts if P > 1 else parts[0]
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _min_reduce(labels: pa.Table, *msg_parts):
-    """New labels = min(old label, inbound message labels) per node;
-    returns (table ref, int label sum ref) — only the scalar sum is ever
-    fetched by the driver (it drives exact fixpoint detection: labels
-    only decrease, so the total is strictly monotone until fixpoint)."""
+    """New labels = min(old label, inbound message labels) per node.
+    Returns (new labels, CHANGED rows, change count) as three refs —
+    the changed subset is the next round's message frontier (a node
+    whose label didn't improve already delivered its best label, so
+    re-sending is pure waste: delta propagation), and only the scalar
+    count is ever fetched by the driver (exact fixpoint detection)."""
+    import pyarrow.compute as pc
+
     cand = pa.concat_tables([labels, *msg_parts])
     red = cand.group_by("node").aggregate([("lbl", "min")]).rename_columns(
         ["node", "lbl"])
-    s = pa.compute.sum(red.column("lbl")).as_py() or 0
-    return red, int(s)
+    old = labels.rename_columns(["node", "old"])
+    j = red.join(old, keys=["node"], join_type="left outer")
+    improved = pc.or_kleene(pc.is_null(j.column("old")),
+                            pc.less(j.column("lbl"), j.column("old")))
+    changed = j.filter(pc.fill_null(improved, True)).select(["node", "lbl"])
+    return red, changed, changed.num_rows
 
 
 def connected_components(edges: ray.data.Dataset, a_col: str, b_col: str,
@@ -124,10 +135,10 @@ def connected_components(edges: ray.data.Dataset, a_col: str, b_col: str,
             for p in range(P)]
     label_refs = [i[0] for i in init]
     edge_refs = [i[1] for i in init]
-    prev_sum = None
+    frontier_refs = label_refs  # round 1: every node announces itself
     for _ in range(max_iters):
         gen = _gen_msgs.options(num_returns=P if P > 1 else 1)
-        msg_parts = [gen.remote(edge_refs[p], label_refs[p], P)
+        msg_parts = [gen.remote(edge_refs[p], frontier_refs[p], P)
                      for p in range(P)]
         if P == 1:
             msg_parts = [[r] for r in msg_parts]
@@ -135,10 +146,9 @@ def connected_components(edges: ray.data.Dataset, a_col: str, b_col: str,
                                       *[mp[q] for mp in msg_parts])
                    for q in range(P)]
         label_refs = [r[0] for r in reduced]
-        total = sum(ray.get([r[1] for r in reduced]))
-        if total == prev_sum:
+        frontier_refs = [r[1] for r in reduced]
+        if sum(ray.get([r[2] for r in reduced])) == 0:
             break
-        prev_sum = total
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iters} iterations "

@@ -20,7 +20,10 @@ LSH + exact-Jaccard verification, plus a verify-kernel microbench
 and ``embedding`` (round 4) — CHAINED plantings (base b, d1 ~ b,
 d2 ~ d1 with d2 often out of range of b), so recall depends on pairs
 whose nearest neighbour is NOT the bucket minimum — the exact shape the
-round-3 all-pairs verify fix exists for.  Ground-truth eligibility is
+round-3 all-pairs verify fix exists for; ``clusters`` (round 5) —
+3-tier chains through verified-Jaccard pairs + distributed connected
+components, asserting every chain collapses EXACTLY to its base
+(multi-hop: d2 reaches the base only through d1).  Ground-truth eligibility is
 recomputed exactly (hamming / cosine) per planted edge, and the caught
 set must include non-min-anchored pairs."""
 
@@ -320,6 +323,44 @@ def run_embedding(n_docs: int, n_unique: int, dim: int = 64,
     print("embedding-mode soak OK")
 
 
+def run_clusters(n_docs: int, n_unique: int):
+    """Multi-hop cluster soak: 3-tier chained corpus (words_per_hop=6 ->
+    exact 3-gram Jaccard ~0.758 parent-child, ~0.611 grandparent-child),
+    pairs at threshold 0.68 (links ONLY adjacent tiers: d2 reaches the
+    base exclusively through d1), then distributed connected components.
+    Ground truth is exact: every node of root r must land in cluster r."""
+    from paradedb_ray.pipelines.dedup import ngram_jaccard_duplicates
+    from paradedb_ray.pipelines.graph import connected_components
+
+    n_docs = 3 * n_unique  # exactly three tiers per root
+    corpus = gen_chain_corpus(n_docs, n_unique,
+                              words_per_hop=6).materialize()
+    corpus.map_batches(lambda b: b, batch_format="pyarrow").count()
+    t0 = time.perf_counter()
+    pairs = ngram_jaccard_duplicates(corpus, "text", "doc_id",
+                                     threshold=0.68, num_perm=64,
+                                     bands=32).materialize()
+    t_pairs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cc = connected_components(pairs.select_columns(["doc_id", "dup_of"]),
+                              "doc_id", "dup_of")
+    got = {}
+    for ref in cc.to_arrow_refs():
+        t = ray.get(ref)
+        got.update(zip(t.column("node").to_pylist(),
+                       t.column("cluster_id").to_pylist()))
+    t_cc = time.perf_counter() - t0
+    wrong = sum(1 for node, cl in got.items() if cl != node % n_unique)
+    missing = 3 * n_unique - len(got)
+    print(f"docs={n_docs} pairs_wall={t_pairs:.1f}s cc_wall={t_cc:.1f}s "
+          f"throughput={n_docs/(t_pairs+t_cc):,.0f} docs/s "
+          f"nodes={len(got)} wrong_cluster={wrong} missing={missing}")
+    assert wrong == 0, "cluster soak: wrong cluster assignment"
+    assert missing == 0, "cluster soak: nodes missing from components"
+    print("clusters-mode soak OK: every 3-tier chain collapsed to its "
+          "base (d2 reaches the base only through d1)")
+
+
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "minhash"
@@ -335,6 +376,10 @@ def main():
         return
     if mode == "embedding":
         run_embedding(n_docs, n_docs // 3)
+        ray.shutdown()
+        return
+    if mode == "clusters":
+        run_clusters(n_docs, n_docs // 3)
         ray.shutdown()
         return
     from paradedb_ray.pipelines.dedup import minhash_lsh_duplicates
