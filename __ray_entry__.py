@@ -37,6 +37,18 @@ def _doc_schema():
     return documents_schema()
 
 
+def _q_keywords(sf):
+    """Integer-exact tf-df keyword extraction (`functions/vocab.py::
+    extract_keywords`): per-doc top-5 tokens by (tf DESC, df ASC,
+    token ASC) — explode -> hash-agg df -> hash-shuffle join ->
+    block-pruned top-n-per-group, all house primitives."""
+    from paradedb_ray.functions.vocab import extract_keywords
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    return extract_keywords(ds, "text", "doc_id", k=5).select_columns(
+        ["doc_id", "token", "tf", "df", "kw_rank"])
+
+
 def _q_dedup_clusters(sf):
     """Transitive near-dup CLUSTERS: the verified n-gram-Jaccard pairs
     (same parameters as `dedup_ngram_jaccard`, whose full recall is
@@ -2157,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": _q_mix_sources,
         "freq_quality": _q_freq_quality,
         "dedup_clusters": _q_dedup_clusters,
+        "keywords": _q_keywords,
     }
 
 
@@ -2604,6 +2617,23 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN sym ON reach.r = sym.a)"
             " SELECT node AS doc_id, least(node, min(r)) AS cluster_id"
             " FROM reach GROUP BY node",
+        "keywords":
+            # df (docs containing the token) replaces idf in the ORDER BY
+            # — same per-doc ranking, integer-exact on both sides
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '\\S+')) AS token"
+            " FROM documents),"
+            " tf AS (SELECT doc_id, token,"
+            "  CAST(count(*) AS BIGINT) AS tf FROM toks"
+            "  GROUP BY doc_id, token),"
+            " df AS (SELECT token, CAST(count(*) AS BIGINT) AS df"
+            "  FROM tf GROUP BY token),"
+            " r AS (SELECT t.doc_id, t.token, t.tf, d.df,"
+            "  row_number() OVER (PARTITION BY t.doc_id"
+            "   ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rnk"
+            "  FROM tf t JOIN df d USING (token))"
+            " SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS kw_rank"
+            " FROM r WHERE rnk <= 5",
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",

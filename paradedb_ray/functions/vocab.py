@@ -76,6 +76,59 @@ def build_token_vocab(ds: ray.data.Dataset, text_col: str,
     return _head(merged, top_v)
 
 
+def _explode_tf(batch: pa.Table, text_col: str, key_col: str) -> pa.Table:
+    from collections import Counter
+
+    key_t = batch.column(key_col).type
+    keys_out, toks, tfs = [], [], []
+    for key, t in zip(batch.column(key_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        if not t:
+            continue
+        for tok, c in Counter(_WS.findall(t)).items():
+            keys_out.append(key)
+            toks.append(tok)
+            tfs.append(c)
+    return pa.table({
+        key_col: pa.array(keys_out, key_t),
+        "token": pa.array(toks, pa.string()),
+        "tf": pa.array(tfs, pa.int64()),
+    })
+
+
+def extract_keywords(ds: ray.data.Dataset, text_col: str, key_col: str,
+                     k: int = 5,
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-document characteristic terms: the ``k`` tokens ranked by
+    (tf DESC, df ASC, token ASC) — high in the doc, rare in the corpus;
+    the classic tf-idf keyword extraction made INTEGER-exact (df replaces
+    idf in the ORDER BY, which induces the identical per-doc ranking and
+    keeps the result bit-reproducible in SQL).
+
+    Composition of the house primitives, each already scale-shaped:
+    per-block (doc, token, tf) explode -> two-stage hash aggregate for
+    corpus df -> hash-shuffle join (df is full-vocab-sized, NOT a
+    broadcast) -> block-pruned top-n-per-group.  Output columns:
+    ``(key, token, tf, df, kw_rank)``."""
+    from paradedb_ray.pipelines.joins import hash_join
+    from paradedb_ray.pipelines.relational import topn_per_group
+    from paradedb_ray.stages.hash_agg import hash_group_aggregate
+
+    # materialized once: both the df aggregate and the join consume it
+    # (columnar, object-store-spillable; recomputing would re-tokenize
+    # the corpus twice)
+    tok = ds.map_batches(lambda b: _explode_tf(b, text_col, key_col),
+                         batch_format="pyarrow",
+                         batch_size=None).materialize()
+    df = hash_group_aggregate(tok, ["token"],
+                              {"df": ("count_star", None)})
+    joined = hash_join(tok, df, on="token",
+                       num_partitions=num_partitions)
+    return topn_per_group(joined, [key_col],
+                          [("tf", "descending"), ("df", "ascending"),
+                           ("token", "ascending")], k, rn_col="kw_rank")
+
+
 class _FreqScorer:
     """Score each doc against a broadcast vocab: integer sum of corpus
     frequencies over the doc's in-vocab tokens + coverage counts."""

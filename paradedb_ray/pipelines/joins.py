@@ -183,6 +183,13 @@ def hash_join(
         (right_on,) if isinstance(right_on, str) else tuple(right_on))
     jt = {"inner": "inner", "left": "left_outer", "right": "right_outer",
           "outer": "full_outer"}[how]
+    # the join operator needs ALL partition aggregator actors live at
+    # once — more partitions than CPUs deadlocks a small session
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus))
     return left.join(right, join_type=jt, num_partitions=num_partitions,
                      on=keys, right_on=rkeys)
 

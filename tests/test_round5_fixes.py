@@ -664,6 +664,31 @@ def test_add_freq_quality_integer_exact(ray_session):
     assert out[300]["tf_sum_freq"] == 0 and out[301]["tf_n_tokens"] == 0
 
 
+def test_extract_keywords_matches_python_oracle(ray_session):
+    from collections import Counter
+
+    from paradedb_ray.functions.vocab import extract_keywords
+
+    t = _vocab_fixture()
+    # python oracle: per-doc top-3 by (tf desc, df asc, token asc)
+    docs = {d: Counter((s or "").split())
+            for d, s in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    df = Counter(tok for c in docs.values() for tok in c)
+    expect = set()
+    for d, c in docs.items():
+        ranked = sorted(((tok, tf) for tok, tf in c.items()),
+                        key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        for rnk, (tok, tf) in enumerate(ranked, 1):
+            expect.add((d, tok, tf, df[tok], rnk))
+    for nb in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        out = extract_keywords(ds, "text", "doc_id", k=3)
+        got = {(r["doc_id"], r["token"], r["tf"], r["df"], r["kw_rank"])
+               for r in out.take_all()}
+        assert got == expect
+
+
 def _cc_fixture():
     # chain 0-..-9 (diameter 9: true multi-hop), triangle, pair
     edges = ([(i, i + 1) for i in range(9)]
