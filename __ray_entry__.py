@@ -2045,6 +2045,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": _q_knn_ivf_exact,
         "percentiles": _q_percentiles,
         "repetition": _q_repetition,  # NEW r5 training-data op
+        # NEW r5 sessions 3-4 training-data ops (all value-hash oracles;
+        # rotated into the first-50 driver window per the CLAUDE.md
+        # policy — re-verified at sf0.001 AND sf0.01 this session)
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "mix_sources": _q_mix_sources,
+        "freq_quality": _q_freq_quality,
+        "dedup_clusters": _q_dedup_clusters,
+        "keywords": _q_keywords,
         "join_many_to_many": _q_join_many_to_many,  # NEW r5
         "join_full_outer": _q_join_full_outer,  # NEW r5
         "agg_groupby_highcard": _q_agg_groupby_highcard,  # NEW r5
@@ -2164,12 +2173,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_regex": _q_search_regex,
         "numeric_range": _q_numeric_range,
         "histogram": _q_histogram,
-        "sample_hash": _q_sample_hash,
-        "sample_stratified": _q_sample_stratified,
-        "mix_sources": _q_mix_sources,
-        "freq_quality": _q_freq_quality,
-        "dedup_clusters": _q_dedup_clusters,
-        "keywords": _q_keywords,
     }
 
 
