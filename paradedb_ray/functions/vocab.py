@@ -41,16 +41,35 @@ import ray.data
 _WS = re.compile(r"\S+")
 
 
-def _explode(batch: pa.Table, text_col: str) -> pa.Table:
-    from collections import Counter
+def _flat_tokens(col):
+    """Vectorized ``\\S+`` tokenization of a string column: returns
+    ``(doc_idx int64 array, tokens object array)`` — one row per token,
+    ``doc_idx`` pointing back at the source row.  Byte-identical to the
+    scalar ``_WS.findall`` path for ASCII + Unicode whitespace (Arrow
+    splits on Unicode whitespace runs but emits empty tokens at the
+    string edges, which we drop; parity is fuzzed in
+    tests/test_round5_fixes.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    c: Counter = Counter()
-    for t in batch.column(text_col).to_pylist():
-        if t:
-            c.update(_WS.findall(t))
+    parts = pc.utf8_split_whitespace(
+        pc.fill_null(col.combine_chunks()
+                     if isinstance(col, pa.ChunkedArray) else col, ""))
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    toks = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+    keep = toks != ""
+    return doc_idx[keep], toks[keep]
+
+
+def _explode(batch: pa.Table, text_col: str) -> pa.Table:
+    import pandas as pd
+
+    _, toks = _flat_tokens(batch.column(text_col))
+    vc = pd.Series(toks, dtype=object).value_counts()
     return pa.table({
-        "token": pa.array(list(c.keys()), pa.string()),
-        "freq": pa.array(list(c.values()), pa.int64()),
+        "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+        "freq": pa.array(vc.to_numpy(), pa.int64()),
     })
 
 
@@ -77,22 +96,17 @@ def build_token_vocab(ds: ray.data.Dataset, text_col: str,
 
 
 def _explode_tf(batch: pa.Table, text_col: str, key_col: str) -> pa.Table:
-    from collections import Counter
+    import pandas as pd
 
-    key_t = batch.column(key_col).type
-    keys_out, toks, tfs = [], [], []
-    for key, t in zip(batch.column(key_col).to_pylist(),
-                      batch.column(text_col).to_pylist()):
-        if not t:
-            continue
-        for tok, c in Counter(_WS.findall(t)).items():
-            keys_out.append(key)
-            toks.append(tok)
-            tfs.append(c)
+    doc_idx, toks = _flat_tokens(batch.column(text_col))
+    g = pd.DataFrame({"d": doc_idx, "t": toks}).groupby(
+        ["d", "t"], sort=False).size().reset_index(name="tf")
+    keys = batch.column(key_col).take(
+        pa.array(g["d"].to_numpy(), pa.int64()))
     return pa.table({
-        key_col: pa.array(keys_out, key_t),
-        "token": pa.array(toks, pa.string()),
-        "tf": pa.array(tfs, pa.int64()),
+        key_col: keys,
+        "token": pa.array(g["t"].to_numpy(dtype=object), pa.string()),
+        "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
     })
 
 
@@ -110,7 +124,7 @@ def extract_keywords(ds: ray.data.Dataset, text_col: str, key_col: str,
     corpus df -> hash-shuffle join (df is full-vocab-sized, NOT a
     broadcast) -> block-pruned top-n-per-group.  Output columns:
     ``(key, token, tf, df, kw_rank)``."""
-    from paradedb_ray.pipelines.joins import hash_join
+    from paradedb_ray.pipelines.joins import broadcast_join, hash_join
     from paradedb_ray.pipelines.relational import topn_per_group
     from paradedb_ray.stages.hash_agg import hash_group_aggregate
 
@@ -121,9 +135,14 @@ def extract_keywords(ds: ray.data.Dataset, text_col: str, key_col: str,
                          batch_format="pyarrow",
                          batch_size=None).materialize()
     df = hash_group_aggregate(tok, ["token"],
-                              {"df": ("count_star", None)})
-    joined = hash_join(tok, df, on="token",
-                       num_partitions=num_partitions)
+                              {"df": ("count_star", None)}).materialize()
+    # the df side is vocabulary-sized: broadcast below the repo's 2M-row
+    # broadcast bound, hash-shuffle only for truly web-scale vocabularies
+    if df.count() <= 2_000_000:
+        joined = broadcast_join(tok, df, on="token")
+    else:
+        joined = hash_join(tok, df, on="token",
+                           num_partitions=num_partitions)
     return topn_per_group(joined, [key_col],
                           [("tf", "descending"), ("df", "ascending"),
                            ("token", "ascending")], k, rn_col="kw_rank")
@@ -142,32 +161,22 @@ class _FreqScorer:
                               v.column("freq").to_pylist()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import itertools
-
         import numpy as np
         import pandas as pd
 
-        tok_lists = [_WS.findall(t) if t else []
-                     for t in batch.column(self.text_col).to_pylist()]
-        n = len(tok_lists)
-        lens = np.fromiter((len(x) for x in tok_lists),
-                           dtype=np.int64, count=n)
-        flat = list(itertools.chain.from_iterable(tok_lists))
-        if flat:
+        n = batch.num_rows
+        doc_idx, toks = _flat_tokens(batch.column(self.text_col))
+        lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        sums = np.zeros(n, np.int64)
+        inv = np.zeros(n, np.int64)
+        if len(toks):
             # one vectorized hash-map probe over the flattened tokens,
-            # then segment sums via cumsum differences (handles
-            # zero-token docs, stays integer-exact)
-            mapped = pd.Series(flat, dtype=object).map(self.vocab)
+            # then integer-exact scatter-adds per doc
+            mapped = pd.Series(toks, dtype=object).map(self.vocab)
             hit = mapped.notna().to_numpy()
             freq = mapped.fillna(0).to_numpy(dtype=np.int64)
-            bounds = np.zeros(n + 1, np.int64)
-            np.cumsum(lens, out=bounds[1:])
-            csum_f = np.concatenate(([0], np.cumsum(freq)))
-            csum_h = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
-            sums = csum_f[bounds[1:]] - csum_f[bounds[:-1]]
-            inv = csum_h[bounds[1:]] - csum_h[bounds[:-1]]
-        else:
-            sums = inv = np.zeros(n, np.int64)
+            np.add.at(sums, doc_idx[hit], freq[hit])
+            np.add.at(inv, doc_idx[hit], 1)
         return pa.table({
             self.key_col: batch.column(self.key_col),
             "tf_sum_freq": pa.array(sums, pa.int64()),
@@ -183,9 +192,15 @@ def add_freq_quality(ds: ray.data.Dataset, text_col: str, key_col: str,
     (from :func:`build_token_vocab`): ``tf_sum_freq`` (sum of corpus
     counts of the doc's in-vocab tokens), ``tf_in_vocab``,
     ``tf_n_tokens`` — all int64, bit-exact."""
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, max(4, cpus))
     ref = ray.put(vocab)
     return ds.map_batches(
         _FreqScorer,
         fn_constructor_args=(text_col, key_col, ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency if concurrency is not None else (1, 8))
+        concurrency=concurrency)

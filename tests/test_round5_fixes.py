@@ -645,6 +645,21 @@ def test_build_token_vocab_matches_python_oracle(ray_session):
         assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
 
 
+def test_flat_tokens_parity_with_scalar_regex():
+    import re
+
+    from paradedb_ray.functions.vocab import _flat_tokens
+
+    ws = re.compile(r"\S+")
+    texts = ["a  b", " lead", "trail ", "", None, "x\ty\nz\r\fw\vv",
+             "  ", "one", "a b  c\t\td "]
+    col = pa.array(texts, pa.string())
+    doc_idx, toks = _flat_tokens(col)
+    expect = [(i, t) for i, s in enumerate(texts)
+              for t in (ws.findall(s) if s else [])]
+    assert list(zip(doc_idx.tolist(), toks.tolist())) == expect
+
+
 def test_add_freq_quality_integer_exact(ray_session):
     from paradedb_ray.functions.vocab import add_freq_quality, build_token_vocab
 
