@@ -37,6 +37,22 @@ def _doc_schema():
     return documents_schema()
 
 
+def _q_decontaminate_ngram(sf):
+    """Window-overlap decontamination (`functions/text_analysis.py::
+    decontaminate_ngram`, the GPT-3 13-gram recipe at n=8): needles are
+    the texts of doc_id < 3 from the same corpus, so the needle docs
+    drop themselves plus any doc sharing an 8-gram; the oracle rebuilds
+    the identical shingle sets in SQL and anti-joins."""
+    from paradedb_ray.functions.text_analysis import decontaminate_ngram
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ds = _docs(sf, columns=["doc_id", "text"])
+    nd = filter_batches(ds, lambda b: pc.less(b.column("doc_id"), 3))
+    needles = [r["text"] for r in nd.take_all()]
+    return decontaminate_ngram(ds, "text", needles,
+                               n=8).select_columns(["doc_id"])
+
+
 def _q_keywords(sf):
     """Integer-exact tf-df keyword extraction (`functions/vocab.py::
     extract_keywords`): per-doc top-5 tokens by (tf DESC, df ASC,
@@ -2054,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_quality": _q_freq_quality,
         "dedup_clusters": _q_dedup_clusters,
         "keywords": _q_keywords,
+        "decontaminate_ngram": _q_decontaminate_ngram,
         "join_many_to_many": _q_join_many_to_many,  # NEW r5
         "join_full_outer": _q_join_full_outer,  # NEW r5
         "agg_groupby_highcard": _q_agg_groupby_highcard,  # NEW r5
@@ -2637,6 +2654,22 @@ def oracle_sql() -> dict[str, str]:
             "  FROM tf t JOIN df d USING (token))"
             " SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS kw_rank"
             " FROM r WHERE rnk <= 5",
+        "decontaminate_ngram":
+            # needle 8-grams from doc_id < 3 of the same corpus; a doc
+            # shorter than 8 tokens contributes its whole token list as
+            # one window (the dedup shingle kernel's semantics)
+            "WITH w AS (SELECT doc_id,"
+            "  string_split_regex(trim(text), '\\s+') AS ws"
+            "  FROM documents),"
+            " sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 8"
+            "  THEN list_transform(generate_series(1, len(ws) - 7),"
+            "   i -> array_to_string(ws[i:i+7], ' '))"
+            "  ELSE [array_to_string(ws, ' ')] END) AS g FROM w),"
+            " nd AS (SELECT DISTINCT g FROM sh WHERE doc_id < 3),"
+            " bad AS (SELECT DISTINCT s.doc_id FROM sh s"
+            "  JOIN nd ON s.g = nd.g)"
+            " SELECT d.doc_id FROM documents d"
+            " WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)",
         "date_histogram":
             "SELECT date_trunc('day', ts) AS day_key, count(*) AS doc_count,"
             " min(value) AS vmin, max(value) AS vmax FROM events GROUP BY day_key",

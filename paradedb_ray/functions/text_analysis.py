@@ -425,6 +425,46 @@ def decontaminate(ds: ray.data.Dataset, text_col: str, needles,
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def decontaminate_ngram(ds: ray.data.Dataset, text_col: str, needles,
+                        n: int = 8) -> ray.data.Dataset:
+    """Drop documents sharing ANY word ``n``-gram with a benchmark
+    needle set — the published window-overlap decontamination recipe
+    (GPT-3 used 13-grams), stricter than substring containment for
+    paraphrased-but-overlapping leaks.
+
+    Shingle identity is the 64-bit polynomial token-hash of
+    `pipelines/dedup.py::_shingle_hash_sets` (equal word windows hash
+    equal by construction; texts shorter than ``n`` contribute their
+    whole token list as one window, same as the dedup kernel).  The
+    needle hash set is built once and broadcast in the (pickled-once)
+    closure; membership is a vectorized searchsorted per batch."""
+    import numpy as np
+
+    from paradedb_ray.pipelines.dedup import _shingle_hash_sets
+
+    nh = _shingle_hash_sets([t or "" for t in needles], n)
+    needle_h = np.unique(np.concatenate(nh)) if nh else np.empty(
+        0, np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = _shingle_hash_sets(batch.column(text_col).to_pylist(), n)
+        if not len(needle_h):
+            return batch
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64,
+                           count=len(hs))
+        flat = (np.concatenate(hs) if lens.sum()
+                else np.empty(0, np.uint64))
+        idx = np.searchsorted(needle_h, flat)
+        idx[idx == len(needle_h)] = 0
+        hit = needle_h[idx] == flat
+        doc_idx = np.repeat(np.arange(len(hs)), lens)
+        bad = np.zeros(len(hs), np.int64)
+        np.add.at(bad, doc_idx[hit], 1)
+        return batch.filter(pa.array(bad == 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 # -- sample packing -------------------------------------------------------------
 
 

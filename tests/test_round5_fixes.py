@@ -704,6 +704,30 @@ def test_extract_keywords_matches_python_oracle(ray_session):
         assert got == expect
 
 
+def test_decontaminate_ngram_window_overlap(ray_session):
+    from paradedb_ray.functions.text_analysis import decontaminate_ngram
+
+    needle = " ".join(f"n{i}" for i in range(20))
+    docs = {
+        0: "x " + " ".join(f"n{i}" for i in range(4, 12)) + " y",  # 8-gram
+        1: "x " + " ".join(f"n{i}" for i in range(4, 11)) + " y",  # 7 only
+        2: " ".join(f"z{i}" for i in range(30)),                   # clean
+        3: "n5 n6 n7",       # short doc, whole-window: not a needle 8-gram
+        4: needle,           # the needle itself
+    }
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)],
+                                   pa.string())})
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        out = decontaminate_ngram(ds, "text", [needle], n=8)
+        kept = sorted(r["doc_id"] for r in out.take_all())
+        assert kept == [1, 2, 3], kept
+    # empty needle set keeps everything
+    out = decontaminate_ngram(ray.data.from_arrow(t), "text", [], n=8)
+    assert len(out.take_all()) == 5
+
+
 def _cc_fixture():
     # chain 0-..-9 (diameter 9: true multi-hop), triangle, pair
     edges = ([(i, i + 1) for i in range(9)]
