@@ -2022,6 +2022,123 @@ def _q_sample_stratified(sf):
     return stratified_sample(ds, "lang", "doc_id", n=7, salt="s5")
 
 
+def _q_asof_join(sf):
+    """Temporal as-of (backward) join — each purchase event matched to the
+    same user's most recent click at-or-before it (ties broken by the
+    greatest click event_id, so the result is a pure function of the
+    corpus).  Big-big plan: tagged union -> ONE hash shuffle on the key ->
+    vectorized per-partition cummax scan (`pipelines/joins.py::asof_join`);
+    the reference's JoinScan is equi-only
+    (`postgres/customscan/joinscan/mod.rs:20-64`) and leaves temporal
+    lookups to SQL above it."""
+    from paradedb_ray.pipelines.joins import asof_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "purchase"),
+        columns=["event_id", "ts", "user_id", "value"])
+    right = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "click"),
+        columns=["event_id", "ts", "user_id"])
+    right = right.map_batches(
+        lambda b: b.rename_columns(["click_id", "click_ts", "user_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return asof_join(left, right, on="user_id", left_ts="ts",
+                     right_ts="click_ts", right_cols=["click_id", "click_ts"],
+                     tie_col="click_id", how="left")
+
+
+def _q_range_join(sf):
+    """Non-equi interval (band) join: lineitem quantities bucketed into a
+    small broadcast band table (`l_quantity >= lo AND l_quantity < hi`) —
+    the banding shape the reference delegates to Postgres' nested-loop.
+    Band side rides the object store once; each probe batch scans it
+    vectorized (`pipelines/joins.py::range_join`)."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.joins import range_join
+
+    bands = pa.table({"lo": [1.0, 11.0, 26.0, 41.0],
+                      "hi": [11.0, 26.0, 41.0, 51.0],
+                      "band": ["low", "mid", "high", "top"]})
+    li = _tbl(sf, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return range_join(li, bands, "l_quantity", "lo", "hi")
+
+
+def _q_window_rolling(sf):
+    """Rolling row-frame window aggregates (``ROWS BETWEEN P PRECEDING AND
+    CURRENT ROW``) per customer in order-key order — sum/avg frames
+    accumulate oldest->newest so the float result is bit-identical to a
+    left-to-right SQL frame sum (`pipelines/aggregate.py::
+    partitioned_window` rolling kinds)."""
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    o = _tbl(sf, "orders",
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return partitioned_window(
+        o, ["o_custkey"], [("o_orderkey", "ascending")],
+        {"roll_sum3": ("rolling_sum", "o_totalprice", 2),
+         "roll_avg3": ("rolling_avg", "o_totalprice", 2),
+         "roll_min5": ("rolling_min", "o_totalprice", 4),
+         "roll_max5": ("rolling_max", "o_totalprice", 4)})
+
+
+def _q_cep_sequence(sf):
+    """CEP followed-by pattern: click immediately followed by a purchase
+    (adjacent in the user's event-time order) within 48h — the
+    MATCH_RECOGNIZE primitive of the streaming surface
+    (`pipelines/windows.py::match_sequence`; one hash shuffle + one
+    vectorized shifted-AND scan per partition)."""
+    from paradedb_ray.pipelines.windows import match_sequence
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    return match_sequence(
+        ev, "user_id", [("ts", "ascending"), ("event_id", "ascending")],
+        steps=[("event_type", "click"), ("event_type", "purchase")],
+        emit=[(0, "event_id", "click_id"), (1, "event_id", "purchase_id"),
+              (1, "ts", "purchase_ts")],
+        within="48h", ts_col="ts")
+
+
+def _q_window_rolling_time(sf):
+    """Time-based RANGE rolling frame (``RANGE BETWEEN INTERVAL 30 DAY
+    PRECEDING AND CURRENT ROW``) per supplier in ship-date order, with
+    exact SQL peer-group semantics (frame extends through the last row
+    sharing the current ts).  One hash shuffle; per-slice monotonic ts
+    rebase -> ONE global searchsorted for every frame start; prefix-sum
+    count/sum/avg (bit-exact: integer-valued l_quantity) and sparse-table
+    RMQ min/max (`pipelines/aggregate.py::time_rolling_window`)."""
+    from paradedb_ray.pipelines.aggregate import time_rolling_window
+
+    li = _tbl(sf, "lineitem",
+              columns=["l_suppkey", "l_shipdate", "l_orderkey",
+                       "l_linenumber", "l_quantity"])
+    return time_rolling_window(
+        li, ["l_suppkey"], "l_shipdate",
+        {"q_cnt": ("count", "l_quantity"), "q_sum": ("sum", "l_quantity"),
+         "q_avg": ("avg", "l_quantity"), "q_min": ("min", "l_quantity"),
+         "q_max": ("max", "l_quantity")}, window="30d")
+
+
+def _q_window_first_offsets(sf):
+    """first_value + offset lag/lead window functions per customer in
+    order-key order (`pipelines/aggregate.py::partitioned_window`
+    first_value / offset kinds)."""
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    o = _tbl(sf, "orders",
+             columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return partitioned_window(
+        o, ["o_custkey"], [("o_orderkey", "ascending")],
+        {"first_price": ("first_value", "o_totalprice"),
+         "lag2": ("lag", "o_totalprice", 2),
+         "lead2": ("lead", "o_totalprice", 2)})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2047,14 +2164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver window: new r5 entries ---
         "agg_join_multi": _q_agg_join_multi,
-        "agg_join_multi4": _q_agg_join_multi4,
         "agg_join_distinct": _q_agg_join_distinct,
         "agg_join_having": _q_agg_join_having,
         "agg_join_topk": _q_agg_join_topk,
         "agg_join_empty": _q_agg_join_empty,
         "join_orderby_expr": _q_join_orderby_expr,
         "join_orderby_nulls": _q_join_orderby_nulls,
-        "join_orderby_isnull": _q_join_orderby_isnull,
         "partial_index": _q_partial_index,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         # --- changed pipelines this round ---
@@ -2081,6 +2196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_semi_disjunctive": _q_join_semi_disjunctive,  # NEW r5
         "join_anti_disjunctive": _q_join_anti_disjunctive,  # NEW r5
         "union_window": _q_union_window,  # NEW r5
+        "asof_join": _q_asof_join,  # NEW r5 session-5
+        "range_join": _q_range_join,  # NEW r5 session-5
+        "window_rolling": _q_window_rolling,  # NEW r5 session-5
+        "cep_sequence": _q_cep_sequence,  # NEW r5 session-5
         # --- r3-tail rotation ---
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -2089,7 +2208,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png": _q_multimodal_png,
         "multimodal_decode": _q_multimodal_decode,
         "knn_filtered_l2": _q_knn_filtered_l2,
-        "knn_filtered_ip": _q_knn_filtered_ip,
         "nulls_ordering": _q_nulls_ordering,
         "text_array_term": _q_text_array_term,
         "search_match_array": _q_match_array,
@@ -2098,7 +2216,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats": _q_extended_stats,
         "top_hits": _q_top_hits,
         "sliding_1h_30m": _q_sliding_1h_30m,
-        "date_histogram_month": _q_date_histogram_month,
         "agg_bool_terms": _q_agg_bool_terms,
         "agg_filter_groupby": _q_agg_filter_groupby,
         "json_agg": _q_json_agg,
@@ -2123,6 +2240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality": _q_cardinality,
         # ---- past the driver window (r4-green / rows-only;
         # re-verified locally at both SFs each round) ----
+        "window_rolling_time": _q_window_rolling_time,
+        "window_first_offsets": _q_window_first_offsets,
+        "agg_join_multi4": _q_agg_join_multi4,
+        "join_orderby_isnull": _q_join_orderby_isnull,
+        "knn_filtered_ip": _q_knn_filtered_ip,
+        "date_histogram_month": _q_date_histogram_month,
         "search_ngram_contains": _q_search_ngram_contains,
         "search_ngram_phrase": _q_search_ngram_phrase,
         "search_edge_prefix": _q_search_edge_prefix,
@@ -2548,6 +2671,61 @@ def oracle_sql() -> dict[str, str]:
         "join_hash":
             "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity > 45",
+        "asof_join":
+            "WITH p AS (SELECT event_id, ts, user_id, value FROM events"
+            " WHERE event_type = 'purchase'),"
+            " c AS (SELECT event_id AS click_id, ts AS click_ts, user_id"
+            " FROM events WHERE event_type = 'click')"
+            " SELECT p.event_id, p.ts, p.user_id, p.value,"
+            " c.click_id, c.click_ts"
+            " FROM p LEFT JOIN c ON c.user_id = p.user_id"
+            " AND c.click_ts <= p.ts"
+            " QUALIFY row_number() OVER (PARTITION BY p.event_id"
+            " ORDER BY c.click_ts DESC, c.click_id DESC) = 1",
+        "range_join":
+            "SELECT l_orderkey, l_linenumber, l_quantity, band"
+            " FROM lineitem JOIN (VALUES (1.0, 11.0, 'low'),"
+            " (11.0, 26.0, 'mid'), (26.0, 41.0, 'high'),"
+            " (41.0, 51.0, 'top')) b(lo, hi, band)"
+            " ON l_quantity >= lo AND l_quantity < hi",
+        "window_rolling":
+            "SELECT o_custkey, o_orderkey, o_totalprice,"
+            " sum(o_totalprice) OVER w3 AS roll_sum3,"
+            " avg(o_totalprice) OVER w3 AS roll_avg3,"
+            " min(o_totalprice) OVER w5 AS roll_min5,"
+            " max(o_totalprice) OVER w5 AS roll_max5"
+            " FROM orders WINDOW"
+            " w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
+            " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
+            " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "window_rolling_time":
+            "SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,"
+            " l_quantity,"
+            " count(l_quantity) OVER w AS q_cnt,"
+            " sum(l_quantity) OVER w AS q_sum,"
+            " avg(l_quantity) OVER w AS q_avg,"
+            " min(l_quantity) OVER w AS q_min,"
+            " max(l_quantity) OVER w AS q_max"
+            " FROM lineitem WINDOW w AS (PARTITION BY l_suppkey"
+            " ORDER BY l_shipdate RANGE BETWEEN INTERVAL 30 DAY PRECEDING"
+            " AND CURRENT ROW)",
+        "window_first_offsets":
+            "SELECT o_custkey, o_orderkey, o_totalprice,"
+            " first_value(o_totalprice) OVER w AS first_price,"
+            " lag(o_totalprice, 2) OVER w AS lag2,"
+            " lead(o_totalprice, 2) OVER w AS lead2"
+            " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+            " ORDER BY o_orderkey)",
+        "cep_sequence":
+            "WITH w AS (SELECT user_id, event_id, ts, event_type,"
+            " LEAD(event_type) OVER win AS t2,"
+            " LEAD(event_id) OVER win AS id2,"
+            " LEAD(ts) OVER win AS ts2 FROM events"
+            " WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))"
+            " SELECT user_id, event_id AS click_id, id2 AS purchase_id,"
+            " ts2 AS purchase_ts FROM w WHERE event_type = 'click'"
+            " AND t2 = 'purchase' AND ts2 - ts <= INTERVAL 48 HOUR",
         "distinct":
             "SELECT DISTINCT o_orderpriority FROM orders",
         "union_all":

@@ -1322,7 +1322,14 @@ def partitioned_window(
     scans (`columnar_advanced_05_union_window_functions.sql`); here each
     partition is one ``map_groups`` group (one shuffle), ordered in-group
     and processed vectorized.  ``funcs``: name -> (kind, col|None) with
-    kind in row_number | rank | dense_rank | lag | lead | running_sum.
+    kind in row_number | rank | dense_rank | lag | lead | running_sum,
+    or name -> (rolling_sum|rolling_avg|rolling_min|rolling_max, col, P)
+    for a ``ROWS BETWEEN P PRECEDING AND CURRENT ROW`` frame (SQL NULL
+    frame semantics: NULL values are skipped, an all-NULL frame yields
+    NULL).  Rolling frames are computed as P+1 vectorized shifted
+    accumulations — O(P·n) numpy work with no per-row Python, bounded to
+    small frames (P <= 256) which is the only shape a row-frame makes
+    sense for.
     """
     import pandas as pd
 
@@ -1341,7 +1348,8 @@ def partitioned_window(
         """All partitions of one hash slice, vectorized: one sort, then
         boundary-flag arithmetic — no per-partition Python call."""
         if t.num_rows == 0:
-            for name, (kind, col) in funcs.items():
+            for name, spec in funcs.items():
+                kind = spec[0]
                 typ = (pa.int64() if kind in
                        ("row_number", "rank", "dense_rank")
                        else pa.float64())
@@ -1361,7 +1369,46 @@ def partitioned_window(
         pcounts = np.diff(np.r_[pstarts, n])
         pos = np.arange(n) - np.repeat(pstarts, pcounts)  # 0-based in part
         row_number = pos + 1
-        for name, (kind, col) in funcs.items():
+        pstart_row = np.repeat(pstarts, pcounts)
+        for name, spec in funcs.items():
+            kind, col = spec[0], spec[1]
+            if kind.startswith("rolling_"):
+                p = int(spec[2])
+                if p > 256:
+                    raise ValueError("rolling frame bounded to P <= 256")
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                valid = ~np.isnan(v)
+                idx = np.arange(n)
+                if kind in ("rolling_sum", "rolling_avg"):
+                    acc = np.zeros(n)
+                    cnt = np.zeros(n, np.int64)
+                    # oldest -> newest accumulation order, bit-identical to
+                    # a left-to-right SQL frame sum (masked-out lanes add
+                    # 0.0 first, which is exact)
+                    for s in range(min(p, n - 1), -1, -1):
+                        vs = np.empty(n)
+                        vs[s:] = v[:n - s] if s else v
+                        ok = (idx - s >= pstart_row)
+                        ok[:s] = False
+                        m = ok & np.r_[np.zeros(s, bool),
+                                       valid[:n - s]] if s else (ok & valid)
+                        acc += np.where(m, vs, 0.0)
+                        cnt += m
+                    out = acc if kind == "rolling_sum" else (
+                        acc / np.maximum(cnt, 1))
+                    out = np.where(cnt > 0, out, np.nan)
+                else:  # rolling_min / rolling_max
+                    out = np.full(n, np.nan)
+                    fn = np.fmin if kind == "rolling_min" else np.fmax
+                    for s in range(min(p, n - 1) + 1):
+                        vs = np.full(n, np.nan)
+                        vs[s:] = v[:n - s] if s else v
+                        ok = (idx - s >= pstart_row)
+                        ok[:s] = False
+                        out = fn(out, np.where(ok, vs, np.nan))
+                t = t.append_column(
+                    name, pa.array(out, pa.float64(), from_pandas=True))
+                continue
             if kind == "row_number":
                 t = t.append_column(name, pa.array(row_number, pa.int64()))
             elif kind == "rank":
@@ -1374,17 +1421,26 @@ def partitioned_window(
                 base = np.repeat(d[pstarts], pcounts) - 1
                 t = t.append_column(name, pa.array(d - base, pa.int64()))
             elif kind in ("lag", "lead"):
+                # optional third spec element = offset (default 1)
+                m = int(spec[2]) if len(spec) > 2 else 1
                 v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
                 out = np.full(n, np.nan)
                 if kind == "lag":
-                    out[1:] = v[:-1]
-                    out[newp] = np.nan
+                    if m < n:
+                        out[m:] = v[:-m]
+                    out[pos < m] = np.nan
                 else:
-                    out[:-1] = v[1:]
-                    nxt = np.r_[newp[1:], True]
-                    out[nxt] = np.nan
+                    if m < n:
+                        out[:-m] = v[m:]
+                    pcount_row = np.repeat(pcounts, pcounts)
+                    out[pos >= pcount_row - m] = np.nan
                 t = t.append_column(
                     name, pa.array(out, pa.float64(), from_pandas=True))
+            elif kind == "first_value":
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                t = t.append_column(
+                    name, pa.array(v[pstart_row], pa.float64(),
+                                   from_pandas=True))
             elif kind == "running_sum":
                 v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
                 valid = ~np.isnan(v)
@@ -1401,6 +1457,122 @@ def partitioned_window(
     from paradedb_ray.stages.hash_agg import hash_partition_apply
 
     return hash_partition_apply(ds, partition_by, win_part)
+
+
+def time_rolling_window(
+    ds: ray.data.Dataset,
+    partition_by: list,
+    ts_col: str,
+    aggs: dict,
+    window: str,
+    tie_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Time-based rolling window aggregates — SQL ``RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW`` per partition in ``ts_col``
+    order.  ``aggs``: name -> (kind, col), kind in count|sum|avg|min|max.
+
+    Exact SQL RANGE semantics including the peer-group rule: the frame of
+    a row runs through the LAST row sharing its ``ts`` value (so every
+    peer gets the same value and the result is a pure function of the
+    input multiset — required for the driver's value-hash oracle).
+
+    Fully vectorized across all partitions of a hash slice: one sort,
+    a monotonic rebase of the ts axis (per-partition offsets so one
+    global ``searchsorted`` finds every frame start without crossing a
+    partition boundary), prefix-sum differences for count/sum/avg, and an
+    O(n log n) sparse-table RMQ for min/max.  Sum/avg via prefix
+    differences are bit-exact for integer-valued columns (the oracle
+    discipline used by every sum/avg entry); the frame never crosses a
+    partition because rebased partitions are separated by > window.
+    Scale contract: one hash shuffle; a single partition-key's rows fit
+    a worker (same as any per-session state).
+    """
+    import pandas as pd
+
+    win_us = _parse_fixed_interval(window)
+
+    def roll_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            for name, (kind, col) in aggs.items():
+                typ = pa.int64() if kind == "count" else pa.float64()
+                t = t.append_column(name, pa.array([], typ))
+            return t
+        sort_keys = ([(k, "ascending") for k in partition_by]
+                     + [(ts_col, "ascending")]
+                     + ([(tie_col, "ascending")] if tie_col else []))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        tc = t.column(ts_col)
+        if pa.types.is_timestamp(tc.type) or pa.types.is_date(tc.type):
+            tc = tc.cast(pa.timestamp("us"))  # window is parsed in us
+        ts = tc.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pcode = np.zeros(n, dtype=np.int64)
+        for k in partition_by:
+            ck, _ = pd.factorize(t.column(k).to_pandas(),
+                                 use_na_sentinel=False)
+            pcode = pcode * (int(ck.max()) + 1) + ck
+        newp = np.r_[True, pcode[1:] != pcode[:-1]]
+        # monotonic rebase: shift each partition so the global ts axis is
+        # nondecreasing with > window gaps at partition boundaries
+        delta = np.zeros(n, dtype=np.int64)
+        b = np.flatnonzero(newp[1:]) + 1  # partition starts except first
+        if len(b):
+            need = ts[b - 1] - ts[b] + win_us + 1
+            delta[b] = np.maximum(need, 0)
+        shift = np.cumsum(delta)
+        tsm = ts + shift
+        if len(b) and (np.any(np.diff(tsm) < 0)):  # int64 overflow guard
+            raise OverflowError("time_rolling_window: ts rebase overflow")
+        lo = np.searchsorted(tsm, tsm - win_us, side="left")
+        hi = np.searchsorted(tsm, tsm, side="right") - 1  # last peer
+        out_cols = {}
+        for name, (kind, col) in aggs.items():
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+            valid = ~np.isnan(v)
+            cv = np.cumsum(valid.astype(np.int64))
+            cnt = cv[hi] - np.where(lo > 0, cv[lo - 1], 0)
+            if kind == "count":
+                out_cols[name] = pa.array(cnt, pa.int64())
+                continue
+            if kind in ("sum", "avg"):
+                c = np.cumsum(np.where(valid, v, 0.0))
+                s = c[hi] - np.where(lo > 0, c[lo - 1], 0.0)
+                out = s if kind == "sum" else s / np.maximum(cnt, 1)
+                out = np.where(cnt > 0, out, np.nan)
+            else:  # min / max via sparse-table RMQ over [lo, hi]
+                fn = np.fmin if kind == "min" else np.fmax
+                vn = np.where(valid, v, np.nan)
+                levels = [vn]
+                size = 1
+                while size * 2 <= n:
+                    prev = levels[-1]
+                    levels.append(fn(prev[:-size], prev[size:]))
+                    size *= 2
+                width = hi - lo + 1
+                k_lev = np.zeros(n, np.int64)
+                w = width >> 1
+                while np.any(w > 0):
+                    k_lev += (w > 0)
+                    w >>= 1
+                left = np.empty(n)
+                right = np.empty(n)
+                for kk in np.unique(k_lev):
+                    lev = levels[int(kk)]
+                    m = k_lev == kk
+                    left[m] = lev[lo[m]]
+                    right[m] = lev[hi[m] - (1 << int(kk)) + 1]
+                out = fn(left, right)
+            out_cols[name] = pa.array(out, pa.float64(), from_pandas=True)
+        for name in aggs:
+            t = t.append_column(name, out_cols[name])
+        return t
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    # no internal prune: all input columns pass through (the caller prunes
+    # at the read, like every other window entry)
+    return hash_partition_apply(ds, partition_by, roll_part)
 
 
 def window_aggregate(ds: ray.data.Dataset, aggs: dict,

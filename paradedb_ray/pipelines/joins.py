@@ -298,3 +298,209 @@ def repartition_join(
 
     return hash_partition_apply(both, keys, join_partition,
                                 num_partitions=num_partitions)
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list,
+    right_on=None,
+    tie_col: Optional[str] = None,
+    how: str = "left",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Temporal as-of (backward) join: each left row matches the right row
+    of the same key with the greatest ``right_ts <= left_ts`` — the
+    event-to-most-recent-state lookup every CEP/streaming engine needs and
+    the reference leaves to application SQL above its scans (the join
+    surface it does own is the equi-only JoinScan,
+    `postgres/customscan/joinscan/mod.rs:20-64`).
+
+    Ray-Data-first big-big plan (same shape as :func:`repartition_join`):
+    tag each side, union, ONE hash shuffle on the key so every row of a
+    key meets in one reducer, then a fully vectorized per-partition scan —
+    sort by (key, ts, side, tie) with right rows ordered before left rows
+    at equal ts (``<=`` semantics), one ``np.maximum.accumulate`` pass to
+    propagate the latest right-row index, and a key-code check to stop
+    matches crossing key boundaries.  No per-key Python loop; partitions
+    only need a single key's rows to fit a worker, not the corpus.
+
+    Ties on ``right_ts`` within a key break by ``tie_col`` (greatest wins)
+    so the output is a pure function of the input multiset — required for
+    the driver's value-hash oracle.  NULL timestamps never match (SQL
+    comparison semantics); with ``how='left'`` the left row survives with
+    NULL right columns, with ``how='inner'`` it is dropped.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    lsch = left.schema()
+    lcols = list(lsch.names)
+    l_pa = pa.schema([pa.field(n, t) for n, t in zip(lsch.names, lsch.types)])
+    right = right.select_columns(
+        list(dict.fromkeys(rkeys + [right_ts] + list(right_cols))))
+    rsch = right.schema()
+    r_types = dict(zip(rsch.names, rsch.types))
+    clash = (set(right_cols) | {right_ts}) & set(lcols)
+    if clash:
+        raise ValueError(f"asof_join: right columns collide with left: {clash}")
+
+    def _ts_i64(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__ts", _ts_i64(batch.column(left_ts)))
+        batch = batch.append_column(
+            "__tie", pa.array(np.zeros(batch.num_rows, np.int64)))
+        return batch.append_column(
+            "__side", pa.array(np.ones(batch.num_rows, np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # align right key columns onto the left key names for the shuffle
+        for lk, rk in zip(keys, rkeys):
+            if lk != rk:
+                batch = batch.append_column(lk, batch.column(rk))
+                batch = batch.drop_columns([rk])
+        tie = (batch.column(tie_col).cast(pa.int64()) if tie_col
+               else pa.array(np.zeros(batch.num_rows, np.int64)))
+        batch = batch.append_column("__ts", _ts_i64(batch.column(right_ts)))
+        batch = batch.append_column("__tie", tie)
+        return batch.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    out_fields = ([pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
+                  + [pa.field(c, r_types[c]) for c in right_cols])
+    out_schema = pa.schema(out_fields)
+
+    def asof_partition(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # a partition fed blocks of only ONE side lacks the other side's
+        # columns after the promote-concat — add them as typed nulls (they
+        # are only ever read from rows of the side that carries them)
+        for f in out_fields:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        idx = pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in keys]
+            + [("__ts", "ascending"), ("__side", "ascending"),
+               ("__tie", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        ts_null = pc.is_null(t.column("__ts")).to_numpy(zero_copy_only=False)
+        kcode = np.zeros(n, dtype=np.int64)
+        for k in keys:
+            ck, _ = pd.factorize(t.column(k).to_pandas(),
+                                 use_na_sentinel=False)
+            kcode = kcode * (int(ck.max()) + 1) + ck
+        pos = np.arange(n, dtype=np.int64)
+        ridx = np.where((side == 0) & ~ts_null, pos, -1)
+        last_r = np.maximum.accumulate(ridx)
+        li = np.flatnonzero(side == 1)
+        m = last_r[li]
+        valid = (m >= 0) & ~ts_null[li]
+        valid &= np.where(valid, kcode[np.where(valid, m, 0)] == kcode[li],
+                          False)
+        lg = t.take(pa.array(li, pa.int64())).select(lcols).cast(l_pa)
+        safe = np.where(valid, m, 0)
+        rp = t.take(pa.array(safe, pa.int64()))
+        va = pa.array(valid)
+        cols = {c: lg.column(c) for c in lcols}
+        for c in right_cols:
+            col = rp.column(c)
+            if col.type != r_types[c]:  # null-promoted union column
+                col = col.cast(r_types[c])
+            cols[c] = pc.if_else(va, col, pa.scalar(None, r_types[c]))
+        out = pa.table(cols, schema=out_schema)
+        if how == "inner":
+            out = out.filter(va)
+        return out
+
+    return hash_partition_apply(both, keys, asof_partition,
+                                num_partitions=num_partitions)
+
+
+class _RangeJoiner:
+    """Broadcast interval join: the band table rides the object store once
+    (``ray.put``), each probe batch scans it vectorized — one boolean-mask
+    pass per band, so work is O(bands x batch_rows) with every comparison
+    a numpy kernel.  Bands may overlap (each match emits a row)."""
+
+    def __init__(self, bands_ref, value_col, lo_col, hi_col, closed):
+        self.bands_ref = bands_ref
+        self.value_col = value_col
+        self.lo_col = lo_col
+        self.hi_col = hi_col
+        self.closed = closed
+        self._bands = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if self._bands is None:
+            self._bands = (ray.get(self.bands_ref)
+                           if isinstance(self.bands_ref, ray.ObjectRef)
+                           else self.bands_ref)
+        bands = self._bands
+        v = batch.column(self.value_col).to_numpy(zero_copy_only=False)
+        v = v.astype(float)
+        lo = bands.column(self.lo_col).to_numpy(zero_copy_only=False)
+        hi = bands.column(self.hi_col).to_numpy(zero_copy_only=False)
+        row_idx, band_idx = [], []
+        for i in range(bands.num_rows):
+            ge = v >= lo[i]
+            lt = (v <= hi[i]) if self.closed == "both" else (v < hi[i])
+            hit = np.flatnonzero(ge & lt)
+            row_idx.append(hit)
+            band_idx.append(np.full(len(hit), i, np.int64))
+        ri = (np.concatenate(row_idx) if row_idx
+              else np.array([], np.int64)).astype(np.int64)
+        bi = (np.concatenate(band_idx) if band_idx
+              else np.array([], np.int64))
+        out = batch.take(pa.array(ri, pa.int64()))
+        bsel = bands.take(pa.array(bi, pa.int64()))
+        for c in bsel.column_names:
+            if c not in (self.lo_col, self.hi_col):
+                out = out.append_column(c, bsel.column(c))
+        return out
+
+
+def range_join(
+    left: ray.data.Dataset,
+    bands,  # small: pa.Table | ray Dataset
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    closed: str = "left",
+) -> ray.data.Dataset:
+    """Non-equi range join of a big streaming side against a SMALL interval
+    table (``value >= lo AND value < hi``; ``closed='both'`` for ``<=``) —
+    the banding/bucketing shape (price bands, latency SLO buckets, age
+    ranges) the reference delegates to Postgres' nested-loop above its
+    scans.  The band side broadcasts once; a big-big interval join would
+    instead need interval partitioning, which no current entry requires
+    (documented assumption, same contract as :func:`broadcast_join`)."""
+    if isinstance(bands, ray.data.Dataset):
+        tabs = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows > 0]
+        bands = pa.concat_tables(tabs, promote_options="default")
+    ref = ray.put(bands.combine_chunks())
+    return left.map_batches(
+        _RangeJoiner(ref, value_col, lo_col, hi_col, closed),
+        batch_format="pyarrow", batch_size=None)

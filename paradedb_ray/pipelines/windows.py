@@ -24,7 +24,10 @@ from paradedb_ray.pipelines.aggregate import sql_aggregate, _parse_fixed_interva
 
 
 def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
-    return batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    col = batch.column(ts_col)
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        col = col.cast(pa.timestamp("us"))  # normalize non-us units
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def tumbling_window(
@@ -159,3 +162,91 @@ def session_window(
                                 sessions_part)
 
 
+def match_sequence(
+    ds: ray.data.Dataset,
+    key: str,
+    order_by: list,
+    steps: list,
+    emit: list,
+    within: Optional[str] = None,
+    ts_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """CEP sequence detection: find runs of ADJACENT rows (per ``key``, in
+    ``order_by`` order) where row ``i+j`` satisfies ``steps[j]`` for every
+    step, optionally bounded by ``ts[last] - ts[first] <= within`` — the
+    MATCH_RECOGNIZE / followed-by primitive of a streaming CEP engine
+    (north-rule surface; the reference leaves event-pattern SQL to
+    Postgres above its scans).
+
+    ``steps``: list of ``(col, value)`` equality predicates or callables
+    ``pa.Table -> np.ndarray[bool]``.  ``emit``: ``(step_idx, col,
+    out_name)`` projections taken from each matched step's row.  Output:
+    one row per match, ``key`` + emitted columns.
+
+    Plan: ONE hash shuffle on the key (every row of a key meets in one
+    reducer), then per partition one sort + k-1 vectorized shifted ANDs —
+    adjacency never crosses key boundaries (key-code equality between the
+    first and last row of the window is checked explicitly).  Scale
+    contract: a single key's rows fit a worker, the same assumption as
+    any per-session state store.
+    """
+    import pyarrow.compute as pc
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    k = len(steps)
+    if k < 1:
+        raise ValueError("steps must be non-empty")
+    within_us = _parse_fixed_interval(within) if within else None
+    if within_us is not None and ts_col is None:
+        raise ValueError("within requires ts_col")
+
+    in_sch = ds.schema()
+    in_types = dict(zip(in_sch.names, in_sch.types))
+    out_schema = pa.schema(
+        [pa.field(key, in_types[key])]
+        + [pa.field(out, in_types[col]) for _, col, out in emit])
+
+    def _mask(t: pa.Table, step) -> np.ndarray:
+        if callable(step):
+            return np.asarray(step(t), dtype=bool)
+        col, value = step
+        return pc.equal(t.column(col), value).fill_null(False).to_numpy(
+            zero_copy_only=False).astype(bool)
+
+    def seq_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t.num_rows
+        if n < k:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "ascending")]
+            + [(c, d) for c, d in order_by])
+        t = t.take(idx)
+        kcode, _ = pd.factorize(t.column(key).to_pandas(),
+                                use_na_sentinel=False)
+        hit = _mask(t, steps[0])[:n - k + 1].copy()
+        for j in range(1, k):
+            hit &= _mask(t, steps[j])[j:n - k + 1 + j]
+        hit &= kcode[k - 1:] == kcode[:n - k + 1]
+        if within_us is not None:
+            ts = _ts_us(t, ts_col)
+            hit &= (ts[k - 1:] - ts[:n - k + 1]) <= within_us
+        starts = np.flatnonzero(hit)
+        cols = {key: t.column(key).take(pa.array(starts, pa.int64()))}
+        for j, col, out in emit:
+            cols[out] = t.column(col).take(
+                pa.array(starts + j, pa.int64()))
+        return pa.table(cols, schema=out_schema)
+
+    if not any(callable(s) for s in steps):
+        # prune at the shuffle; a callable step may read any column, so
+        # pruning is the caller's job there
+        need = list(dict.fromkeys(
+            [key] + [c for c, _ in order_by]
+            + ([ts_col] if ts_col else [])
+            + [s[0] for s in steps]
+            + [c for _, c, _ in emit]))
+        ds = ds.select_columns(need)
+    return hash_partition_apply(ds, [key], seq_part)

@@ -1,0 +1,253 @@
+"""Temporal / CEP operators (round-5 session-5): as-of join, interval
+(range) join, rolling row-frame window aggregates, and adjacent-sequence
+pattern matching.  The reference owns none of these shapes (its JoinScan
+is equi-only, `postgres/customscan/joinscan/mod.rs:20-64`; window/CEP SQL
+runs in Postgres above its scans) — they are the streaming-engine surface
+the north rule adds, each here pinned against a hand-computed fixture and
+a block-layout invariance check.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from paradedb_ray.pipelines.aggregate import partitioned_window
+from paradedb_ray.pipelines.joins import asof_join, range_join
+from paradedb_ray.pipelines.windows import match_sequence
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture
+def trades_quotes():
+    trades = pa.table({
+        "sym": ["A", "A", "A", "B", "B", "C"],
+        "t_ts": pa.array([10, 20, 30, 15, 5, 7], pa.int64()),
+        "t_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    quotes = pa.table({
+        "sym": ["A", "A", "A", "B", "B", "D"],
+        "q_ts": pa.array([5, 20, 25, 10, 20, 1], pa.int64()),
+        "q_id": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+        "px": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    return trades, quotes
+
+
+def test_asof_join_backward_with_ties_and_misses(trades_quotes):
+    trades, quotes = trades_quotes
+    lds = ray.data.from_arrow(trades).repartition(3)
+    rds = ray.data.from_arrow(quotes).repartition(2)
+    out = asof_join(lds, rds, on="sym", left_ts="t_ts", right_ts="q_ts",
+                    right_cols=["q_id", "px"], tie_col="q_id",
+                    how="left").to_pandas()
+    out = _sorted(out, ["t_id"])
+    # trade 1 (A,10) -> quote 100 (ts 5); trade 2 (A,20) -> quote 101
+    # (equal ts matches, <=); trade 3 (A,30) -> quote 102; trade 4 (B,15)
+    # -> 103; trade 5 (B,5) -> NO match (earliest quote is ts 10);
+    # trade 6 (C) -> NO match (no C quotes at all)
+    assert out["q_id"].tolist()[:4] == [100, 101, 102, 103]
+    assert out["q_id"].isna().tolist() == [False] * 4 + [True, True]
+    assert out["px"].tolist()[:4] == [1.0, 2.0, 3.0, 4.0]
+
+    inner = asof_join(lds, rds, on="sym", left_ts="t_ts", right_ts="q_ts",
+                      right_cols=["q_id"], tie_col="q_id",
+                      how="inner").to_pandas()
+    assert len(inner) == 4 and inner["q_id"].notna().all()
+
+
+def test_asof_join_tie_breaks_by_greatest_tie_col():
+    left = pa.table({"k": ["x"], "ts": pa.array([10], pa.int64()),
+                     "lid": pa.array([1], pa.int64())})
+    # two right rows share ts=10: the greater rid must win
+    right = pa.table({"k": ["x", "x"], "rts": pa.array([10, 10], pa.int64()),
+                      "rid": pa.array([7, 9], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["rid"], tie_col="rid").to_pandas()
+    assert out["rid"].tolist() == [9]
+
+
+def test_asof_join_block_layout_invariance(trades_quotes):
+    trades, quotes = trades_quotes
+    ref = None
+    for nl, nr in [(1, 1), (4, 3)]:
+        out = asof_join(ray.data.from_arrow(trades).repartition(nl),
+                        ray.data.from_arrow(quotes).repartition(nr),
+                        on="sym", left_ts="t_ts", right_ts="q_ts",
+                        right_cols=["q_id", "px"], tie_col="q_id",
+                        how="left").to_pandas()
+        out = _sorted(out, ["t_id"])
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref)
+
+
+def test_range_join_overlapping_bands_and_closed_both():
+    rows = pa.table({"rid": pa.array([1, 2, 3], pa.int64()),
+                     "v": pa.array([5.0, 10.0, 99.0])})
+    bands = pa.table({"lo": [0.0, 4.0], "hi": [10.0, 11.0],
+                      "band": ["wide", "narrow"]})
+    ds = ray.data.from_arrow(rows).repartition(2)
+    out = _sorted(range_join(ds, bands, "v", "lo", "hi").to_pandas(),
+                  ["rid", "band"])
+    # v=5 hits BOTH overlapping bands; v=10 only [4,11); v=99 none
+    assert list(zip(out["rid"], out["band"])) == [
+        (1, "narrow"), (1, "wide"), (2, "narrow")]
+    both = range_join(ds, bands, "v", "lo", "hi", closed="both").to_pandas()
+    # closed='both' admits v=10 into [0,10] too
+    assert len(both) == 4
+
+
+def test_rolling_frames_skip_nulls_and_clip_at_partition_start():
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "o": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "v": pa.array([1.0, None, 3.0, 5.0, 10.0, 20.0]),
+    })
+    out = partitioned_window(
+        ray.data.from_arrow(t).repartition(3), ["k"], [("o", "ascending")],
+        {"s": ("rolling_sum", "v", 2), "a": ("rolling_avg", "v", 2),
+         "mn": ("rolling_min", "v", 2), "mx": ("rolling_max", "v", 2)}
+    ).to_pandas()
+    out = _sorted(out, ["k", "o"])
+    # frames: a1=[1], a2=[1,N], a3=[1,N,3], a4=[N,3,5]; b1=[10], b2=[10,20]
+    assert out["s"].tolist() == [1.0, 1.0, 4.0, 8.0, 10.0, 30.0]
+    assert out["a"].tolist() == [1.0, 1.0, 2.0, 4.0, 10.0, 15.0]
+    assert out["mn"].tolist() == [1.0, 1.0, 1.0, 3.0, 10.0, 10.0]
+    assert out["mx"].tolist() == [1.0, 1.0, 3.0, 5.0, 10.0, 20.0]
+
+
+def test_rolling_all_null_frame_is_null_and_frame_wider_than_partition():
+    t = pa.table({"k": ["a", "a"], "o": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([None, None], pa.float64())})
+    out = partitioned_window(
+        ray.data.from_arrow(t), ["k"], [("o", "ascending")],
+        {"s": ("rolling_sum", "v", 9), "mn": ("rolling_min", "v", 9)}
+    ).to_pandas()
+    assert out["s"].isna().all() and out["mn"].isna().all()
+
+
+def test_match_sequence_three_steps_respects_key_and_within():
+    t = pa.table({
+        "k": ["u1"] * 4 + ["u2"] * 3,
+        "ts": pa.array([1_000_000 * x for x in [1, 2, 3, 50, 4, 5, 6]],
+                       pa.timestamp("us")),
+        "eid": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ev": ["a", "b", "c", "a", "a", "b", "b"],
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = match_sequence(
+        ds, "k", [("ts", "ascending"), ("eid", "ascending")],
+        steps=[("ev", "a"), ("ev", "b"), ("ev", "c")],
+        emit=[(0, "eid", "e1"), (2, "eid", "e3")]).to_pandas()
+    # only u1 has a->b->c adjacent (eids 1,2,3); u2's a->b->b fails step 3
+    assert list(zip(out["e1"], out["e3"])) == [(1, 3)]
+
+    # a within bound tighter than the 2s spacing kills the match
+    none = match_sequence(
+        ds, "k", [("ts", "ascending"), ("eid", "ascending")],
+        steps=[("ev", "a"), ("ev", "b"), ("ev", "c")],
+        emit=[(0, "eid", "e1")], within="1s", ts_col="ts").to_pandas()
+    assert len(none) == 0
+
+
+def test_match_sequence_never_crosses_key_boundary():
+    # adjacent rows a(end of k1) then b(start of k2) must NOT match
+    t = pa.table({"k": ["k1", "k2"], "ts": pa.array([1, 2], pa.int64()),
+                  "eid": pa.array([1, 2], pa.int64()), "ev": ["a", "b"]})
+    out = match_sequence(
+        ray.data.from_arrow(t), "k",
+        [("ts", "ascending"), ("eid", "ascending")],
+        steps=[("ev", "a"), ("ev", "b")],
+        emit=[(0, "eid", "e1")]).to_pandas()
+    assert len(out) == 0
+
+
+def test_match_sequence_callable_step_and_empty_partitions():
+    t = pa.table({"k": ["u"] * 3, "ts": pa.array([1, 2, 3], pa.int64()),
+                  "eid": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([5.0, 50.0, 5.0])})
+
+    def big(tab):
+        return tab.column("v").to_numpy(zero_copy_only=False) > 10.0
+
+    out = match_sequence(
+        ray.data.from_arrow(t).repartition(2), "k",
+        [("ts", "ascending"), ("eid", "ascending")],
+        steps=[big, lambda tab: np.asarray(
+            tab.column("v").to_numpy(zero_copy_only=False) < 10.0)],
+        emit=[(0, "eid", "big_id"), (1, "eid", "small_id")]).to_pandas()
+    assert list(zip(out["big_id"], out["small_id"])) == [(2, 3)]
+
+
+def test_time_rolling_peer_group_and_boundaries():
+    from paradedb_ray.pipelines.aggregate import time_rolling_window
+
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 2,
+        # duplicate ts 30 within 'a': both peers must see the SAME frame
+        # (through the LAST peer), including each other's values
+        "ts": pa.array([10, 20, 30, 30, 100, 10, 1000], pa.timestamp("s")),
+        "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]),
+    })
+    out = partitioned_window  # silence linters; real call below
+    from paradedb_ray.pipelines.aggregate import time_rolling_window as trw
+    res = trw(ray.data.from_arrow(t).repartition(3), ["k"], "ts",
+              {"s": ("sum", "v"), "c": ("count", "v"),
+               "mn": ("min", "v"), "mx": ("max", "v")},
+              window="15s").to_pandas()
+    res = _sorted(res, ["k", "ts", "v"])
+    # a: ts10 frame=[10] s=1; ts20 frame=[10,20] s=3; ts30 peers frame=
+    # [20,30,30] s=14 for BOTH; ts100 frame=[100] s=16
+    assert res["s"].tolist() == [1.0, 3.0, 14.0, 14.0, 16.0, 32.0, 64.0]
+    assert res["c"].tolist() == [1, 2, 3, 3, 1, 1, 1]
+    assert res["mn"].tolist() == [1.0, 1.0, 2.0, 2.0, 16.0, 32.0, 64.0]
+    assert res["mx"].tolist() == [1.0, 2.0, 8.0, 8.0, 16.0, 32.0, 64.0]
+    # 'b' rows 990s apart: frames never merge, and never leak from 'a'
+
+
+def test_time_rolling_nulls_and_layout_invariance():
+    from paradedb_ray.pipelines.aggregate import time_rolling_window as trw
+
+    t = pa.table({
+        "k": ["a"] * 3,
+        "ts": pa.array([1, 2, 3], pa.timestamp("s")),
+        "v": pa.array([None, 5.0, None]),
+    })
+    ref = None
+    for n in (1, 3):
+        res = trw(ray.data.from_arrow(t).repartition(n), ["k"], "ts",
+                  {"s": ("sum", "v"), "c": ("count", "v"),
+                   "mn": ("min", "v")}, window="10s").to_pandas()
+        res = _sorted(res, ["ts"])
+        # NULLs skipped: counts 0,1,1; all-null first frame -> NULL sum/min
+        assert res["c"].tolist() == [0, 1, 1]
+        assert res["s"].isna().tolist() == [True, False, False]
+        assert res["mn"].isna().tolist() == [True, False, False]
+        if ref is None:
+            ref = res
+        else:
+            assert res.equals(ref)
+
+
+def test_first_value_and_offset_lag_lead():
+    t = pa.table({
+        "k": ["a"] * 3 + ["b"],
+        "o": pa.array([1, 2, 3, 1], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 7.0]),
+    })
+    out = partitioned_window(
+        ray.data.from_arrow(t).repartition(2), ["k"], [("o", "ascending")],
+        {"fv": ("first_value", "v"), "lag2": ("lag", "v", 2),
+         "lead2": ("lead", "v", 2)}).to_pandas()
+    out = _sorted(out, ["k", "o"])
+    assert out["fv"].tolist() == [10.0, 10.0, 10.0, 7.0]
+    assert out["lag2"].fillna(-1).tolist() == [-1, -1, 10.0, -1]
+    assert out["lead2"].fillna(-1).tolist() == [30.0, -1, -1, -1]
