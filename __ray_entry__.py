@@ -2139,6 +2139,42 @@ def _q_window_first_offsets(sf):
          "lead2": ("lead", "o_totalprice", 2)})
 
 
+def _q_interval_join(sf):
+    """Big-big stream-stream interval join: every click inside the 3-day
+    window opened by the same user's signup — each click lands in ONE
+    (user, day-bucket) cell, each window replicates across the ≤4 buckets
+    it spans, pairs meet in exactly the click's bucket (no dedup pass),
+    ONE hash shuffle (`pipelines/joins.py::interval_join`)."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.joins import interval_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "click"),
+        columns=["event_id", "ts", "user_id"])
+    clicks = clicks.map_batches(
+        lambda b: b.rename_columns(["click_id", "c_ts", "user_id"]),
+        batch_format="pyarrow", batch_size=None)
+    sign = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "signup"),
+        columns=["event_id", "ts", "user_id"])
+
+    def mk_windows(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.timestamp("us"))
+        e = pc.add(s, pa.scalar(3 * 86400 * 1_000_000, pa.duration("us")))
+        return pa.table({"signup_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "s_ts": s, "e_ts": e})
+
+    sign = sign.map_batches(mk_windows, batch_format="pyarrow",
+                            batch_size=None)
+    return interval_join(clicks, sign, on="user_id", left_ts="c_ts",
+                         right_start="s_ts", right_end="e_ts", bucket="1d")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2240,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality": _q_cardinality,
         # ---- past the driver window (r4-green / rows-only;
         # re-verified locally at both SFs each round) ----
+        "interval_join": _q_interval_join,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2699,6 +2736,15 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "interval_join":
+            "WITH s AS (SELECT event_id AS signup_id, user_id,"
+            " ts AS s_ts, ts + INTERVAL 3 DAY AS e_ts FROM events"
+            " WHERE event_type = 'signup'),"
+            " c AS (SELECT event_id AS click_id, ts AS c_ts, user_id"
+            " FROM events WHERE event_type = 'click')"
+            " SELECT c.click_id, c.c_ts, c.user_id, s.signup_id,"
+            " s.s_ts, s.e_ts FROM c JOIN s ON c.user_id = s.user_id"
+            " AND c.c_ts >= s.s_ts AND c.c_ts <= s.e_ts",
         "window_rolling_time":
             "SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,"
             " l_quantity,"

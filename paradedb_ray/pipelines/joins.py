@@ -504,3 +504,107 @@ def range_join(
     return left.map_batches(
         _RangeJoiner(ref, value_col, lo_col, hi_col, closed),
         batch_format="pyarrow", batch_size=None)
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1d",
+    right_on: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Big-big stream-stream interval join: emit every (left, right) pair
+    of the same key with ``right_start <= left_ts <= right_end`` — the
+    canonical time-bounded stream join (events-inside-session, impressions
+    -inside-campaign).  Neither side broadcasts.
+
+    Plan: each left row lands in ONE (key, time-bucket) cell; each right
+    interval replicates into every bucket it spans (``ceil(len/bucket)+1``
+    copies — pick ``bucket`` near the typical interval length to bound
+    replication).  A pair can only meet in the left row's bucket, so the
+    bucketed equi-join emits NO duplicates and needs no dedup pass.  One
+    hash shuffle on (key, bucket); the in-partition join is pyarrow's
+    vectorized hash-join (:func:`payload_safe_join`) plus one numpy range
+    mask.  Skew contract: one (key, bucket) cell's rows fit a worker.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from paradedb_ray.pipelines.aggregate import _parse_fixed_interval
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    b_us = _parse_fixed_interval(bucket)
+    rkey = right_on or on
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = [c for c in rsch.names if c != rkey]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"interval_join: column collision: {clash}")
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    out_schema = pa.schema(
+        [pa.field(c, l_types[c]) for c in lcols]
+        + [pa.field(c, r_types[c]) for c in rcols])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        bk = _us(batch.column(left_ts)) // b_us
+        batch = batch.append_column("__bucket", pa.array(bk, pa.int64()))
+        return batch.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        if rkey != on:
+            batch = batch.append_column(on, batch.column(rkey))
+            batch = batch.drop_columns([rkey])
+        b0 = _us(batch.column(right_start)) // b_us
+        b1 = _us(batch.column(right_end)) // b_us
+        cnt = np.maximum(b1 - b0 + 1, 0)
+        idx = np.repeat(np.arange(batch.num_rows), cnt)
+        first = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bk = b0[idx] + (np.arange(len(idx)) - first)
+        out = batch.take(pa.array(idx, pa.int64()))
+        out = out.append_column("__bucket", pa.array(bk, pa.int64()))
+        return out.append_column(
+            "__side", pa.array(np.ones(out.num_rows, np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           batch_size=None)
+    both = lt.union(rt)
+
+    l_sel = lcols + ["__bucket"]
+    r_sel = [on] + [c for c in rcols] + ["__bucket"]
+    l_pa = pa.schema([pa.field(c, l_types.get(c, pa.int64()))
+                      for c in l_sel])
+    r_pa = pa.schema([pa.field(c, r_types.get(c if c != on else rkey,
+                                              pa.int64()))
+                      for c in r_sel])
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        for f in list(l_pa) + list(r_pa):
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        side = t.column("__side")
+        lg = t.filter(pc.equal(side, 0)).select(l_sel).cast(l_pa)
+        rg = t.filter(pc.equal(side, 1)).select(r_sel).cast(r_pa)
+        j = payload_safe_join(lg, rg, [on, "__bucket"], "inner")
+        mask = ((_us(j.column(left_ts)) >= _us(j.column(right_start)))
+                & (_us(j.column(left_ts)) <= _us(j.column(right_end))))
+        return j.filter(pa.array(mask)).drop_columns(
+            ["__bucket"]).select(out_schema.names).cast(out_schema)
+
+    return hash_partition_apply(both, [on, "__bucket"], join_partition,
+                                num_partitions=num_partitions)

@@ -251,3 +251,60 @@ def test_first_value_and_offset_lag_lead():
     assert out["fv"].tolist() == [10.0, 10.0, 10.0, 7.0]
     assert out["lag2"].fillna(-1).tolist() == [-1, -1, 10.0, -1]
     assert out["lead2"].fillna(-1).tolist() == [30.0, -1, -1, -1]
+
+
+def test_interval_join_bucket_spans_and_no_duplicates():
+    from paradedb_ray.pipelines.joins import interval_join
+
+    left = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([5, 25, 99, 10], pa.timestamp("s")),
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    # window [0, 30] spans 4 one-10s-buckets; a pair must still emit ONCE
+    right = pa.table({
+        "k": ["a", "b"],
+        "s": pa.array([0, 50], pa.timestamp("s")),
+        "e": pa.array([30, 60], pa.timestamp("s")),
+        "rid": pa.array([7, 8], pa.int64()),
+    })
+    out = interval_join(ray.data.from_arrow(left).repartition(2),
+                        ray.data.from_arrow(right).repartition(2),
+                        on="k", left_ts="ts", right_start="s",
+                        right_end="e", bucket="10s").to_pandas()
+    out = _sorted(out, ["lid"])
+    # lid1 (ts5) and lid2 (ts25) inside a's [0,30]; lid3 outside;
+    # lid4 (b,10) outside b's [50,60]
+    assert list(zip(out["lid"], out["rid"])) == [(1, 7), (2, 7)]
+
+    # boundary inclusivity: ts == start and ts == end both match
+    edge_l = pa.table({"k": ["x", "x"], "ts": pa.array([50, 60],
+                       pa.timestamp("s")),
+                       "lid": pa.array([9, 10], pa.int64())})
+    edge = interval_join(ray.data.from_arrow(edge_l),
+                         ray.data.from_arrow(right.filter(
+                             pa.array([False, True]))).map_batches(
+                                 lambda b: b.set_column(
+                                     0, "k", pa.array(["x"])),
+                                 batch_format="pyarrow"),
+                         on="k", left_ts="ts", right_start="s",
+                         right_end="e", bucket="1h").to_pandas()
+    assert sorted(edge["lid"].tolist()) == [9, 10]
+
+
+def test_interval_join_overlapping_windows_emit_all_pairs():
+    from paradedb_ray.pipelines.joins import interval_join
+
+    left = pa.table({"k": ["a"], "ts": pa.array([15], pa.timestamp("s")),
+                     "lid": pa.array([1], pa.int64())})
+    right = pa.table({
+        "k": ["a", "a"],
+        "s": pa.array([0, 10], pa.timestamp("s")),
+        "e": pa.array([20, 30], pa.timestamp("s")),
+        "rid": pa.array([1, 2], pa.int64()),
+    })
+    out = interval_join(ray.data.from_arrow(left),
+                        ray.data.from_arrow(right),
+                        on="k", left_ts="ts", right_start="s",
+                        right_end="e", bucket="7s").to_pandas()
+    assert sorted(out["rid"].tolist()) == [1, 2]
