@@ -376,6 +376,17 @@ class StreamEngine:
             "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
         })
 
+    def gather_conv_rows(self, convs, columns) -> Optional[pa.Table]:
+        """Visible rows of the given conversations from every partition
+        (hot convs are salted across actors, so all actors are asked);
+        bounded by the closed-session set, not the corpus."""
+        parts = ray.get([a.conv_rows.remote(list(convs), list(columns))
+                         for a in self.actors])
+        tabs = [p for p in parts if p is not None and p.num_rows]
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs, promote_options="default")
+
     def drain_dead_letters(self) -> Optional[pa.Table]:
         """Union of every partition's buffered too-late rows (side
         output), cleared on read; None when nothing was dropped."""
@@ -731,11 +742,24 @@ class EpochRunner:
                  checkpoint_every: int = 1,
                  query_stream: Optional[list] = None,
                  facets: Optional[dict] = None,
-                 snippet_cfg=None):
+                 snippet_cfg=None,
+                 patterns: Optional[dict] = None):
         self.engine = engine
         self.sink_dir = sink_dir
         self.standing = dict(standing_queries)  # name -> Query | str
         self.facets = dict(facets or {})        # name -> (query, field)
+        # standing CEP pattern queries evaluated on SESSION CLOSE: when the
+        # watermark closes a session, its turns are gathered from the
+        # owning partitions and scanned for adjacent followed-by sequences
+        # (the streaming twin of `pipelines/windows.py::match_sequence`).
+        # name -> {"steps": [(col, value), ...],
+        #          "emit": [(step_idx, col, out_name), ...],
+        #          "within": "30m" | None}
+        # Emissions go to sink/patterns/<name>/epoch=K.parquet under the
+        # same commit-marker protocol as every other sink (exactly-once);
+        # a late-data re-close under the same session identity re-emits
+        # that session's matches in the re-closing epoch.
+        self.patterns = dict(patterns or {})
         self.snippet_cfg = snippet_cfg          # SnippetConfig | None
         self.topk = topk
         self.columns = columns
@@ -817,6 +841,8 @@ class EpochRunner:
             _write_atomic_parquet(
                 sessions, os.path.join(self.sink_dir, "sessions",
                                        f"epoch={epoch:06d}.parquet"))
+        if self.patterns:
+            self._emit_patterns(epoch, sessions)
         for name, q in self.standing.items():
             res = eng.query_topk(q, self.topk, columns=self.columns,
                                  snippet_cfg=self.snippet_cfg)
@@ -872,6 +898,99 @@ class EpochRunner:
         e = self.engine.restore()
         self._state_epoch = e
         return e
+
+    def _emit_patterns(self, epoch: int, sessions: pa.Table) -> None:
+        """Evaluate every standing CEP pattern over the sessions CLOSED
+        this epoch and emit matches exactly-once.
+
+        The closed set bounds the work (sessions closing per epoch, not
+        history); the gather is distributed (each actor filters its own
+        segments), and the adjacency scan is ONE vectorized shifted-AND
+        pass over all closed sessions at once — per-session identity is a
+        (conv, session_start) code, so matches never cross a session or a
+        conversation.  A late-arrival re-close under the same session
+        identity re-runs the pattern over the updated turn set and
+        re-emits in the re-closing epoch (latest epoch wins downstream,
+        exactly like the sessions sink)."""
+        import pandas as pd
+
+        eng = self.engine
+        conv_col = eng.cfg.key_cols[0]
+        turn_col = eng.cfg.key_cols[1]
+        ts_col = eng.cfg.ts_col
+        real = sessions.filter(
+            pa.compute.greater(sessions.column("n_turns"), 0))
+        if real.num_rows == 0:
+            return
+        need = {conv_col, turn_col, ts_col}
+        for spec in self.patterns.values():
+            need.update(c for c, _ in spec["steps"])
+            need.update(c for _, c, _ in spec["emit"])
+        rows = eng.gather_conv_rows(
+            set(real.column("conv_id").to_pylist()), sorted(need))
+        if rows is None or rows.num_rows == 0:
+            return
+        rdf = rows.to_pandas()
+        rdf["__ts_us"] = rows.column(ts_col).cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        sdf = real.to_pandas()[["conv_id", "session_start", "session_end"]]
+        j = rdf.merge(sdf, left_on=conv_col, right_on="conv_id")
+        j = j[(j["__ts_us"] >= j["session_start"])
+              & (j["__ts_us"] <= j["session_end"])]
+        if not len(j):
+            return
+        j = j.sort_values([conv_col, "session_start", "__ts_us", turn_col],
+                          kind="mergesort").reset_index(drop=True)
+        kcode = pd.factorize(
+            j[conv_col].astype(str) + "\x00"
+            + j["session_start"].astype(str))[0]
+        n = len(j)
+        from paradedb_ray.pipelines.aggregate import _parse_fixed_interval
+        for name, spec in self.patterns.items():
+            steps, emit = spec["steps"], spec["emit"]
+            k = len(steps)
+            if n < k:
+                continue
+            hit = np.ones(n - k + 1, dtype=bool)
+            for jj, (col, value) in enumerate(steps):
+                m = (j[col] == value).to_numpy()
+                hit &= m[jj:n - k + 1 + jj]
+            hit &= kcode[k - 1:] == kcode[:n - k + 1]
+            within = spec.get("within")
+            if within:
+                w_us = _parse_fixed_interval(within)
+                tsv = j["__ts_us"].to_numpy()
+                hit &= (tsv[k - 1:] - tsv[:n - k + 1]) <= w_us
+            starts = np.flatnonzero(hit)
+            if not len(starts):
+                continue
+            cols = {"conv_id": pa.array(
+                        j[conv_col].to_numpy()[starts].tolist(),
+                        pa.string()),
+                    "session_start": pa.array(
+                        j["session_start"].to_numpy()[starts], pa.int64())}
+            for jj, col, out in emit:
+                vals = j[col].to_numpy()[starts + jj]
+                cols[out] = pa.array(vals.tolist())
+            cols["epoch"] = pa.array([epoch] * len(starts), pa.int64())
+            _write_atomic_parquet(
+                pa.table(cols),
+                os.path.join(self.sink_dir, "patterns", name,
+                             f"epoch={epoch:06d}.parquet"))
+
+    def read_patterns(self, name: str) -> pa.Table:
+        """ALL emissions of a standing pattern (one row per match per
+        closing epoch; a re-closed session's latest epoch supersedes)."""
+        d = os.path.join(self.sink_dir, "patterns", name)
+        if not os.path.isdir(d):
+            return pa.table({})
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not files:
+            return pa.table({})
+        return pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in files],
+            promote_options="default")
 
     def read_result(self, name: str) -> pa.Table:
         """Latest-epoch view of a standing query's emissions."""

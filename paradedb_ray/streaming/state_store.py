@@ -1182,5 +1182,30 @@ class Bm25PartitionStore:
     def hot_convs(self, threshold: int) -> list:
         return [c for c, n in self.conv_counts.items() if n >= threshold]
 
+    def conv_rows(self, convs: list, columns: list):
+        """Visible (live-copy) rows of the given conversations — the
+        session-close CEP gather: when a session closes on watermark
+        expiry, the runner fetches its turns to evaluate standing pattern
+        queries.  Returns None when this partition holds none (hot convs
+        are salted ACROSS partitions, so the caller asks every actor and
+        concats).  Cost is one vectorized ``is_in`` scan per segment over
+        the small closed-conv set; only matching rows leave the actor."""
+        import pyarrow.compute as pc
+
+        ckey = self.key_cols[0]
+        vs = pa.array(list(convs), pa.string())
+        need = list(dict.fromkeys(columns))
+        tabs = []
+        for seg in self._all_segments():
+            t = seg.table
+            sub = t.filter(pc.is_in(t.column(ckey), value_set=vs))
+            if sub.num_rows:
+                sub = self._visible_only(sub, force=True)
+                if sub.num_rows:
+                    tabs.append(sub.select(need))
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs, promote_options="default")
+
     def num_docs(self) -> int:
         return sum(s.num_docs for s in self.sealed) + self.mutable_count

@@ -1025,3 +1025,72 @@ def test_force_merge_collapses_segments(ray_session, turns):
             eng2.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_pattern_sink_on_session_close(ray_session, tmp_path):
+    """Standing CEP patterns evaluate on session close: a user turn
+    immediately followed by an assistant tool call inside one session;
+    matches emit exactly-once under sink/patterns/<name>, adjacency never
+    crosses sessions, and replaying committed epochs adds nothing."""
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000_000_000
+    MIN = 60_000_000
+
+    def turn(conv, idx, role, tool, ts):
+        return pa.table({
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([idx], pa.int32()),
+            "role": pa.array([role]), "text": pa.array(["w x"]),
+            "tool": pa.array([tool]),
+            "ts": pa.array([ts], pa.timestamp("us"))})
+
+    # conv a, session 1: user -> assistant(tool=search) adjacent = MATCH
+    # conv a, session 2 (after > gap): assistant first (no match), then a
+    #   user turn ENDING the session — the next assistant turn opens
+    #   session 3, so user->assistant must NOT match across the gap
+    # conv b: user -> user -> assistant: exactly ONE match (turns 1->2)
+    e0 = pa.concat_tables([
+        turn("a", 0, "user", "", t0),
+        turn("a", 1, "assistant", "search", t0 + MIN),
+        turn("b", 0, "user", "", t0),
+        turn("b", 1, "user", "", t0 + MIN),
+        turn("b", 2, "assistant", "grep", t0 + 2 * MIN),
+        turn("a", 2, "assistant", "", t0 + 120 * MIN),
+        turn("a", 3, "user", "", t0 + 121 * MIN),
+        turn("a", 4, "assistant", "calc", t0 + 300 * MIN),
+    ])
+    # a late epoch far in the future closes everything
+    e1 = turn("zz", 0, "user", "", t0 + 10_000 * MIN)
+    sink = str(tmp_path / "sink")
+    eng = _engine(parts=2, session_gap_us=30 * MIN,
+                  lateness_us=1_000_000)
+    try:
+        pat = {"user_then_tool": {
+            "steps": [("role", "user"), ("role", "assistant")],
+            "emit": [(0, "turn_idx", "user_turn"),
+                     (1, "turn_idx", "asst_turn"), (1, "tool", "tool")],
+            "within": "30m"}}
+        r = EpochRunner(eng, sink, {"q": pdb.term("text", "w")},
+                        topk=5, columns=["conv_id", "turn_idx", "score"],
+                        patterns=pat)
+        r.run([e0, e1])
+        got = r.read_patterns("user_then_tool").to_pandas()
+        got = got.sort_values(["conv_id", "user_turn"]).reset_index(
+            drop=True)
+        matches = list(zip(got["conv_id"], got["user_turn"],
+                           got["asst_turn"], got["tool"]))
+        # a: (0 -> 1, search); NOT (3 -> 4): session gap between them
+        # b: (1 -> 2, grep) only — (0 -> 1) is user->user
+        assert matches == [("a", 0, 1, "search"), ("b", 1, 2, "grep")]
+        # exactly-once: replay of committed epochs adds no files
+        pdir = os.path.join(sink, "patterns", "user_then_tool")
+        before = sorted(os.listdir(pdir))
+        r2 = EpochRunner(eng, sink, {"q": pdb.term("text", "w")},
+                         topk=5, columns=["conv_id", "turn_idx", "score"],
+                         patterns=pat)
+        r2.run([e0, e1])
+        assert sorted(os.listdir(pdir)) == before
+        assert r2.read_patterns("user_then_tool").num_rows == 2
+    finally:
+        eng.shutdown()
