@@ -2136,7 +2136,8 @@ def _q_window_first_offsets(sf):
         o, ["o_custkey"], [("o_orderkey", "ascending")],
         {"first_price": ("first_value", "o_totalprice"),
          "lag2": ("lag", "o_totalprice", 2),
-         "lead2": ("lead", "o_totalprice", 2)})
+         "lead2": ("lead", "o_totalprice", 2),
+         "tile4": ("ntile", None, 4)})
 
 
 def _q_interval_join(sf):
@@ -2173,6 +2174,20 @@ def _q_interval_join(sf):
                             batch_size=None)
     return interval_join(clicks, sign, on="user_id", left_ts="c_ts",
                          right_start="s_ts", right_end="e_ts", bucket="1d")
+
+
+def _q_window_dist(sf):
+    """percent_rank / cume_dist with REAL peer groups (ORDER BY the
+    low-cardinality priority column) — tie-stable by construction: every
+    peer row gets the same value (`pipelines/aggregate.py::
+    partitioned_window` rank-distribution kinds)."""
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    o = _tbl(sf, "orders",
+             columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+    return partitioned_window(
+        o, ["o_custkey"], [("o_orderpriority", "ascending")],
+        {"pr": ("percent_rank", None), "cd": ("cume_dist", None)})
 
 
 # ---------------------------------------------------------------------------
@@ -2277,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the driver window (r4-green / rows-only;
         # re-verified locally at both SFs each round) ----
         "interval_join": _q_interval_join,
+        "window_dist": _q_window_dist,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2736,6 +2752,11 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "window_dist":
+            "SELECT o_custkey, o_orderkey, o_orderpriority,"
+            " percent_rank() OVER w AS pr, cume_dist() OVER w AS cd"
+            " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+            " ORDER BY o_orderpriority)",
         "interval_join":
             "WITH s AS (SELECT event_id AS signup_id, user_id,"
             " ts AS s_ts, ts + INTERVAL 3 DAY AS e_ts FROM events"
@@ -2760,7 +2781,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice,"
             " first_value(o_totalprice) OVER w AS first_price,"
             " lag(o_totalprice, 2) OVER w AS lag2,"
-            " lead(o_totalprice, 2) OVER w AS lead2"
+            " lead(o_totalprice, 2) OVER w AS lead2,"
+            " ntile(4) OVER w AS tile4"
             " FROM orders WINDOW w AS (PARTITION BY o_custkey"
             " ORDER BY o_orderkey)",
         "cep_sequence":

@@ -1351,7 +1351,7 @@ def partitioned_window(
             for name, spec in funcs.items():
                 kind = spec[0]
                 typ = (pa.int64() if kind in
-                       ("row_number", "rank", "dense_rank")
+                       ("row_number", "rank", "dense_rank", "ntile")
                        else pa.float64())
                 t = t.append_column(name, pa.array([], typ))
             return t
@@ -1441,6 +1441,34 @@ def partitioned_window(
                 t = t.append_column(
                     name, pa.array(v[pstart_row], pa.float64(),
                                    from_pandas=True))
+            elif kind == "percent_rank":
+                # (rank - 1) / (partition_rows - 1); 0 for 1-row partitions
+                tstarts = np.flatnonzero(newtie)
+                tcounts = np.diff(np.r_[tstarts, n])
+                r = np.repeat(row_number[tstarts], tcounts)
+                pcount_row = np.repeat(pcounts, pcounts)
+                out = (r - 1) / np.maximum(pcount_row - 1, 1)
+                t = t.append_column(name, pa.array(out, pa.float64()))
+            elif kind == "cume_dist":
+                # rows with order-key <= current (= index of the LAST peer
+                # in the partition + 1) / partition rows
+                tstarts = np.flatnonzero(newtie)
+                tcounts = np.diff(np.r_[tstarts, n])
+                last_peer = np.repeat(tstarts + tcounts - 1, tcounts)
+                pcount_row = np.repeat(pcounts, pcounts)
+                out = (last_peer - pstart_row + 1) / pcount_row
+                t = t.append_column(name, pa.array(out, pa.float64()))
+            elif kind == "ntile":
+                nt = int(spec[2])
+                pcount_row = np.repeat(pcounts, pcounts)
+                base = pcount_row // nt
+                rem = pcount_row % nt
+                boundary = rem * (base + 1)
+                out = np.where(
+                    pos < boundary,
+                    pos // np.maximum(base + 1, 1),
+                    rem + (pos - boundary) // np.maximum(base, 1)) + 1
+                t = t.append_column(name, pa.array(out, pa.int64()))
             elif kind == "running_sum":
                 v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
                 valid = ~np.isnan(v)

@@ -308,3 +308,21 @@ def test_interval_join_overlapping_windows_emit_all_pairs():
                         on="k", left_ts="ts", right_start="s",
                         right_end="e", bucket="7s").to_pandas()
     assert sorted(out["rid"].tolist()) == [1, 2]
+
+
+def test_rank_distribution_kinds_with_ties():
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"],
+        "o": pa.array([1, 1, 2, 3, 9], pa.int64()),
+        "rid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = partitioned_window(
+        ray.data.from_arrow(t).repartition(2), ["k"], [("o", "ascending")],
+        {"pr": ("percent_rank", None), "cd": ("cume_dist", None),
+         "nt": ("ntile", None, 3)}).to_pandas()
+    out = _sorted(out, ["rid"])
+    # a: ranks 1,1,3,4 over 4 rows -> pr = (r-1)/3; cd = last_peer/4
+    assert out["pr"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0]
+    assert out["cd"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
+    # ntile(3) over 4 rows: tiles sized 2,1,1 in order
+    assert out["nt"].tolist() == [1, 1, 2, 3, 1]
