@@ -309,6 +309,8 @@ def asof_join(
     right_on=None,
     tie_col: Optional[str] = None,
     how: str = "left",
+    direction: str = "backward",
+    tolerance: Optional[str] = None,
     num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Temporal as-of (backward) join: each left row matches the right row
@@ -332,11 +334,25 @@ def asof_join(
     the driver's value-hash oracle.  NULL timestamps never match (SQL
     comparison semantics); with ``how='left'`` the left row survives with
     NULL right columns, with ``how='inner'`` it is dropped.
+
+    ``direction='forward'`` matches the SMALLEST ``right_ts >= left_ts``
+    instead (implemented by negating the time axis — the same scan runs
+    unchanged, ties still break by greatest tie_col).  ``tolerance``
+    ('30m', '2d', ...) bounds the match gap like pandas ``merge_asof``:
+    a candidate farther than the tolerance in the match direction is
+    discarded (the left row then misses).
     """
     import numpy as np
     import pyarrow.compute as pc
 
     from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    tol_us = None
+    if tolerance is not None:
+        from paradedb_ray.pipelines.aggregate import _parse_fixed_interval
+        tol_us = _parse_fixed_interval(tolerance)
 
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = keys if right_on is None else (
@@ -356,7 +372,12 @@ def asof_join(
         t = col.type
         if pa.types.is_timestamp(t) or pa.types.is_date(t):
             col = col.cast(pa.timestamp("us"))
-        return col.cast(pa.int64())
+        col = col.cast(pa.int64())
+        if direction == "forward":
+            # negate the time axis: the backward scan then finds the
+            # smallest right_ts >= left_ts
+            col = pc.negate(col)
+        return col
 
     def tag_left(batch: pa.Table) -> pa.Table:
         batch = batch.append_column("__ts", _ts_i64(batch.column(left_ts)))
@@ -418,6 +439,14 @@ def asof_join(
         valid = (m >= 0) & ~ts_null[li]
         valid &= np.where(valid, kcode[np.where(valid, m, 0)] == kcode[li],
                           False)
+        if tol_us is not None:
+            # gap in the (possibly negated) time axis is always >= 0 for
+            # a candidate: left_ts - right_ts backward, right_ts -
+            # left_ts forward
+            tsv = t.column("__ts").to_numpy(zero_copy_only=False)
+            safe0 = np.where(valid, m, 0)
+            gap = tsv[li].astype("float64") - tsv[safe0].astype("float64")
+            valid &= np.where(valid, gap <= tol_us, False)
         lg = t.take(pa.array(li, pa.int64())).select(lcols).cast(l_pa)
         safe = np.where(valid, m, 0)
         rp = t.take(pa.array(safe, pa.int64()))

@@ -326,3 +326,37 @@ def test_rank_distribution_kinds_with_ties():
     assert out["cd"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
     # ntile(3) over 4 rows: tiles sized 2,1,1 in order
     assert out["nt"].tolist() == [1, 1, 2, 3, 1]
+
+
+def test_asof_join_forward_and_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    lds = ray.data.from_arrow(trades).repartition(2)
+    rds = ray.data.from_arrow(quotes).repartition(2)
+    fwd = asof_join(lds, rds, on="sym", left_ts="t_ts", right_ts="q_ts",
+                    right_cols=["q_id"], tie_col="q_id",
+                    direction="forward").to_pandas()
+    fwd = _sorted(fwd, ["t_id"])
+    # forward: smallest q_ts >= t_ts.  trade1 (A,10) -> q101 (ts20);
+    # trade2 (A,20) -> q101 (equal ts); trade3 (A,30) -> none (latest A
+    # quote is 25); trade4 (B,15) -> q104 (ts20); trade5 (B,5) -> q103
+    # (ts10); trade6 (C,7) -> none
+    assert fwd["q_id"].fillna(-1).tolist() == [101, 101, -1, 104, 103, -1]
+
+    # tolerance: backward match farther than 5 ticks is discarded
+    tol = asof_join(lds, rds, on="sym", left_ts="t_ts", right_ts="q_ts",
+                    right_cols=["q_id"], tie_col="q_id",
+                    tolerance="5s").to_pandas()
+    tol = _sorted(tol, ["t_id"])
+    # trade1 (A,10): q100 at ts5, gap 5e6 us vs 5s tolerance -> kept only
+    # if ts unit matches; t_ts here is raw int64 (already "us"), so gap
+    # 5 <= 5s -> kept.  trade3 (A,30): q102 at 25, gap 5 -> kept.
+    assert tol["q_id"].fillna(-1).tolist()[:4] == [100, 101, 102, 103]
+
+    # a tiny tolerance (raw int = 1 microsecond) discards every
+    # non-equal-ts match
+    tol0 = asof_join(lds, rds, on="sym", left_ts="t_ts", right_ts="q_ts",
+                     right_cols=["q_id"], tie_col="q_id",
+                     tolerance=1).to_pandas()
+    tol0 = _sorted(tol0, ["t_id"])
+    # only trade2 (A,20) has an exactly-equal-ts quote (q101, gap 0)
+    assert tol0["q_id"].fillna(-1).tolist() == [-1, 101, -1, -1, -1, -1]
