@@ -1182,14 +1182,17 @@ class Bm25PartitionStore:
     def hot_convs(self, threshold: int) -> list:
         return [c for c, n in self.conv_counts.items() if n >= threshold]
 
-    def conv_rows(self, convs: list, columns: list):
+    def conv_rows(self, convs: list, columns: list, template=None):
         """Visible (live-copy) rows of the given conversations — the
         session-close CEP gather: when a session closes on watermark
         expiry, the runner fetches its turns to evaluate standing pattern
-        queries.  Returns None when this partition holds none (hot convs
-        are salted ACROSS partitions, so the caller asks every actor and
-        concats).  Cost is one vectorized ``is_in`` scan per segment over
-        the small closed-conv set; only matching rows leave the actor."""
+        queries.  Hot convs are salted ACROSS partitions, so the caller
+        asks every actor; the results stay in the object store as blocks
+        of a ``ray.data`` Dataset (the driver never materializes the
+        turns).  Cost is one vectorized ``is_in`` scan per segment over
+        the small closed-conv set; only matching rows leave the actor.
+        ``template``: a ``pa.Schema`` used to type the empty result when
+        this partition holds none (None is returned without it)."""
         import pyarrow.compute as pc
 
         ckey = self.key_cols[0]
@@ -1204,7 +1207,10 @@ class Bm25PartitionStore:
                 if sub.num_rows:
                     tabs.append(sub.select(need))
         if not tabs:
-            return None
+            if template is None:
+                return None
+            return pa.schema(
+                [template.field(c) for c in need]).empty_table()
         return pa.concat_tables(tabs, promote_options="default")
 
     def num_docs(self) -> int:
