@@ -1094,3 +1094,46 @@ def test_pattern_sink_on_session_close(ray_session, tmp_path):
         assert r2.read_patterns("user_then_tool").num_rows == 2
     finally:
         eng.shutdown()
+
+
+def test_streaming_content_dedup_exactly_once(ray_session, tmp_path):
+    """First arrival of each distinct text survives across epochs; a
+    replayed epoch reproduces its original survivor set; restore from
+    checkpoint keeps deduping against everything seen before."""
+    from paradedb_ray.streaming.dedup_stream import StreamingDeduper
+
+    ck = str(tmp_path / "dedup_ck")
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows])})
+
+    e0 = tbl([(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")])
+    e1 = tbl([(5, "beta"), (6, "delta"), (7, "delta"), (8, "alpha")])
+    d = StreamingDeduper(num_shards=4, checkpoint_dir=ck)
+    try:
+        s0 = d.ingest(e0, epoch=0)
+        # within-epoch dup (doc 3) drops; first occurrences survive
+        assert s0.column("doc_id").to_pylist() == [1, 2, 4]
+        d.checkpoint(0)
+        s1 = d.ingest(e1, epoch=1)
+        # beta/alpha seen in epoch 0; delta first-wins within epoch 1
+        assert s1.column("doc_id").to_pylist() == [6]
+        d.checkpoint(1)
+        # replay of epoch 1 (same state, same table) is bit-identical
+        s1b = d.ingest(e1, epoch=1)
+        assert s1b.column("doc_id").to_pylist() == [6]
+        assert d.num_seen() == 4  # alpha beta gamma delta
+    finally:
+        d.shutdown()
+
+    # restart: restore from checkpoint, epoch 2 still dedupes history
+    d2 = StreamingDeduper(num_shards=4, checkpoint_dir=ck)
+    try:
+        assert d2.restore() == 1
+        e2 = tbl([(9, "gamma"), (10, "epsilon")])
+        s2 = d2.ingest(e2, epoch=2)
+        assert s2.column("doc_id").to_pylist() == [10]
+    finally:
+        d2.shutdown()
