@@ -2190,6 +2190,32 @@ def _q_window_dist(sf):
         {"pr": ("percent_rank", None), "cd": ("cume_dist", None)})
 
 
+def _q_rollup_agg(sf):
+    """GROUP BY ROLLUP hierarchy (full keys, each prefix, grand total)
+    with SQL NULL fill — n+1 independent partial-shuffle aggregates
+    unioned as metadata (`pipelines/aggregate.py::rollup_aggregate`).
+    Sum column is integer-valued (the oracle float discipline)."""
+    from paradedb_ray.pipelines.aggregate import rollup_aggregate
+
+    li = _tbl(sf, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        {"n_items": ("count_star", None), "sum_qty": ("sum", "l_quantity")})
+
+
+def _q_cube_agg(sf):
+    """GROUP BY CUBE — every grouping-key subset
+    (`pipelines/aggregate.py::cube_aggregate`)."""
+    from paradedb_ray.pipelines.aggregate import cube_aggregate
+
+    li = _tbl(sf, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        {"n_items": ("count_star", None), "sum_qty": ("sum", "l_quantity")})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2293,6 +2319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verified locally at both SFs each round) ----
         "interval_join": _q_interval_join,
         "window_dist": _q_window_dist,
+        "rollup_agg": _q_rollup_agg,
+        "cube_agg": _q_cube_agg,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2752,6 +2780,14 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "rollup_agg":
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items,"
+            " sum(l_quantity) AS sum_qty FROM lineitem"
+            " GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        "cube_agg":
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items,"
+            " sum(l_quantity) AS sum_qty FROM lineitem"
+            " GROUP BY CUBE (l_returnflag, l_linestatus)",
         "window_dist":
             "SELECT o_custkey, o_orderkey, o_orderpriority,"
             " percent_rank() OVER w AS pr, cume_dist() OVER w AS cd"

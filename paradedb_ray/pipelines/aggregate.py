@@ -1487,6 +1487,60 @@ def partitioned_window(
     return hash_partition_apply(ds, partition_by, win_part)
 
 
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    group_by: list,
+    aggs: dict,
+    grouping_sets: Optional[list] = None,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP (c1, c2, ...)`` — the hierarchy of grouped
+    aggregates (full keys, each prefix, grand total) unioned with NULL
+    fill for rolled-up columns, exactly SQL's output shape.  Pass
+    ``grouping_sets`` (list of key-subsets) for CUBE / arbitrary
+    GROUPING SETS.
+
+    Each level is one independent ``sql_aggregate`` (two-stage hash
+    shuffle of PARTIALS, never rows); levels are tiny relative to the
+    corpus and union as metadata.  A single-pass multi-level combiner
+    would save corpus scans at very high level counts; with the ROLLUP
+    ladder's n+1 levels (n small) the scan cost is the same family as
+    the reference's one-aggregate-per-GROUP-BY SQL and keeps every level
+    bit-identical to its standalone aggregate."""
+    sets = (grouping_sets if grouping_sets is not None
+            else [group_by[:i] for i in range(len(group_by), -1, -1)])
+    in_sch = ds.schema()
+    in_types = dict(zip(in_sch.names, in_sch.types))
+    parts = []
+    for lvl in sets:
+        a = sql_aggregate(ds, list(lvl), aggs)
+
+        def fill(batch: pa.Table, _lvl=tuple(lvl)) -> pa.Table:
+            cols = {}
+            for c in group_by:
+                cols[c] = (batch.column(c) if c in _lvl
+                           else pa.nulls(batch.num_rows, in_types[c]))
+            for name in aggs:
+                cols[name] = batch.column(name)
+            return pa.table(cols)
+
+        parts.append(a.map_batches(fill, batch_format="pyarrow",
+                                   batch_size=None))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def cube_aggregate(ds: ray.data.Dataset, group_by: list,
+                   aggs: dict) -> ray.data.Dataset:
+    """``GROUP BY CUBE (...)``: every subset of the grouping keys."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(group_by), -1, -1)
+            for c in combinations(group_by, r)]
+    return rollup_aggregate(ds, group_by, aggs, grouping_sets=sets)
+
+
 def time_rolling_window(
     ds: ray.data.Dataset,
     partition_by: list,
