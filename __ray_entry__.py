@@ -2216,6 +2216,25 @@ def _q_cube_agg(sf):
         {"n_items": ("count_star", None), "sum_qty": ("sum", "l_quantity")})
 
 
+def _q_cep_in_session(sf):
+    """Within-session CEP composition: sessionize the event stream (30m
+    gap, ordinal session ids) then detect click->purchase ADJACENT inside
+    one (user, session) — the canonical funnel query a streaming engine
+    owns end to end (`pipelines/windows.py::sessionize` +
+    `match_sequence` with a composite key; two hash shuffles on the same
+    user key)."""
+    from paradedb_ray.pipelines.windows import match_sequence, sessionize
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    s = sessionize(ev, "user_id", "ts", gap="30m")
+    return match_sequence(
+        s, ["user_id", "session_id"],
+        [("ts", "ascending"), ("event_id", "ascending")],
+        steps=[("event_type", "click"), ("event_type", "purchase")],
+        emit=[(0, "event_id", "click_id"), (1, "event_id", "purchase_id")])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2321,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dist": _q_window_dist,
         "rollup_agg": _q_rollup_agg,
         "cube_agg": _q_cube_agg,
+        "cep_in_session": _q_cep_in_session,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2780,6 +2800,23 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "cep_in_session":
+            "WITH g AS (SELECT user_id, event_id, ts, event_type,"
+            " CASE WHEN ts - LAG(ts) OVER win > INTERVAL 30 MINUTE"
+            " THEN 1 ELSE 0 END AS brk FROM events WINDOW"
+            " win AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id, event_id, ts, event_type,"
+            " CAST(SUM(brk) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+            " AS session_id FROM g),"
+            " w AS (SELECT user_id, session_id, event_id, event_type,"
+            " LEAD(event_type) OVER win3 AS t2,"
+            " LEAD(event_id) OVER win3 AS id2 FROM s WINDOW"
+            " win3 AS (PARTITION BY user_id, session_id"
+            " ORDER BY ts, event_id))"
+            " SELECT user_id, session_id, event_id AS click_id,"
+            " id2 AS purchase_id FROM w"
+            " WHERE event_type = 'click' AND t2 = 'purchase'",
         "rollup_agg":
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items,"
             " sum(l_quantity) AS sum_qty FROM lineitem"

@@ -164,7 +164,7 @@ def session_window(
 
 def match_sequence(
     ds: ray.data.Dataset,
-    key: str,
+    key,
     order_by: list,
     steps: list,
     emit: list,
@@ -180,8 +180,10 @@ def match_sequence(
 
     ``steps``: list of ``(col, value)`` equality predicates or callables
     ``pa.Table -> np.ndarray[bool]``.  ``emit``: ``(step_idx, col,
-    out_name)`` projections taken from each matched step's row.  Output:
-    one row per match, ``key`` + emitted columns.
+    out_name)`` projections taken from each matched step's row.  ``key``
+    may be one column or a list (e.g. ``[user, session_id]`` for
+    patterns confined to a session).  Output: one row per match, key
+    column(s) + emitted columns.
 
     Plan: ONE hash shuffle on the key (every row of a key meets in one
     reducer), then per partition one sort + k-1 vectorized shifted ANDs —
@@ -201,10 +203,11 @@ def match_sequence(
     if within_us is not None and ts_col is None:
         raise ValueError("within requires ts_col")
 
+    keys = [key] if isinstance(key, str) else list(key)
     in_sch = ds.schema()
     in_types = dict(zip(in_sch.names, in_sch.types))
     out_schema = pa.schema(
-        [pa.field(key, in_types[key])]
+        [pa.field(kc, in_types[kc]) for kc in keys]
         + [pa.field(out, in_types[col]) for _, col, out in emit])
 
     def _mask(t: pa.Table, step) -> np.ndarray:
@@ -221,11 +224,14 @@ def match_sequence(
         if n < k:
             return out_schema.empty_table()
         idx = pc.sort_indices(
-            t, sort_keys=[(key, "ascending")]
+            t, sort_keys=[(kc, "ascending") for kc in keys]
             + [(c, d) for c, d in order_by])
         t = t.take(idx)
-        kcode, _ = pd.factorize(t.column(key).to_pandas(),
-                                use_na_sentinel=False)
+        kcode = np.zeros(n, dtype=np.int64)
+        for kc in keys:
+            ck, _ = pd.factorize(t.column(kc).to_pandas(),
+                                 use_na_sentinel=False)
+            kcode = kcode * (int(ck.max()) + 1) + ck
         hit = _mask(t, steps[0])[:n - k + 1].copy()
         for j in range(1, k):
             hit &= _mask(t, steps[j])[j:n - k + 1 + j]
@@ -234,7 +240,8 @@ def match_sequence(
             ts = _ts_us(t, ts_col)
             hit &= (ts[k - 1:] - ts[:n - k + 1]) <= within_us
         starts = np.flatnonzero(hit)
-        cols = {key: t.column(key).take(pa.array(starts, pa.int64()))}
+        cols = {kc: t.column(kc).take(pa.array(starts, pa.int64()))
+                for kc in keys}
         for j, col, out in emit:
             cols[out] = t.column(col).take(
                 pa.array(starts + j, pa.int64()))
@@ -244,9 +251,57 @@ def match_sequence(
         # prune at the shuffle; a callable step may read any column, so
         # pruning is the caller's job there
         need = list(dict.fromkeys(
-            [key] + [c for c, _ in order_by]
+            keys + [c for c, _ in order_by]
             + ([ts_col] if ts_col else [])
             + [s[0] for s in steps]
             + [c for _, c, _ in emit]))
         ds = ds.select_columns(need)
-    return hash_partition_apply(ds, [key], seq_part)
+    return hash_partition_apply(ds, keys, seq_part)
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    gap: str,
+    session_col: str = "session_id",
+) -> ray.data.Dataset:
+    """Row-level sessionization: append each row's gap-session ORDINAL
+    (0, 1, 2, ... per key, in event-time order) — the row-preserving twin
+    of :func:`session_window` (which aggregates), and the standard prelude
+    to within-session CEP / per-session features.  A new session starts
+    when the gap to the key's previous event exceeds ``gap`` (strictly —
+    identical to the session-window close rule).
+
+    One hash shuffle; per-partition one sort + one vectorized
+    cumulative-break pass.  The ordinal is a pure function of the input
+    multiset (ties in ts cannot flip a break: the gap between equal
+    timestamps is 0), so it is SQL-reproducible as
+    ``SUM(CASE WHEN ts - LAG(ts) > gap THEN 1 ELSE 0 END) OVER
+    (PARTITION BY key ORDER BY ts ...)``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from paradedb_ray.stages.hash_agg import hash_partition_apply
+
+    gap_us = _parse_fixed_interval(gap)
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(session_col, pa.array([], pa.int64()))
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            (ts_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        ts = _ts_us(t, ts_col)
+        codes, _ = pd.factorize(t.column(key).to_pandas(),
+                                use_na_sentinel=False)
+        newp = np.r_[True, codes[1:] != codes[:-1]]
+        brk = np.r_[False, (ts[1:] - ts[:-1]) > gap_us] & ~newp
+        g = np.cumsum(newp | brk)
+        pstarts = np.flatnonzero(newp)
+        pcounts = np.diff(np.r_[pstarts, n])
+        sid = g - np.repeat(g[pstarts], pcounts)
+        return t.append_column(session_col, pa.array(sid, pa.int64()))
+
+    return hash_partition_apply(ds, [key], part)

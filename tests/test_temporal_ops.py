@@ -360,3 +360,29 @@ def test_asof_join_forward_and_tolerance(trades_quotes):
     tol0 = _sorted(tol0, ["t_id"])
     # only trade2 (A,20) has an exactly-equal-ts quote (q101, gap 0)
     assert tol0["q_id"].fillna(-1).tolist() == [-1, 101, -1, -1, -1, -1]
+
+
+def test_sessionize_ordinals_and_composite_key_cep():
+    from paradedb_ray.pipelines.windows import match_sequence, sessionize
+
+    t = pa.table({
+        "k": ["u"] * 5,
+        "ts": pa.array([0, 10, 100, 105, 300], pa.timestamp("s")),
+        "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ev": ["a", "b", "a", "b", "a"],
+    })
+    s = sessionize(ray.data.from_arrow(t).repartition(2), "k", "ts",
+                   gap="30s").to_pandas()
+    s = _sorted(s, ["eid"])
+    # gaps: 10 (same), 90 (break), 5 (same), 195 (break)
+    assert s["session_id"].tolist() == [0, 0, 1, 1, 2]
+
+    # a->b adjacent pairs exist in sessions 0 and 1; session boundaries
+    # hold even though a global scan would also pair eids (2,3) etc.
+    sd = sessionize(ray.data.from_arrow(t), "k", "ts", gap="30s")
+    m = match_sequence(
+        sd, ["k", "session_id"],
+        [("ts", "ascending"), ("eid", "ascending")],
+        steps=[("ev", "a"), ("ev", "b")],
+        emit=[(0, "eid", "a_id"), (1, "eid", "b_id")]).to_pandas()
+    assert sorted(zip(m["a_id"], m["b_id"])) == [(1, 2), (3, 4)]
