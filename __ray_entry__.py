@@ -2235,6 +2235,30 @@ def _q_cep_in_session(sf):
         emit=[(0, "event_id", "click_id"), (1, "event_id", "purchase_id")])
 
 
+def _q_window_fill(sf):
+    """Forward-fill imputation (`LAST_VALUE(... IGNORE NULLS) OVER ...
+    ROWS UNBOUNDED PRECEDING`): error events' values are NULLed (a
+    deterministic missing-data mask both sides derive identically), then
+    carried forward per user in event order
+    (`pipelines/aggregate.py::partitioned_window` fill_forward kind)."""
+    import pyarrow as pa
+
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        mv = pc.if_else(pc.equal(b.column("event_type"), "error"),
+                        pa.scalar(None, pa.float64()), b.column("value"))
+        return b.append_column("mv", mv)
+
+    ev = ev.map_batches(mask, batch_format="pyarrow", batch_size=None)
+    return partitioned_window(
+        ev, ["user_id"], [("ts", "ascending"), ("event_id", "ascending")],
+        {"filled": ("fill_forward", "mv")})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2341,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": _q_rollup_agg,
         "cube_agg": _q_cube_agg,
         "cep_in_session": _q_cep_in_session,
+        "window_fill": _q_window_fill,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2800,6 +2825,14 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "window_fill":
+            "SELECT event_id, ts, user_id, event_type, value,"
+            " CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+            " AS mv,"
+            " LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL"
+            " ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS filled"
+            " FROM events",
         "cep_in_session":
             "WITH g AS (SELECT user_id, event_id, ts, event_type,"
             " CASE WHEN ts - LAG(ts) OVER win > INTERVAL 30 MINUTE"

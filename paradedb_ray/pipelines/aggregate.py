@@ -1441,6 +1441,17 @@ def partitioned_window(
                 t = t.append_column(
                     name, pa.array(v[pstart_row], pa.float64(),
                                    from_pandas=True))
+            elif kind == "fill_forward":
+                # LAST_VALUE(col IGNORE NULLS) OVER (... ROWS UNBOUNDED
+                # PRECEDING) — the standard imputation op: carry the last
+                # non-NULL value forward within the partition
+                v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                iv = np.where(~np.isnan(v), np.arange(n), -1)
+                last = np.maximum.accumulate(iv)
+                ok = last >= pstart_row
+                out = np.where(ok, v[np.maximum(last, 0)], np.nan)
+                t = t.append_column(
+                    name, pa.array(out, pa.float64(), from_pandas=True))
             elif kind == "percent_rank":
                 # (rank - 1) / (partition_rows - 1); 0 for 1-row partitions
                 tstarts = np.flatnonzero(newtie)

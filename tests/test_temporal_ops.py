@@ -386,3 +386,17 @@ def test_sessionize_ordinals_and_composite_key_cep():
         steps=[("ev", "a"), ("ev", "b")],
         emit=[(0, "eid", "a_id"), (1, "eid", "b_id")]).to_pandas()
     assert sorted(zip(m["a_id"], m["b_id"])) == [(1, 2), (3, 4)]
+
+
+def test_fill_forward_respects_partition_start():
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "o": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "v": pa.array([None, 7.0, None, None, None, 3.0]),
+    })
+    out = partitioned_window(
+        ray.data.from_arrow(t).repartition(3), ["k"], [("o", "ascending")],
+        {"f": ("fill_forward", "v")}).to_pandas()
+    out = _sorted(out, ["k", "o"])
+    # a: NULL (nothing to carry), 7, 7, 7; b: NULL (a's 7 must NOT leak), 3
+    assert out["f"].fillna(-1).tolist() == [-1, 7.0, 7.0, 7.0, -1, 3.0]
