@@ -208,6 +208,38 @@ def main():
                                  "events_per_s": int(n / dt)}
     print("match_sequence  ok", results["match_sequence"], flush=True)
 
+    # ---- sessionize -> within-session CEP (composite key)
+    t1 = time.time()
+    from paradedb_ray.pipelines.windows import sessionize
+
+    sd = sessionize(read(), "user_id", "ts", gap="30m")
+    mine = match_sequence(
+        sd, ["user_id", "session_id"],
+        [("ts", "ascending"), ("event_id", "ascending")],
+        steps=[("event_type", "click"), ("event_type", "purchase")],
+        emit=[(0, "event_id", "click_id"),
+              (1, "event_id", "purchase_id")]).to_pandas()
+    dt = time.time() - t1
+    orc = con.execute(f"""
+      WITH g AS (SELECT user_id, event_id, ts, event_type,
+        CASE WHEN ts - LAG(ts) OVER win > INTERVAL 30 MINUTE
+          THEN 1 ELSE 0 END AS brk FROM '{path}'
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, event_id, ts, event_type,
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g),
+      w AS (SELECT user_id, session_id, event_id, event_type,
+        LEAD(event_type) OVER win3 AS t2, LEAD(event_id) OVER win3 AS id2
+        FROM s WINDOW win3 AS (PARTITION BY user_id, session_id
+          ORDER BY ts, event_id))
+      SELECT user_id, session_id, event_id AS click_id, id2 AS purchase_id
+      FROM w WHERE event_type='click' AND t2='purchase'""").df()
+    assert len(mine) == len(orc), (len(mine), len(orc))
+    assert canon_hash(mine) == canon_hash(orc), "cep_in_session mismatch"
+    results["cep_in_session"] = {"rows": len(mine), "sec": round(dt, 2),
+                                 "events_per_s": int(n / dt)}
+    print("cep_in_session  ok", results["cep_in_session"], flush=True)
+
     import json
     print(json.dumps({"n_events": n, "n_users": n_users, "ops": results}))
     ray.shutdown()
