@@ -2259,6 +2259,45 @@ def _q_window_fill(sf):
         {"filled": ("fill_forward", "mv")})
 
 
+def _q_asof_join_forward(sf):
+    """Forward as-of with merge_asof tolerance: each click matched to the
+    same user's NEXT purchase at-or-after it, no farther than 2 days out
+    (`pipelines/joins.py::asof_join` direction='forward' — the time axis
+    negates and the identical backward cummax scan runs)."""
+    from paradedb_ray.pipelines.joins import asof_join
+    from paradedb_ray.pipelines.relational import filter_batches
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    left = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "click"),
+        columns=["event_id", "ts", "user_id"])
+    right = filter_batches(
+        ev, lambda b: pc.equal(b.column("event_type"), "purchase"),
+        columns=["event_id", "ts", "user_id"])
+    right = right.map_batches(
+        lambda b: b.rename_columns(["purchase_id", "p_ts", "user_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return asof_join(left, right, on="user_id", left_ts="ts",
+                     right_ts="p_ts", right_cols=["purchase_id", "p_ts"],
+                     tie_col="purchase_id", how="inner",
+                     direction="forward", tolerance="2d")
+
+
+def _q_window_changed(sf):
+    """Consecutive-change detection (``v IS DISTINCT FROM LAG(v)``) per
+    user in event order — the compaction / state-transition primitive
+    (`pipelines/aggregate.py::partitioned_window` changed kind; works
+    for any column type via code comparison)."""
+    from paradedb_ray.pipelines.aggregate import partitioned_window
+
+    ev = _tbl(sf, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    return partitioned_window(
+        ev, ["user_id"], [("ts", "ascending"), ("event_id", "ascending")],
+        {"is_change": ("changed", "event_type")})
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2366,6 +2405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": _q_cube_agg,
         "cep_in_session": _q_cep_in_session,
         "window_fill": _q_window_fill,
+        "asof_join_forward": _q_asof_join_forward,
+        "window_changed": _q_window_changed,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2825,6 +2866,21 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),"
             " w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey"
             " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        "asof_join_forward":
+            "WITH c AS (SELECT event_id, ts, user_id FROM events"
+            " WHERE event_type = 'click'),"
+            " p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id"
+            " FROM events WHERE event_type = 'purchase')"
+            " SELECT c.event_id, c.ts, c.user_id, p.purchase_id, p.p_ts"
+            " FROM c JOIN p ON p.user_id = c.user_id"
+            " AND p.p_ts >= c.ts AND p.p_ts - c.ts <= INTERVAL 2 DAY"
+            " QUALIFY row_number() OVER (PARTITION BY c.event_id"
+            " ORDER BY p.p_ts ASC, p.purchase_id DESC) = 1",
+        "window_changed":
+            "SELECT event_id, ts, user_id, event_type,"
+            " event_type IS DISTINCT FROM LAG(event_type) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS is_change"
+            " FROM events",
         "window_fill":
             "SELECT event_id, ts, user_id, event_type, value,"
             " CASE WHEN event_type = 'error' THEN NULL ELSE value END"

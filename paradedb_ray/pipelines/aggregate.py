@@ -1352,6 +1352,7 @@ def partitioned_window(
                 kind = spec[0]
                 typ = (pa.int64() if kind in
                        ("row_number", "rank", "dense_rank", "ntile")
+                       else pa.bool_() if kind == "changed"
                        else pa.float64())
                 t = t.append_column(name, pa.array([], typ))
             return t
@@ -1441,6 +1442,15 @@ def partitioned_window(
                 t = t.append_column(
                     name, pa.array(v[pstart_row], pa.float64(),
                                    from_pandas=True))
+            elif kind == "changed":
+                # v IS DISTINCT FROM LAG(v) OVER (...): true at each
+                # partition's first row and wherever the (any-typed)
+                # value differs from the previous row — the
+                # consecutive-dedup / state-transition primitive
+                ck, _ = pd.factorize(t.column(col).to_pandas(),
+                                     use_na_sentinel=False)
+                ch = np.r_[True, ck[1:] != ck[:-1]] | newp
+                t = t.append_column(name, pa.array(ch, pa.bool_()))
             elif kind == "fill_forward":
                 # LAST_VALUE(col IGNORE NULLS) OVER (... ROWS UNBOUNDED
                 # PRECEDING) — the standard imputation op: carry the last

@@ -400,3 +400,18 @@ def test_fill_forward_respects_partition_start():
     out = _sorted(out, ["k", "o"])
     # a: NULL (nothing to carry), 7, 7, 7; b: NULL (a's 7 must NOT leak), 3
     assert out["f"].fillna(-1).tolist() == [-1, 7.0, 7.0, 7.0, -1, 3.0]
+
+
+def test_changed_kind_any_type_and_partition_start():
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"],
+        "o": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "s": ["x", "x", "y", "y", "y"],
+    })
+    out = partitioned_window(
+        ray.data.from_arrow(t).repartition(2), ["k"], [("o", "ascending")],
+        {"ch": ("changed", "s")}).to_pandas()
+    out = _sorted(out, ["k", "o"])
+    # a: first row True, x->x False, x->y True, y->y False;
+    # b's first row True even though the PREVIOUS global row was also 'y'
+    assert out["ch"].tolist() == [True, False, True, False, True]
