@@ -543,12 +543,16 @@ def interval_join(
     right_end: str,
     bucket: str = "1d",
     right_on: Optional[str] = None,
+    how: str = "inner",
     num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Big-big stream-stream interval join: emit every (left, right) pair
     of the same key with ``right_start <= left_ts <= right_end`` — the
     canonical time-bounded stream join (events-inside-session, impressions
-    -inside-campaign).  Neither side broadcasts.
+    -inside-campaign).  Neither side broadcasts.  ``how='left'`` keeps
+    left rows with no covering window (NULL right columns) — computable
+    cell-locally because a left row's every match lives in its own
+    (key, bucket) cell.
 
     Plan: each left row lands in ONE (key, time-bucket) cell; each right
     interval replicates into every bucket it spans (``ceil(len/bucket)+1``
@@ -629,10 +633,27 @@ def interval_join(
         side = t.column("__side")
         lg = t.filter(pc.equal(side, 0)).select(l_sel).cast(l_pa)
         rg = t.filter(pc.equal(side, 1)).select(r_sel).cast(r_pa)
+        if how == "left":
+            lg = lg.append_column(
+                "__lrow", pa.array(np.arange(lg.num_rows), pa.int64()))
         j = payload_safe_join(lg, rg, [on, "__bucket"], "inner")
         mask = ((_us(j.column(left_ts)) >= _us(j.column(right_start)))
                 & (_us(j.column(left_ts)) <= _us(j.column(right_end))))
-        return j.filter(pa.array(mask)).drop_columns(
+        j = j.filter(pa.array(mask))
+        if how == "left":
+            matched = j.column("__lrow").to_numpy(zero_copy_only=False)
+            miss = np.ones(lg.num_rows, dtype=bool)
+            if len(matched):
+                miss[matched.astype(np.int64)] = False
+            lo = lg.filter(pa.array(miss)).drop_columns(["__lrow"])
+            for c in rcols:
+                lo = lo.append_column(c, pa.nulls(lo.num_rows, r_types[c]))
+            j = pa.concat_tables(
+                [j.drop_columns(["__lrow"]).select(out_schema.names),
+                 lo.select(out_schema.names)],
+                promote_options="default")
+            return j.cast(out_schema)
+        return j.drop_columns(
             ["__bucket"]).select(out_schema.names).cast(out_schema)
 
     return hash_partition_apply(both, [on, "__bucket"], join_partition,

@@ -122,6 +122,16 @@ def test_interval_join_fuzz_vs_duckdb(ray_session, seed):
         ON l.k = r.k AND l.ts >= r.ws AND l.ts <= r.we""").df()
     assert_same(out, orc, f"interval seed={seed}")
 
+    lo = interval_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        on="k", left_ts="ts", right_start="ws", right_end="we",
+        bucket="13s", how="left").to_pandas()
+    orc_l = con.execute("""
+      SELECT l.*, r.ws, r.we, r.wid FROM l LEFT JOIN r
+        ON l.k = r.k AND l.ts >= r.ws AND l.ts <= r.we""").df()
+    assert_same(lo, orc_l, f"interval-left seed={seed}")
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_rolling_fuzz_vs_duckdb(ray_session, seed):

@@ -415,3 +415,28 @@ def test_changed_kind_any_type_and_partition_start():
     # a: first row True, x->x False, x->y True, y->y False;
     # b's first row True even though the PREVIOUS global row was also 'y'
     assert out["ch"].tolist() == [True, False, True, False, True]
+
+
+def test_interval_join_left_outer_keeps_uncovered_rows():
+    from paradedb_ray.pipelines.joins import interval_join
+
+    left = pa.table({
+        "k": ["a", "a", "b"],
+        "ts": pa.array([5, 99, 10], pa.timestamp("s")),
+        "lid": pa.array([1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "k": ["a"], "s": pa.array([0], pa.timestamp("s")),
+        "e": pa.array([30], pa.timestamp("s")),
+        "rid": pa.array([7], pa.int64()),
+    })
+    out = interval_join(ray.data.from_arrow(left).repartition(2),
+                        ray.data.from_arrow(right),
+                        on="k", left_ts="ts", right_start="s",
+                        right_end="e", bucket="10s",
+                        how="left").to_pandas()
+    out = _sorted(out, ["lid"])
+    # lid1 covered by a's window; lid2 (a, ts 99) uncovered; lid3 (b) has
+    # no windows at all - both survive with NULL right cols
+    assert out["lid"].tolist() == [1, 2, 3]
+    assert out["rid"].fillna(-1).tolist() == [7, -1, -1]
