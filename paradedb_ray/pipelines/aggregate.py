@@ -1425,6 +1425,10 @@ def partitioned_window(
                 # optional third spec element = offset (default 1)
                 m = int(spec[2]) if len(spec) > 2 else 1
                 v = t.column(col).to_numpy(zero_copy_only=False).astype(float)
+                if m == 0:  # SQL LAG(col, 0) is the value itself
+                    t = t.append_column(
+                        name, pa.array(v, pa.float64(), from_pandas=True))
+                    continue
                 out = np.full(n, np.nan)
                 if kind == "lag":
                     if m < n:
@@ -1606,6 +1610,12 @@ def time_rolling_window(
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         n = t.num_rows
         tc = t.column(ts_col)
+        if pc.any(pc.is_null(tc)).as_py():
+            # a NaN->int64 cast would silently corrupt the sorted-ts
+            # precondition of every searchsorted below; fail loudly
+            raise ValueError(
+                "time_rolling_window: NULL timestamps unsupported — "
+                "filter or fill them first")
         if pa.types.is_timestamp(tc.type) or pa.types.is_date(tc.type):
             tc = tc.cast(pa.timestamp("us"))  # window is parsed in us
         ts = tc.cast(pa.int64()).to_numpy(
@@ -1625,7 +1635,8 @@ def time_rolling_window(
             delta[b] = np.maximum(need, 0)
         shift = np.cumsum(delta)
         tsm = ts + shift
-        if len(b) and (np.any(np.diff(tsm) < 0)):  # int64 overflow guard
+        # int64 overflow guard — cheap O(n), run unconditionally
+        if np.any(np.diff(tsm) < 0):
             raise OverflowError("time_rolling_window: ts rebase overflow")
         lo = np.searchsorted(tsm, tsm - win_us, side="left")
         hi = np.searchsorted(tsm, tsm, side="right") - 1  # last peer

@@ -349,6 +349,8 @@ def asof_join(
 
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
     tol_us = None
     if tolerance is not None:
         from paradedb_ray.pipelines.aggregate import _parse_fixed_interval
@@ -526,6 +528,9 @@ def range_join(
     scans.  The band side broadcasts once; a big-big interval join would
     instead need interval partitioning, which no current entry requires
     (documented assumption, same contract as :func:`broadcast_join`)."""
+    if closed not in ("left", "both"):
+        raise ValueError(
+            f"range_join: closed must be left|both, got {closed!r}")
     if isinstance(bands, ray.data.Dataset):
         tabs = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows > 0]
         bands = pa.concat_tables(tabs, promote_options="default")
@@ -569,6 +574,9 @@ def interval_join(
     from paradedb_ray.pipelines.aggregate import _parse_fixed_interval
     from paradedb_ray.stages.hash_agg import hash_partition_apply
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join: how must be inner|left, got {how!r}")
     b_us = _parse_fixed_interval(bucket)
     rkey = right_on or on
 
@@ -591,7 +599,11 @@ def interval_join(
         + [pa.field(c, r_types[c]) for c in rcols])
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        bk = _us(batch.column(left_ts)) // b_us
+        tsv = _us(batch.column(left_ts)).astype("float64")
+        # NULL left_ts can never satisfy the range (SQL comparison
+        # semantics) — bucket 0 is fine, the range mask drops it (and a
+        # LEFT join keeps the row with NULL right columns)
+        bk = np.where(np.isnan(tsv), 0, tsv // b_us).astype(np.int64)
         batch = batch.append_column("__bucket", pa.array(bk, pa.int64()))
         return batch.append_column(
             "__side", pa.array(np.zeros(batch.num_rows, np.int8)))
@@ -600,8 +612,12 @@ def interval_join(
         if rkey != on:
             batch = batch.append_column(on, batch.column(rkey))
             batch = batch.drop_columns([rkey])
-        b0 = _us(batch.column(right_start)) // b_us
-        b1 = _us(batch.column(right_end)) // b_us
+        b0 = _us(batch.column(right_start)).astype("float64")
+        b1 = _us(batch.column(right_end)).astype("float64")
+        # a window with a NULL bound matches nothing: replicate 0 times
+        bad = np.isnan(b0) | np.isnan(b1)
+        b0 = np.where(bad, 0, b0 // b_us).astype(np.int64)
+        b1 = np.where(bad, -1, b1 // b_us).astype(np.int64)
         cnt = np.maximum(b1 - b0 + 1, 0)
         idx = np.repeat(np.arange(batch.num_rows), cnt)
         first = np.repeat(np.cumsum(cnt) - cnt, cnt)

@@ -153,6 +153,13 @@ class StreamingDeduper:
             return -1
         with open(mpath) as f:
             man = json.load(f)
+        if int(man["num_shards"]) != self.num_shards:
+            # fingerprints were routed under hash % old_shards: a
+            # different shard count would silently lose/misroute state
+            raise ValueError(
+                f"StreamingDeduper.restore: checkpoint has "
+                f"{man['num_shards']} shards, this instance has "
+                f"{self.num_shards} — shard count is part of the state")
         ray.get([a.restore.remote(self.checkpoint_dir)
                  for a in self.actors])
         return int(man["epoch"])

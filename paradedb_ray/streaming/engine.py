@@ -376,17 +376,6 @@ class StreamEngine:
             "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
         })
 
-    def gather_conv_rows(self, convs, columns) -> Optional[pa.Table]:
-        """Visible rows of the given conversations from every partition
-        (hot convs are salted across actors, so all actors are asked);
-        bounded by the closed-session set, not the corpus."""
-        parts = ray.get([a.conv_rows.remote(list(convs), list(columns))
-                         for a in self.actors])
-        tabs = [p for p in parts if p is not None and p.num_rows]
-        if not tabs:
-            return None
-        return pa.concat_tables(tabs, promote_options="default")
-
     def drain_dead_letters(self) -> Optional[pa.Table]:
         """Union of every partition's buffered too-late rows (side
         output), cleared on read; None when nothing was dropped."""
@@ -1015,27 +1004,70 @@ class EpochRunner:
             tabs = [t for t in ray.get(hash_partition_apply(
                         ds, [conv_col], reducer).to_arrow_refs())
                     if t.num_rows]
-            if not tabs:
-                continue
-            out = pa.concat_tables(tabs, promote_options="default")
+            out = (pa.concat_tables(tabs, promote_options="default")
+                   if tabs else out_schema.empty_table())
+            # tombstones: sessions closed THIS epoch with zero matches.
+            # Without them, a late-arrival re-close whose inserted turn
+            # BREAKS a previously-emitted match could never void it —
+            # read_patterns keeps only each session's latest epoch, so
+            # the tombstone row supersedes the stale match rows.
+            matched = set(zip(out.column("conv_id").to_pylist(),
+                              out.column("session_start").to_pylist()))
+            closed = list(zip(real.column("conv_id").to_pylist(),
+                              real.column("session_start").to_pylist()))
+            miss = [cs for cs in dict.fromkeys(closed)
+                    if cs not in matched]
+            out = out.append_column(
+                "__match", pa.array([True] * out.num_rows, pa.bool_()))
+            if miss:
+                tomb_cols = {"conv_id": pa.array([c for c, _ in miss],
+                                                 pa.string()),
+                             "session_start": pa.array(
+                                 [s for _, s in miss], pa.int64())}
+                for f in out_schema:
+                    if f.name not in tomb_cols:
+                        tomb_cols[f.name] = pa.nulls(len(miss), f.type)
+                tomb_cols["__match"] = pa.array([False] * len(miss),
+                                                pa.bool_())
+                out = pa.concat_tables(
+                    [out, pa.table(tomb_cols, schema=out.schema)],
+                    promote_options="default")
             out = out.append_column(
                 "epoch", pa.array([epoch] * out.num_rows, pa.int64()))
+            # deterministic row order: to_arrow_refs block order is NOT
+            # stable under load (CLAUDE.md invariant) and a crash-replay
+            # must rewrite byte-identical sink content
+            out = out.take(pa.compute.sort_indices(
+                out, sort_keys=[(c, "ascending")
+                                for c in out.column_names]))
             _write_atomic_parquet(
                 out, os.path.join(self.sink_dir, "patterns", name,
                                   f"epoch={epoch:06d}.parquet"))
 
     def read_patterns(self, name: str) -> pa.Table:
-        """ALL emissions of a standing pattern (one row per match per
-        closing epoch; a re-closed session's latest epoch supersedes)."""
+        """Current matches of a standing pattern: every emission, with
+        each (conv, session_start) superseded by its LATEST closing
+        epoch (so a late re-close that voided a match actually voids
+        it — the epoch files carry tombstone rows for match-less
+        closes).  Convenience driver-side reader; the per-epoch parquet
+        files are the scalable interface."""
+        import pandas as pd
+
         d = os.path.join(self.sink_dir, "patterns", name)
         if not os.path.isdir(d):
             return pa.table({})
         files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         if not files:
             return pa.table({})
-        return pa.concat_tables(
+        t = pa.concat_tables(
             [pq.read_table(os.path.join(d, f)) for f in files],
             promote_options="default")
+        df = t.to_pandas()
+        last = df.groupby(["conv_id", "session_start"])["epoch"] \
+                 .transform("max")
+        df = df[(df["epoch"] == last) & df["__match"]]
+        df = df.drop(columns=["__match"]).reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def read_result(self, name: str) -> pa.Table:
         """Latest-epoch view of a standing query's emissions."""

@@ -1137,3 +1137,50 @@ def test_streaming_content_dedup_exactly_once(ray_session, tmp_path):
         assert s2.column("doc_id").to_pylist() == [10]
     finally:
         d2.shutdown()
+
+
+def test_pattern_late_reclose_voids_stale_match(ray_session, tmp_path):
+    """A late turn that re-opens an emitted session and BREAKS the
+    pattern adjacency must void the stale match: the re-closing epoch
+    writes a tombstone row for the match-less session and read_patterns
+    keeps only each session's latest epoch."""
+    t0 = 1_700_000_000_000_000
+    MIN = 60_000_000
+
+    def turn(conv, idx, role, ts):
+        return pa.table({
+            "conv_id": pa.array([conv]),
+            "turn_idx": pa.array([idx], pa.int32()),
+            "role": pa.array([role]), "text": pa.array(["w"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([ts], pa.timestamp("us"))})
+
+    # e0: c1 user -> assistant adjacent (a match); zz far ahead pushes
+    # the watermark past c1's close (wm = t0+4h - 3h lateness = t0+1h)
+    e0 = pa.concat_tables([
+        turn("c1", 0, "user", t0),
+        turn("c1", 1, "assistant", t0 + MIN),
+        turn("zz", 0, "user", t0 + 240 * MIN)])
+    # e1: a LATE c1 turn lands BETWEEN the matched pair (within the 3h
+    # lateness) and breaks user->assistant adjacency
+    e1 = turn("c1", 2, "system", t0 + 30_000_000)
+    sink = str(tmp_path / "sink")
+    eng = _engine(parts=2, session_gap_us=30 * MIN,
+                  lateness_us=180 * MIN)
+    try:
+        pat = {"ua": {"steps": [("role", "user"), ("role", "assistant")],
+                      "emit": [(0, "turn_idx", "u"), (1, "turn_idx", "a")]}}
+        r = EpochRunner(eng, sink, {"q": pdb.term("text", "w")},
+                        topk=5, columns=["conv_id", "turn_idx", "score"],
+                        patterns=pat)
+        r.run_epoch(0, e0)
+        got0 = r.read_patterns("ua").to_pandas()
+        assert list(zip(got0["conv_id"], got0["u"], got0["a"])) == [
+            ("c1", 0, 1)]
+        r.run_epoch(1, e1)
+        got1 = r.read_patterns("ua").to_pandas()
+        # the re-close (same session identity) found no match: the
+        # epoch-1 tombstone supersedes the epoch-0 match
+        assert len(got1[got1["conv_id"] == "c1"]) == 0
+    finally:
+        eng.shutdown()

@@ -30,18 +30,38 @@ def canon(df):
                           kind="mergesort").reset_index(drop=True)
 
 
-def assert_same(mine: pd.DataFrame, orc: pd.DataFrame, what: str):
-    a, b = canon(mine), canon(orc)
+def to_pdf(obj):
+    """Dataset -> pandas via arrow refs: Ray's Dataset.to_pandas() drops
+    the schema of an ALL-EMPTY dataset (the blocks themselves are typed;
+    verified), so convert at the Arrow level."""
+    if isinstance(obj, ray.data.Dataset):
+        tabs = ray.get(obj.to_arrow_refs())
+        return pa.concat_tables(tabs,
+                                promote_options="default").to_pandas()
+    return obj
+
+
+def assert_same(mine, orc: pd.DataFrame, what: str):
+    a, b = canon(to_pdf(mine)), canon(orc)
     assert len(a) == len(b), (what, len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=what)
 
 
-def rand_events(rng: np.random.RandomState, n: int, n_keys: int):
-    """ts drawn from a SMALL domain so duplicates are common."""
+def rand_events(rng: np.random.RandomState, n: int, n_keys: int,
+                null_ts: bool = False):
+    """ts drawn from a SMALL domain so duplicates are common; with
+    ``null_ts`` ~10% of timestamps are NULL (joins must treat them as
+    never-matching, SQL comparison semantics)."""
+    ts = pa.array(rng.randint(0, 50, n).astype(np.int64) * 1_000_000
+                  ).cast(pa.timestamp("us"))
+    if null_ts:
+        keep = rng.rand(n) >= 0.1
+        ts = pa.array(
+            [t if k else None for t, k in zip(ts.to_pylist(), keep)],
+            pa.timestamp("us"))
     return pa.table({
         "k": pa.array(rng.randint(0, n_keys, n).astype(np.int64)),
-        "ts": pa.array(rng.randint(0, 50, n).astype(np.int64) * 1_000_000
-                       ).cast(pa.timestamp("us")),
+        "ts": ts,
         "rid": pa.array(np.arange(n, dtype=np.int64)),
         "v": pa.array(np.where(rng.rand(n) < 0.15, np.nan,
                                rng.randint(0, 100, n).astype(float)),
@@ -53,8 +73,8 @@ def rand_events(rng: np.random.RandomState, n: int, n_keys: int):
 def test_asof_fuzz_vs_duckdb(ray_session, seed):
     rng = np.random.RandomState(seed)
     nl, nr = rng.randint(1, 120), rng.randint(0, 120)
-    left = rand_events(rng, nl, 5)
-    right = rand_events(rng, max(nr, 1), 5).rename_columns(
+    left = rand_events(rng, nl, 5, null_ts=True)
+    right = rand_events(rng, max(nr, 1), 5, null_ts=True).rename_columns(
         ["k", "rts", "qid", "rv"])
     if nr == 0:
         right = right.slice(0, 0)
@@ -67,7 +87,7 @@ def test_asof_fuzz_vs_duckdb(ray_session, seed):
 
     out = asof_join(lds, rds, on="k", left_ts="ts", right_ts="rts",
                     right_cols=["qid", "rv"], tie_col="qid",
-                    how="left").to_pandas()
+                    how="left")
     orc = con.execute("""
       SELECT l.*, r.qid, r.rv FROM l LEFT JOIN r
         ON r.k = l.k AND r.rts <= l.ts
@@ -77,7 +97,7 @@ def test_asof_fuzz_vs_duckdb(ray_session, seed):
 
     fwd = asof_join(lds, rds, on="k", left_ts="ts", right_ts="rts",
                     right_cols=["qid"], tie_col="qid",
-                    direction="forward", how="inner").to_pandas()
+                    direction="forward", how="inner")
     orc2 = con.execute("""
       SELECT l.*, r.qid FROM l JOIN r ON r.k = l.k AND r.rts >= l.ts
       QUALIFY row_number() OVER (PARTITION BY l.rid
@@ -86,7 +106,7 @@ def test_asof_fuzz_vs_duckdb(ray_session, seed):
 
     tol = asof_join(lds, rds, on="k", left_ts="ts", right_ts="rts",
                     right_cols=["qid"], tie_col="qid",
-                    tolerance="7s", how="inner").to_pandas()
+                    tolerance="7s", how="inner")
     orc3 = con.execute("""
       SELECT l.*, r.qid FROM l JOIN r ON r.k = l.k AND r.rts <= l.ts
         AND l.ts - r.rts <= INTERVAL 7 SECOND
@@ -98,7 +118,7 @@ def test_asof_fuzz_vs_duckdb(ray_session, seed):
 @pytest.mark.parametrize("seed", range(4))
 def test_interval_join_fuzz_vs_duckdb(ray_session, seed):
     rng = np.random.RandomState(100 + seed)
-    left = rand_events(rng, rng.randint(1, 150), 4)
+    left = rand_events(rng, rng.randint(1, 150), 4, null_ts=True)
     nr = rng.randint(1, 60)
     s = rng.randint(0, 50, nr).astype(np.int64) * 1_000_000
     # include zero-length and inverted (empty) windows
@@ -116,7 +136,7 @@ def test_interval_join_fuzz_vs_duckdb(ray_session, seed):
         ray.data.from_arrow(left).repartition(3),
         ray.data.from_arrow(right).repartition(2),
         on="k", left_ts="ts", right_start="ws", right_end="we",
-        bucket="13s").to_pandas()
+        bucket="13s")
     orc = con.execute("""
       SELECT l.*, r.ws, r.we, r.wid FROM l JOIN r
         ON l.k = r.k AND l.ts >= r.ws AND l.ts <= r.we""").df()
@@ -126,7 +146,7 @@ def test_interval_join_fuzz_vs_duckdb(ray_session, seed):
         ray.data.from_arrow(left).repartition(3),
         ray.data.from_arrow(right).repartition(2),
         on="k", left_ts="ts", right_start="ws", right_end="we",
-        bucket="13s", how="left").to_pandas()
+        bucket="13s", how="left")
     orc_l = con.execute("""
       SELECT l.*, r.ws, r.we, r.wid FROM l LEFT JOIN r
         ON l.k = r.k AND l.ts >= r.ws AND l.ts <= r.we""").df()

@@ -440,3 +440,58 @@ def test_interval_join_left_outer_keeps_uncovered_rows():
     # no windows at all - both survive with NULL right cols
     assert out["lid"].tolist() == [1, 2, 3]
     assert out["rid"].fillna(-1).tolist() == [7, -1, -1]
+
+
+def test_review_fixes_lag0_null_ts_and_validation():
+    from paradedb_ray.pipelines.aggregate import time_rolling_window
+    from paradedb_ray.pipelines.joins import interval_join
+
+    t = pa.table({"k": ["a", "a"], "o": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3.0, 4.0])})
+    # SQL LAG(v, 0) is the value itself
+    out = partitioned_window(
+        ray.data.from_arrow(t), ["k"], [("o", "ascending")],
+        {"l0": ("lag", "v", 0)}).to_pandas()
+    assert _sorted(out, ["o"])["l0"].tolist() == [3.0, 4.0]
+
+    # invalid how/closed/direction fail loudly instead of silently
+    # falling through to a default branch
+    with pytest.raises(ValueError):
+        asof_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                  on="k", left_ts="o", right_ts="o", right_cols=[],
+                  how="full")
+    with pytest.raises(ValueError):
+        range_join(ray.data.from_arrow(t),
+                   pa.table({"lo": [0.0], "hi": [1.0]}), "v", "lo", "hi",
+                   closed="right")
+    with pytest.raises(ValueError):
+        interval_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                      on="k", left_ts="o", right_start="o",
+                      right_end="o", how="outer")
+
+    # NULL timestamps in a RANGE frame would silently corrupt the sorted
+    # precondition: fail loudly
+    tn = pa.table({"k": ["a", "a"],
+                   "ts": pa.array([1, None], pa.timestamp("s")),
+                   "v": pa.array([1.0, 2.0])})
+    with pytest.raises(Exception):
+        time_rolling_window(ray.data.from_arrow(tn), ["k"], "ts",
+                            {"c": ("count", "v")}, window="5s").to_pandas()
+
+
+def test_streaming_dedup_restore_shard_mismatch(ray_session, tmp_path):
+    from paradedb_ray.streaming.dedup_stream import StreamingDeduper
+
+    ck = str(tmp_path / "ck")
+    d = StreamingDeduper(num_shards=4, checkpoint_dir=ck)
+    try:
+        d.ingest(pa.table({"text": ["a", "b"]}), epoch=0)
+        d.checkpoint(0)
+    finally:
+        d.shutdown()
+    d2 = StreamingDeduper(num_shards=2, checkpoint_dir=ck)
+    try:
+        with pytest.raises(ValueError):
+            d2.restore()
+    finally:
+        d2.shutdown()
