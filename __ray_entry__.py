@@ -2303,23 +2303,21 @@ def _q_window_changed(sf):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver value-hash-checks the FIRST 50 entries.
-    # Round-5 rotation (VERDICT r4 #4 + CLAUDE.md window policy — all 50
-    # are oracle entries, verified locally at sf0.001 AND sf0.01 before
-    # this reorder):
-    #   1-11  NEW round-5 oracle entries (agg-over-join breadth incl.
-    #         topk/empty/IS NULL edges, partial_index,
-    #         knn_ivf_partitioned — the 100-TB ANN path finally gets its
-    #         driver row)
-    #   12-14 changed pipelines (knn_ivf_exact: seeded reservoir
-    #         sampling; percentiles: fused-pass rewrite — bit-identical
-    #         by design) + the new repetition training-data op
-    #   15-50 entries whose last driver row was r3 (rotated back in; the
-    #         seven left out — search_phrase/search_regex/histogram/
-    #         numeric_range/stats_agg/cardinality/dedup_exact — have
-    #         r4-green twins covering the same code paths and keep their
-    #         r3 rows)
-    # Everything past 50 was driver-green in r4 (or is rows-only, whose
-    # driver row is count-only) and is re-verified locally each round.
+    # Round-5 window (CLAUDE.md policy: all 50 are oracle entries,
+    # verified locally at sf0.001 AND sf0.01 before every reorder).
+    # Current composition — count to agg_filter_groupby, which is slot
+    # 50; everything after it is OUTSIDE the window:
+    #   1-29  NEW round-5 oracle entries (agg-over-join breadth,
+    #         partial_index, knn_ivf_partitioned/exact, the sampling /
+    #         mixing / vocab / clusters / keywords / decontaminate-ngram
+    #         training-data family, join breadth, union+window)
+    #   30-33 NEW session-5 temporal/CEP family (asof_join, range_join,
+    #         window_rolling, cep_sequence)
+    #   34-50 r3-tail rotation (langid .. agg_filter_groupby)
+    # Entries past slot 50 keep their latest driver row (r4 or earlier)
+    # — including json_agg/search_term/search_boolean/... in the 51+
+    # block below — and are re-verified locally at BOTH SFs each round
+    # (see BASELINE.md closing-validation records: 0 fail anywhere).
     return {
         # --- driver window: new r5 entries ---
         "agg_join_multi": _q_agg_join_multi,

@@ -447,9 +447,11 @@ def decontaminate_ngram(ds: ray.data.Dataset, text_col: str, needles,
         0, np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
-        hs = _shingle_hash_sets(batch.column(text_col).to_pylist(), n)
         if not len(needle_h):
+            # check BEFORE hashing: with no needles the full per-batch
+            # tokenize+hash pass would be wasted corpus work
             return batch
+        hs = _shingle_hash_sets(batch.column(text_col).to_pylist(), n)
         lens = np.fromiter((len(h) for h in hs), dtype=np.int64,
                            count=len(hs))
         flat = (np.concatenate(hs) if lens.sum()

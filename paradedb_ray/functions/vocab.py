@@ -121,8 +121,9 @@ def extract_keywords(ds: ray.data.Dataset, text_col: str, key_col: str,
 
     Composition of the house primitives, each already scale-shaped:
     per-block (doc, token, tf) explode -> two-stage hash aggregate for
-    corpus df -> hash-shuffle join (df is full-vocab-sized, NOT a
-    broadcast) -> block-pruned top-n-per-group.  Output columns:
+    corpus df -> join the df side back on (BROADCAST while the
+    vocabulary is under the repo's 2M-row bound, hash-shuffle beyond
+    it) -> block-pruned top-n-per-group.  Output columns:
     ``(key, token, tf, df, kw_rank)``."""
     from paradedb_ray.pipelines.joins import broadcast_join, hash_join
     from paradedb_ray.pipelines.relational import topn_per_group

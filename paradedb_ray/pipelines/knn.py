@@ -19,10 +19,19 @@ import ray
 import ray.data
 
 
-def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, emb_col: str,
+                  dim: int = None) -> np.ndarray:
     col = batch.column(emb_col)
-    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:
+        # reshape(0, -1) is a numpy error on an empty buffer; derive the
+        # width from the type (fixed_size_list), the caller's hint (the
+        # scorers know their query/centroid width), or fall back to 0
+        t = col.type
+        d = (t.list_size if pa.types.is_fixed_size_list(t)
+             else dim if dim is not None else 0)
+        return np.empty((0, d), np.float32)
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     # copy=False: the flattened float32 buffer is already the right dtype
     # (zero-copy view of the Arrow data) — astype would duplicate it
     return flat.reshape(n, -1).astype(np.float32, copy=False)
@@ -50,7 +59,8 @@ class _BruteScorer:
             q = ray.get(self.q_ref) if isinstance(self.q_ref, ray.ObjectRef) else self.q_ref
             q = q.astype(self.dtype)
             self._q = _normalize(q) if self.metric == "cosine" else q
-        m = _batch_matrix(batch, self.emb_col).astype(self.dtype)
+        m = _batch_matrix(batch, self.emb_col,
+                          dim=self._q.shape[1]).astype(self.dtype)
         if self.metric == "cosine":
             m = _normalize(m)
             sims = m @ self._q.T  # (n, nq)
@@ -236,8 +246,9 @@ class _IvfScorer:
         self.probe_bool = nb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.emb_col).astype(
-            self.dtype, copy=False))
+        m = _normalize(_batch_matrix(
+            batch, self.emb_col,
+            dim=self.cent.shape[1]).astype(self.dtype, copy=False))
         assign = (m @ self.cent.T).argmax(1)
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         k = self.k
@@ -326,7 +337,7 @@ def ivf_build(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        m = _normalize(_batch_matrix(batch, emb_col))
+        m = _normalize(_batch_matrix(batch, emb_col, dim=c.shape[1]))
         cells = (m @ c.T).argmax(1).astype(np.int32)
         return batch.append_column("__ivf_cell", pa.array(cells))
 
@@ -346,8 +357,9 @@ class _CellScorer(_IvfScorer):
     per-batch argmax is replaced by a column read."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.emb_col).astype(
-            self.dtype, copy=False))
+        m = _normalize(_batch_matrix(
+            batch, self.emb_col,
+            dim=self.cent.shape[1]).astype(self.dtype, copy=False))
         cell = batch.column("__ivf_cell").to_numpy(
             zero_copy_only=False).astype(np.int64)
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)

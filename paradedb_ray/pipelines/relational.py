@@ -66,6 +66,14 @@ def topk_by(ds: ray.data.Dataset, sort_keys: list, limit: int,
 
     pruned = ds.map_batches(head, batch_format="pyarrow", batch_size=None)
     refs = pruned.to_arrow_refs()
+    if not refs:
+        # zero-block input (e.g. limit(0)): an empty RESULT, not a crash
+        sch = pruned.schema(fetch_if_missing=False)
+        if sch is None:
+            return pruned
+        empty = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+        return ray.data.from_arrow_refs(
+            [ray.put(empty.select(columns) if columns else empty)])
     chunks = _chunk_refs(refs)
     if len(chunks) < len(refs):
         refs = [_merge_blocks.remote(head, *ch) for ch in chunks]
@@ -105,7 +113,12 @@ def topn_per_group(ds: ray.data.Dataset, keys: list, order_by: list,
         if with_rn and rn_col is not None:
             df[rn_col] = (g.cumcount() + 1).astype(np.int64)
             df = df[df[rn_col] <= n]
-            return pa.Table.from_pandas(df, preserve_index=False)
+            # explicit schema: to_pandas turns nullable int64 into
+            # float64, and WITHOUT the cast only partitions that happen
+            # to contain a null degrade — inconsistent block schemas
+            return pa.Table.from_pandas(
+                df, preserve_index=False,
+                schema=t.schema.append(pa.field(rn_col, pa.int64())))
         df = g.head(n)
         return pa.Table.from_pandas(df, preserve_index=False,
                                     schema=t.schema)

@@ -114,6 +114,7 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
                               pa.int64()))
         conv = batch.column(key_cols[0]).to_numpy(zero_copy_only=False)
         turn = batch.column(key_cols[1]).to_numpy(zero_copy_only=False)
+        arr = batch.column("__arr").to_numpy(zero_copy_only=False)
         h = _stable_hash_strings(conv)
         base = (h % np.uint64(num_partitions)).astype(np.int64)
         if gate is not None:
@@ -121,9 +122,14 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
             if not gm.all():
                 # rows outside the partial-index gate: retract their keys
                 # (an upsert leaving the gate deletes; fresh keys no-op) at
-                # both candidate partitions (salted + home), then drop them
+                # both candidate partitions (salted + home), then drop
+                # them.  The retraction carries the row's __arr stamp so
+                # it arbitrates EXACTLY like an ingest: it never kills a
+                # NEWER live copy (replay of a stale out-of-gate row is a
+                # no-op) and always kills an older-or-equal one.
                 out = ~gm
                 kh = _key_hash(conv[out], turn[out])
+                oarr = arr[out]
                 ob = base[out]
                 osalt = ((h[out].astype(np.int64)
                           + (turn[out].astype(np.int64) % salt_k)
@@ -131,10 +137,10 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
                 for p_ in np.unique(np.concatenate([ob, osalt])):
                     sel = (ob == p_) | (osalt == p_)
                     pend.append(actors[p_].retract_keys.remote(
-                        kh[sel].tolist()))
+                        kh[sel].tolist(), oarr[sel].tolist()))
                 batch = batch.filter(pa.array(gm))
                 conv, turn = conv[gm], turn[gm]
-                h, base = h[gm], base[gm]
+                h, base, arr = h[gm], base[gm], arr[gm]
                 if batch.num_rows == 0:
                     drain(max_inflight)
                     continue
@@ -152,9 +158,11 @@ def _route_table(table: pa.Table, arr_base: int, actors: list,
         moved = part != base
         if moved.any():
             kh = _key_hash(conv[moved], turn[moved])
+            marr = arr[moved]
             for b in np.unique(base[moved]):
+                sel = base[moved] == b
                 pend.append(actors[b].retract_keys.remote(
-                    kh[base[moved] == b].tolist()))
+                    kh[sel].tolist(), marr[sel].tolist()))
         for p in np.unique(part):
             sub = batch.filter(pa.array(part == p))
             pend.append(actors[p].ingest.remote(sub, epoch))

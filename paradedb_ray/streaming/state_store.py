@@ -635,13 +635,27 @@ class Bm25PartitionStore:
         self.n_dead = 0
         return n
 
-    def retract_keys(self, key_hashes: list) -> int:
+    def retract_keys(self, key_hashes: list, arrs: list = None) -> int:
         """Drop keys whose live copy migrated to another partition (a
         conversation turning hot re-routes new copies to salted partitions;
-        the stale copy here must not answer queries)."""
+        the stale copy here must not answer queries) or left a partial-
+        index gate.
+
+        ``arrs`` (parallel to ``key_hashes``): the retracting row's
+        ``__arr`` arrival stamp — the retraction wins only against live
+        copies with an OLDER-OR-EQUAL stamp, the same arbitration rule
+        ingest uses.  Without it a replayed stale out-of-gate copy could
+        delete a NEWER live in-gate copy (or a gate-exit delete racing a
+        parallel shard router could lose), breaking replay idempotence.
+        ``arrs=None`` keeps the unconditional semantics for callers that
+        retract by construction-newer knowledge."""
         n = 0
-        for k in key_hashes:
+        if arrs is None:
+            arrs = [None] * len(key_hashes)
+        for k, a in zip(key_hashes, arrs):
             if k in self.live_seq:
+                if a is not None and self.live_arr.get(k, -1) > a:
+                    continue  # a newer copy owns the key: stale retraction
                 del self.live_seq[k]
                 self.live_arr.pop(k, None)
                 self.n_dead += 1

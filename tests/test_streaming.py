@@ -1184,3 +1184,34 @@ def test_pattern_late_reclose_voids_stale_match(ray_session, tmp_path):
         assert len(got1[got1["conv_id"] == "c1"]) == 0
     finally:
         eng.shutdown()
+
+
+def test_gate_retraction_arbitrates_by_arrival_stamp(ray_session):
+    """A retraction carrying an OLDER __arr stamp than the live copy must
+    lose (replayed stale out-of-gate row), and one carrying a newer stamp
+    must win — the same arbitration rule ingest uses."""
+    import pickle
+
+    import ray
+
+    from paradedb_ray.streaming.state_store import (Bm25PartitionStore,
+                                                    _key_hash)
+
+    store = Bm25PartitionStore.remote(
+        0, pickle.dumps(transcripts_schema()))
+    t0 = 1_700_000_000_000_000
+    row = pa.table({
+        "conv_id": pa.array(["c"]), "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"]), "text": pa.array(["hello"]),
+        "tool": pa.array([""]),
+        "ts": pa.array([t0], pa.timestamp("us")),
+        "__arr": pa.array([10], pa.int64())})
+    ray.get(store.ingest.remote(row, 0))
+    kh = _key_hash(np.array(["c"], dtype=object),
+                   np.array([0])).tolist()
+    # stale retraction (arr 5 < live arr 10): must be a no-op
+    assert ray.get(store.retract_keys.remote(kh, [5])) == 0
+    assert ray.get(store.num_docs.remote()) == 1
+    # newer retraction (arr 12 > 10): wins
+    assert ray.get(store.retract_keys.remote(kh, [12])) == 1
+    ray.kill(store)
