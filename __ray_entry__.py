@@ -2298,6 +2298,19 @@ def _q_window_changed(sf):
         {"is_change": ("changed", "event_type")})
 
 
+def _q_unpivot(sf):
+    """SQL UNPIVOT / melt — one row per (input row, measure column),
+    stateless per-batch expansion, no shuffle
+    (`pipelines/relational.py::unpivot`)."""
+    from paradedb_ray.pipelines.relational import unpivot
+
+    li = _tbl(sf, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_discount", "l_tax"])
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_discount", "l_tax"])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2405,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_fill": _q_window_fill,
         "asof_join_forward": _q_asof_join_forward,
         "window_changed": _q_window_changed,
+        "unpivot": _q_unpivot,
         "window_rolling_time": _q_window_rolling_time,
         "window_first_offsets": _q_window_first_offsets,
         "agg_join_multi4": _q_agg_join_multi4,
@@ -2874,6 +2888,11 @@ def oracle_sql() -> dict[str, str]:
             " AND p.p_ts >= c.ts AND p.p_ts - c.ts <= INTERVAL 2 DAY"
             " QUALIFY row_number() OVER (PARTITION BY c.event_id"
             " ORDER BY p.p_ts ASC, p.purchase_id DESC) = 1",
+        "unpivot":
+            "SELECT l_orderkey, l_linenumber, name,"
+            " CAST(val AS DOUBLE) AS val FROM (SELECT l_orderkey,"
+            " l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)"
+            " UNPIVOT (val FOR name IN (l_quantity, l_discount, l_tax))",
         "window_changed":
             "SELECT event_id, ts, user_id, event_type,"
             " event_type IS DISTINCT FROM LAG(event_type) OVER"

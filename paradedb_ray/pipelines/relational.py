@@ -127,3 +127,25 @@ def topn_per_group(ds: ray.data.Dataset, keys: list, order_by: list,
 
     return hash_partition_apply(
         ds, keys, lambda t: prune(t, with_rn=True), pre_fn=prune)
+
+
+def unpivot(ds: ray.data.Dataset, id_cols: list, value_cols: list,
+            name_col: str = "name",
+            value_col: str = "val") -> ray.data.Dataset:
+    """SQL UNPIVOT / melt: one output row per (input row, value column),
+    with the column's name in ``name_col`` and its value (cast to
+    float64) in ``value_col``.  Stateless per-batch expansion — no
+    shuffle, Arrow-native concat of one slice per value column (each
+    slice reuses the id columns zero-copy)."""
+    import pyarrow.compute as pc
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[name_col] = pa.array([c] * batch.num_rows, pa.string())
+            cols[value_col] = batch.column(c).cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
